@@ -1,0 +1,136 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.engine.cdc.Transforms
+
+/** CDC-semantic queries (SURVEY.md §2.B "CDC-semantic transforms") —
+  * ports of the reference's row transforms exercised over the driver
+  * testdata so they are DuckDB-checkable.
+  */
+object CdcOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The compacted-topic key for lineitem's PK (reference
+    * seed_store.clj:50-55): JSON array of [col, val, …] pairs sorted by
+    * column name. Built with explicit concat (not to_json) so the
+    * oracle compares byte-identically (SURVEY §7.3f). */
+  val cdcSeedKey: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        concat(
+          lit("[\"l_linenumber\",\""), $"l_linenumber".cast("string"),
+          lit("\",\"l_orderkey\",\""), $"l_orderkey".cast("string"),
+          lit("\"]")).as("seed_key"))
+      .dropDuplicates()
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  /** Nested DML document built from a flat row by the `cdc.`-prefix
+    * name convention (reference seed_store.clj:38-48). No-oracle: JSON
+    * field order is formatting, not semantics — property-tested against
+    * the golden fixture (FIXTURES.md A.3) in CdcTransformsSpec. The
+    * query synthesizes a seed-view-shaped frame from lineitem, applies
+    * the combinators, and returns (key, value). */
+  val cdcDmlMsg: Q = (s, d) => {
+    val seedView = Tables.lineitem(s, d)
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .limit(1000)
+      .select(
+        lit("insert").as("cdc.type"),
+        lit("tpch.lineitem").as("cdc.table"),
+        lit("loader").as("cdc.info.user_id"),
+        $"l_orderkey".cast("string").as("cdc.id.l_orderkey"),
+        $"l_linenumber".cast("string").as("cdc.id.l_linenumber"),
+        $"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+    Transforms.dmlMsgToSeedMsg(Transforms.seedRowToDmlMsg(seedView))
+  }
+
+  /** 2%-bucket progress ledger (reference core.clj:162-175): over the
+    * event log in (ts, event_id) order, emit the rows where the running
+    * count crosses a 2% bucket of the total. Expressed as bucket-change
+    * on a running row_number — the batch analog of the reference's
+    * conflated progress channel.
+    *
+    * Scale note: the global row_number here is a single-partition
+    * window — acceptable for a ledger query whose OUTPUT is ≤50 rows,
+    * and the streaming engine path uses accumulators instead. */
+  val cdcProgress: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.crossJoin(broadcast(total))
+      .withColumn("seeded",
+        row_number().over(Window.orderBy($"ts", $"event_id")).cast("long"))
+      .filter(expr("(seeded * 50) DIV total > ((seeded - 1) * 50) DIV total"))
+      .select($"seeded", $"total", $"event_id")
+      .orderBy($"seeded")
+  }
+
+  /** Log-compaction read: latest event per user — the reference's
+    * topic->last-known-ccd-states (initializer.clj:27-39) over the
+    * events table. */
+  val cdcLastState: Q = (s, d) =>
+    Transforms.lastStatePerKey(Seq("user_id"), Seq("ts", "event_id"))(
+      Tables.events(s, d))
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+
+  /** Full control-path read: compaction ∘ terminal-status rejection ∘
+    * timestamp ordering (reference ops 7, 9, 10 composed) over a
+    * control log synthesized from events (event_type stands in for the
+    * CCD status; 'error'/'purchase' are the terminal analogs). */
+  val cdcStatusFilter: Q = (s, d) => {
+    val compacted = Transforms.lastStatePerKey(Seq("user_id"), Seq("ts", "event_id"))(
+      Tables.events(s, d))
+    Transforms.dropTerminal("event_type", Set("error", "purchase"))(compacted)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .orderBy($"ts", $"event_id")
+      .drop("ts")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cdc_seed_key" -> cdcSeedKey,
+    "cdc_dml_msg" -> cdcDmlMsg,
+    "cdc_progress" -> cdcProgress,
+    "cdc_last_state" -> cdcLastState,
+    "cdc_status_filter" -> cdcStatusFilter,
+  )
+
+  /** DuckDB oracles (cdc_dml_msg is no-oracle — JSON formatting). */
+  val oracles: Map[String, String] = Map(
+    "cdc_seed_key" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber,
+        |  '["l_linenumber","' || CAST(l_linenumber AS VARCHAR)
+        |    || '","l_orderkey","' || CAST(l_orderkey AS VARCHAR) || '"]' AS seed_key
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "cdc_progress" ->
+      """WITH numbered AS (
+        |  SELECT event_id,
+        |    row_number() OVER (ORDER BY ts, event_id) AS seeded,
+        |    count(1) OVER () AS total
+        |  FROM events)
+        |SELECT seeded, total, event_id FROM numbered
+        |WHERE (seeded * 50) // total > ((seeded - 1) * 50) // total
+        |ORDER BY seeded""".stripMargin,
+
+    "cdc_last_state" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_status_filter" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type NOT IN ('error', 'purchase')
+        |ORDER BY ts, event_id""".stripMargin,
+  )
+}
