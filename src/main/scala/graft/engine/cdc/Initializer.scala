@@ -1,0 +1,188 @@
+package graft.engine.cdc
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.model.{Ccd, Status}
+import graft.engine.topics.TopicStore
+
+/** Batch CCD orchestration — the engine port of the reference's
+  * control path (core.clj:78-182, initializer.clj:27-68):
+  * validate → prepare (ensure trigger, queue, topic; emit per-creation
+  * statuses) → initialize (enable trigger, snapshot-seed the topic,
+  * 2%-sampled progress, activate; compensating trigger-disable on
+  * error). Every emitted status is also published back to the control
+  * topic (initializer.clj:90-95), which is what makes restart/resume
+  * work: the backlog scan compacts to last-state-per-key and skips
+  * terminal states.
+  *
+  * Sequencing matters and is preserved from the reference:
+  * enable-trigger BEFORE the snapshot (core.clj:161) so no change is
+  * lost between snapshot and activation — overlap converges via the
+  * topic's keyed compaction. Seeding itself is a distributed Spark
+  * write (partitioned scan → plan-level transforms → keyed append);
+  * only the tiny control-state transitions run on the driver, exactly
+  * as the reference's single worker loop does.
+  */
+class Initializer(
+    spark: SparkSession,
+    plane: ControlPlane,
+    topics: TopicStore,
+    controlTopic: String,
+    /** seed source: table name => (frame shaped like the seed view —
+      * `cdc.`-prefixed metadata columns + data columns, see
+      * Transforms.seedRowToDmlMsg), or None when the table is unknown. */
+    seedView: String => Option[DataFrame],
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+
+  import spark.implicits._
+
+  /** Resume scan (reference initializer.clj:27-39 — inferred cdc-util
+    * `topic->last-known-ccd-states`): read the whole control topic,
+    * compact to last state per key, drop terminal states, sort by
+    * timestamp. Small by construction (one row per captured table), so
+    * collecting to the driver's work queue mirrors the reference's
+    * channel of CCDs. */
+  def backlog(): Seq[Ccd] = {
+    if (!topics.exists(controlTopic)) return Seq.empty
+    val compacted = Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
+      topics.readAll(controlTopic))
+    decodeCcds(compacted)
+      .filter(c => !Status.terminal.contains(c.status))
+      .sortBy(_.timestamp.getTime)
+  }
+
+  def decodeCcds(df: DataFrame): Seq[Ccd] =
+    df.select(from_json(col("value"), Ccd.jsonSchema).as("c"))
+      .select("c.*")
+      .collect()
+      .toSeq
+      .map { r =>
+        Ccd(
+          table = r.getAs[String]("table"),
+          queue = r.getAs[String]("queue"),
+          queueTable = r.getAs[String]("queue-table"),
+          tableAlias = Option(r.getAs[String]("table-alias")),
+          status = r.getAs[String]("status"),
+          timestamp = Timestamp.valueOf(
+            Option(r.getAs[String]("timestamp")).getOrElse("1970-01-01 00:00:00")),
+          progress = Option(r.getAs[Seq[Long]]("progress")),
+          error = Option(r.getAs[String]("error")))
+      }
+
+  /** CCD validity (reference initializer.clj:51-56 `check-ccd`,
+    * core.clj:38-54 requirements). Returns None when valid. */
+  def checkCcd(ccd: Ccd): Option[String] = {
+    def blank(s: String) = s == null || s.trim.isEmpty
+    if (blank(ccd.table)) Some("missing table")
+    else if (blank(ccd.queue)) Some("missing queue")
+    else if (blank(ccd.queueTable)) Some("missing queue-table")
+    else if (!ccd.table.contains(".")) Some("table must be schema-qualified")
+    else if (Identifiers.stripSchema(ccd.table).length > Identifiers.maxUnaliasedLength
+      && ccd.tableAlias.forall(_.trim.isEmpty))
+      Some(s"table name longer than ${Identifiers.maxUnaliasedLength} chars requires table-alias")
+    else None
+  }
+
+  private def stamp(ccd: Ccd, status: String,
+      progress: Option[Seq[Long]] = None, error: Option[String] = None): Ccd =
+    ccd.copy(status = status, timestamp = now(), progress = progress, error = error)
+
+  /** Publish a status update to the control topic (the engine's
+    * updates-chan ∘ send-ccd-update!, initializer.clj:90-95). Key =
+    * the CCD identity (its table), so compaction keeps latest state. */
+  def publish(ccd: Ccd): Unit = {
+    val json = Seq(ccd).toDS().toDF()
+      .select(
+        col("table").as("key"),
+        to_json(struct(
+          col("table"), col("queue"),
+          col("queueTable").as("queue-table"),
+          col("tableAlias").as("table-alias"),
+          col("status"),
+          date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSS").as("timestamp"),
+          col("progress"), col("error"))).as("value"))
+    topics.append(controlTopic, json)
+  }
+
+  /** Ensure-trigger → ensure-queue → ensure-topic, emitting a creation
+    * status only for objects that did not already exist (reference
+    * core.clj:84-95; README's queue→trigger→topic order is wrong —
+    * code wins, SURVEY §1.1). Ends `prepared`, or `error` with the
+    * exception message (core.clj:97-98). */
+  def prepare(ccd: Ccd): Seq[Ccd] = {
+    val out = Seq.newBuilder[Ccd]
+    try {
+      if (plane.triggerExists(ccd.table)) plane.disableTrigger(ccd.table)
+      else { plane.createTrigger(ccd.table); out += stamp(ccd, Status.TriggerCreated) }
+      if (plane.queueExists(ccd.queue)) plane.clearQueue(ccd.queue)
+      else { plane.createQueue(ccd.queue, ccd.queueTable); out += stamp(ccd, Status.QueueCreated) }
+      if (topics.exists(ccd.queue)) topics.clear(ccd.queue)
+      else { topics.create(ccd.queue); out += stamp(ccd, Status.TopicCreated) }
+      out += stamp(ccd, Status.Prepared)
+    } catch {
+      case e: Exception => out += stamp(ccd, Status.Error, error = Some(e.getMessage))
+    }
+    out.result()
+  }
+
+  /** Seed the topic from the table snapshot (reference core.clj:154-182):
+    * enable trigger first, count, stream-transform-send, 2%-bucket
+    * progress (≤ 50 reports + the initial [0, total], core.clj:162-175),
+    * then `active`; on exception best-effort disable-trigger + `error`.
+    *
+    * The reference's row-at-a-time channel becomes one distributed
+    * write; progress statuses are the deterministic bucket ledger (the
+    * streaming engine reports live progress via listener instead). */
+  def initialize(ccd: Ccd): Seq[Ccd] = {
+    val out = Seq.newBuilder[Ccd]
+    try {
+      plane.enableTrigger(ccd.table)
+      val view = seedView(ccd.table).getOrElse(
+        throw new IllegalArgumentException(s"unknown table ${ccd.table}"))
+      val total = view.count()
+      out += stamp(ccd, Status.Seeding, progress = Some(Seq(0L, total)))
+      val seedMsgs = Transforms.dmlMsgToSeedMsg(Transforms.seedRowToDmlMsg(view))
+      topics.append(ccd.queue, seedMsgs)
+      if (total > 0) {
+        val step = math.max(1L, math.ceil(total * 0.02).toLong)
+        Iterator.iterate(step)(_ + step).takeWhile(_ <= total).foreach { c =>
+          out += stamp(ccd, Status.Seeding, progress = Some(Seq(c, total)))
+        }
+      }
+      out += stamp(ccd, Status.Active)
+    } catch {
+      case e: Exception =>
+        try plane.disableTrigger(ccd.table) catch { case _: Exception => () }
+        out += stamp(ccd, Status.Error, error = Some(e.getMessage))
+    }
+    out.result()
+  }
+
+  /** One unit of work (reference initializer.clj:41-68): validate,
+    * prepare, and — unless preparation failed — initialize. All
+    * emitted states are published to the control topic and returned
+    * (latest last). */
+  def process(ccd: Ccd): Seq[Ccd] = {
+    val states = checkCcd(ccd) match {
+      case Some(err) =>
+        Seq(stamp(ccd, Status.Error, error = Some(s"invalid specification: $err")))
+      case None =>
+        val prep = prepare(ccd)
+        if (prep.lastOption.exists(_.status == Status.Error)) prep
+        else prep ++ initialize(prep.last)
+    }
+    states.foreach(publish)
+    states
+  }
+
+  /** Full service run (reference initializer.clj:76-115): ensure the
+    * control topic, drain the backlog in timestamp order, process each
+    * sequentially. Returns every emitted state, per input CCD. */
+  def runBacklog(): Seq[(Ccd, Seq[Ccd])] = {
+    if (!topics.exists(controlTopic)) topics.create(controlTopic)
+    backlog().map(c => c -> process(c))
+  }
+}

@@ -1,0 +1,260 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Near-duplicate detection family over `documents` / `embeddings`
+  * (north-star LLM-pipeline operators): exact n-gram Jaccard,
+  * MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: [[dedupMinhash]] is the 100 TB path — per-doc MinHash
+  * signatures (linear map-only pass), band explosion (16 rows/doc),
+  * and an equi-join on band keys, so candidate generation never goes
+  * quadratic. [[dedupNear]] and [[dedupEmbed]] are the exact
+  * quadratic verifiers, deliberately bounded to a doc_id window — at
+  * scale they run only on LSH candidates, never the full corpus.
+  *
+  * All hashes are 31-base polynomial mod 1e9+7 (cross-engine-stable);
+  * permutations are fixed literal (a, b) pairs, so MinHash signatures
+  * are bit-identical in Spark and the DuckDB oracle.
+  */
+object DedupOps {
+  import TextFeatures._
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = "1000000007"
+  private val A = Seq(7, 13, 31, 43, 59, 61, 73, 97, 101, 127, 131, 151, 163, 181, 197, 199)
+  private val B = Seq(3, 17, 29, 41, 53, 71, 89, 103, 113, 139, 149, 167, 179, 191, 211, 223)
+
+  /** (doc_id, sh, n) where sh = distinct 3-token shingles.
+    *
+    * Repartition FIRST so the expensive tokenize→shingle projection
+    * runs on all cores (the single-file parquet scan is otherwise one
+    * partition), then `localCheckpoint` to materialize the shingle
+    * sets exactly once: every consumer (the exact-Jaccard join reuses
+    * it twice, MinHash three times) reads the computed arrays instead
+    * of re-running the regexp chain — at cluster scale this is the
+    * persisted signature/feature table every dedup pipeline keeps. */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    ensureRegistered(s)
+    // no filter on the computed column here: a pushed-down filter gets
+    // the whole shingle expression re-inlined below the exchange and
+    // re-evaluated single-threaded at the scan. Empty shingle sets are
+    // harmless downstream (explode drops them; no bands, no pairs).
+    Tables.documents(s, d)
+      .select($"doc_id", $"text")
+      .repartition($"doc_id")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("sh", expr(shingleSetSql("toks")))
+      .select($"doc_id", $"sh", size($"sh").as("n"))
+      .localCheckpoint()
+  }
+
+  /** Exact 3-gram (shingle) Jaccard near-dup pairs at τ = 0.5 over a
+    * bounded doc_id window, via the scalable exact similarity join:
+    * explode shingles → self-equi-join on the shingle string →
+    * per-pair match count (|A∩B|) by hash aggregate → size join +
+    * Jaccard filter. No nested-loop pairing, no wide arrays through
+    * the shuffle — every row that moves is (doc_id, shingle) or
+    * (doc_a, doc_b, inter). Pairs sharing zero shingles can't reach
+    * τ > 0, so the equi-join loses nothing. */
+  val dedupNear: Q = (s, d) => {
+    val base = shingled(s, d).filter($"doc_id" < 1000)
+    val ex = base.select($"doc_id", explode($"sh").as("g"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(base.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .filter(least($"na", $"nb").cast("double") >= lit(0.5) * greatest($"na", $"nb"))
+      .withColumn("jaccard", round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 4))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs, verified with
+    * exact shingle Jaccard ≥ 0.5. Pipeline:
+    *   shingle → hash → 16-permutation MinHash signature (map-only)
+    *   → explode 4 band keys per doc → self-equi-join on (band, key)
+    *   → distinct candidate pairs → exact-Jaccard verify.
+    * The only shuffles are the band-key join and the distinct — both on
+    * narrow keys; signatures never travel with the shingle sets. */
+  val dedupMinhash: Q = (s, d) => {
+    val docs = shingled(s, d).repartition($"doc_id")
+    // signature build as a relational pipeline: each shingle hashed
+    // exactly ONCE (explode → charHash), then all 16 permutation minima
+    // in a single grouped aggregate — one shuffle, map-side partial min.
+    // (A nested transform(sequence(0,15), …) formulation re-hashes every
+    // shingle 16× after projection collapse — 30× slower at sf0.1.)
+    val hashed = docs
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .withColumn("h", expr(charHashSql("shingle")))
+    val minCols = (0 until 16).map(i =>
+      min((lit(A(i)) * $"h" + lit(B(i))) % lit(1000000007L)).as(s"mh$i"))
+    val sigs = hashed.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = sigs.selectExpr("doc_id",
+      "stack(4, " + (0 until 4).map(b =>
+        s"$b, concat_ws('_', mh${b * 4}, mh${b * 4 + 1}, mh${b * 4 + 2}, mh${b * 4 + 3})")
+        .mkString(", ") + ") as (band, band_key)")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard", round($"inter".cast("double")
+        / (size($"sh_a") + size($"sh_b") - $"inter"), 4))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** 32-bit SimHash fingerprint per document over distinct word tokens:
+    * bit j is the sign of Σ_tokens (bit j of token-hash ? +1 : −1).
+    * Map-only linear pass; near-dup candidates at scale come from
+    * banding the fingerprint bytes exactly like MinHash. */
+  val dedupSimhash: Q = (s, d) => {
+    ensureRegistered(s)
+    Tables.documents(s, d)
+      .repartition($"doc_id") // single-file scan → spread across cores
+      .withColumn("toks", array_distinct(tokens($"text")))
+      .withColumn("th", expr(s"transform(toks, t -> ${charHashSql("t")})"))
+      .withColumn("simhash", expr(
+        "aggregate(transform(sequence(0, 31), j -> CASE WHEN " +
+          "aggregate(th, cast(0 as bigint), (acc, x) -> acc + " +
+          "CASE WHEN shiftright(x, j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
+          "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END), " +
+          "cast(0 as bigint), (a, b) -> a + b)"))
+      .select($"doc_id", $"simhash")
+      .orderBy($"doc_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (rounded cosine ≥ 0.45), exact and
+    * bounded to vec_id < 1500 — the verify stage of an ANN pipeline;
+    * unbounded candidate generation is [[SimOps.simLsh]]'s bucket join.
+    * All arithmetic is double, folded in element order, so the cosine
+    * is bit-identical cross-engine before rounding. */
+  val dedupEmbed: Q = (s, d) => {
+    ensureRegistered(s)
+    val ve = Tables.embeddings(s, d)
+      .filter($"vec_id" < 1500)
+      .repartition($"vec_id") // spread the vector prep across cores
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .select($"vec_id", $"v", $"nrm")
+      // materialize double vectors + norms once; without this the join
+      // re-casts 64 floats per PAIR (projection collapse)
+      .localCheckpoint()
+    val a = ve.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
+    val b = ve.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .withColumn("dot", expr("graft_dot(va, vb)"))
+      .withColumn("cos", round($"dot" / ($"na" * $"nb"), 4))
+      .filter($"cos" >= 0.45)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_near" -> dedupNear,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embed" -> dedupEmbed,
+  )
+
+  private def duckCharHash(arg: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+      s"list_filter(string_split($arg, ''), c -> c <> ''), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007)"
+
+  private val duckShingled =
+    """docs AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_near" ->
+      s"""WITH $duckShingled
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |FROM docs a JOIN docs b
+         |  ON a.doc_id < b.doc_id
+         |  AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
+         |WHERE a.doc_id < 1000 AND b.doc_id < 1000 AND len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $duckShingled,
+         | sigs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(range(0, 16), i -> list_min(list_transform(
+         |      list_transform(sh, s -> ${duckCharHash("s")}),
+         |      x -> ([${A.mkString(",")}][i + 1] * x
+         |            + [${B.mkString(",")}][i + 1]) % 1000000007))) AS mh
+         |  FROM docs WHERE len(sh) > 0),
+         | bands AS (
+         |  SELECT doc_id, band,
+         |    CAST(mh[band * 4 + 1] AS VARCHAR) || '_' || CAST(mh[band * 4 + 2] AS VARCHAR)
+         |    || '_' || CAST(mh[band * 4 + 3] AS VARCHAR) || '_'
+         |    || CAST(mh[band * 4 + 4] AS VARCHAR) AS band_key
+         |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)),
+         | cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |FROM cands JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+         |      tok -> ${duckCharHash("tok")}) AS th
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, 32), j -> CASE WHEN
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(th, x -> CASE WHEN (x >> j) & 1 = 1
+         |          THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+         |        (a, b) -> a + b) >= 0
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+         |    (a, b) -> a + b) AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_embed" ->
+      """WITH n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings WHERE vec_id < 1500)),
+        | p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i] * b.v[i])), (x, y) -> x + y) AS dot,
+        |    a.nrm * b.nrm AS nn
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(dot / nn, 4) AS cos
+        |FROM p WHERE round(dot / nn, 4) >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

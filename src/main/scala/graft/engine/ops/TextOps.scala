@@ -1,0 +1,244 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Shared text-feature expression builders used by [[TextOps]],
+  * [[DedupOps]] and the streaming engine. Everything is a native
+  * Catalyst expression (regexp / higher-order array functions) — no
+  * UDFs, so the work distributes and stays inside the optimized plan.
+  *
+  * Cross-engine note: each builder has an exact DuckDB twin used in the
+  * oracle SQL (same fold order, same modulus), so integer results are
+  * bit-identical across engines.
+  */
+object TextFeatures {
+  /** Word tokens: maximal [a-z0-9] runs of the lower-cased text. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace-normalized text (trim + collapse runs to one space). */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Deterministic 31-base polynomial rolling hash of a string column,
+    * mod 1e9+7 — the cross-engine stand-in for xxhash64 (whose seed and
+    * implementation differ between engines). Backed by the native
+    * codegen'd [[graft.engine.functions.PolyHash]] (the declarative
+    * per-character lambda fold is ~30× slower interpreted); callers
+    * must have called [[ensureRegistered]] on the session. */
+  def charHashSql(col: String): String = s"graft_polyhash($col)"
+
+  /** Register the engine's native SQL functions (idempotent). */
+  def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.engine.functions.VectorOps.register(s)
+
+  /** 3-token shingles of a `toks` array column, distinct. Guarded so
+    * docs with < 3 tokens get an empty set (sequence() would otherwise
+    * count backwards). */
+  def shingleSetSql(toks: String): String =
+    s"CASE WHEN size($toks) >= 3 THEN array_distinct(transform(" +
+      s"sequence(1, size($toks) - 2), i -> concat(element_at($toks, i), ' ', " +
+      s"element_at($toks, i + 1), ' ', element_at($toks, i + 2)))) " +
+      s"ELSE array() END"
+}
+
+/** Text-analysis operator family over the `documents` table (north-star
+  * extensions: language-ID, quality scoring, token counting, document
+  * fingerprinting — the per-document feature pass of an LLM training
+  * data pipeline).
+  *
+  * All are embarrassingly parallel single-pass projections (no shuffle
+  * except the final presentation sort / top-N), so they scale linearly
+  * with input: at 100 TB each is a map-only stage over the parquet
+  * scan with column pruning down to (doc_id, text[, lang]).
+  */
+object TextOps {
+  import TextFeatures._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup on whitespace/case-normalized text: one survivor (min
+    * doc_id) per distinct normalized body + its multiplicity. Single
+    * hash-aggregate shuffle on the normalized text; at scale, group on
+    * a 128-bit hash of the text instead of the text itself to keep
+    * shuffle rows narrow (semantics identical modulo hash collisions). */
+  val dedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(normText($"text").as("norm"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select($"doc_id", $"n_copies")
+      .orderBy($"doc_id")
+
+  /** Corpus-level top-20 term frequencies. explode → two-phase hash
+    * aggregate (map-side partial) → global top-N via TakeOrdered. */
+  val textTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .repartition($"doc_id") // single-file scan → tokenize on all cores
+      .select(explode(tokens($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(20)
+
+  /** Token counting: whitespace tokens, BPE-ish subword count (letter
+    * runs / single digits / single punctuation — the shape of a GPT-2
+    * pre-tokenizer), and mean token length. */
+  val textTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_ws",
+        size(regexp_extract_all($"text", lit("\\S+"), lit(0))))
+      .withColumn("n_bpe",
+        size(regexp_extract_all($"text",
+          lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\r\\n]"), lit(0))))
+      .withColumn("avg_token_len",
+        round(length($"text").cast("double") / nullif($"n_ws", lit(0)), 4))
+      .select($"doc_id", $"n_ws", $"n_bpe", $"avg_token_len")
+      .orderBy($"doc_id")
+
+  /** Quality scoring: alphabetic ratio, punctuation ratio, stopword
+    * ratio, and a blended 0–1 quality score (the usual pre-training
+    * heuristic filter features). */
+  val textQuality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      // raw (unrounded) ratios feed the blended score: rounding first
+      // would create exact half-way cases at the final 4-dp round,
+      // where engines' double-rounding modes diverge (SURVEY §7.3c)
+      .withColumn("alpha_raw",
+        length(regexp_replace($"text", "[^a-zA-Z]", "")).cast("double")
+          / nullif(length($"text"), lit(0)))
+      .withColumn("punct_raw",
+        length(regexp_replace($"text", "[^.,;:!?]", "")).cast("double")
+          / nullif(length($"text"), lit(0)))
+      .withColumn("alpha_ratio", round($"alpha_raw", 4))
+      .withColumn("punct_ratio", round($"punct_raw", 4))
+      .withColumn("stop_ratio",
+        round(expr("size(filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','that')))").cast("double")
+          / nullif(size($"toks"), lit(0)), 4))
+      // floor-scaled integer score: floor() is exact on the (bit-identical
+      // cross-engine) double, unlike round(), whose half-way handling
+      // differs between Spark (shortest-decimal HALF_UP) and DuckDB
+      // (binary half-away) — SURVEY §7.3c
+      .withColumn("quality",
+        floor((lit(0.5) * $"alpha_raw" + lit(0.3) * (lit(1.0) - $"punct_raw")
+          + lit(0.2) * least(lit(1.0), size($"toks").cast("double") / lit(100.0)))
+          * lit(10000.0)).cast("long"))
+      .select($"doc_id", $"alpha_ratio", $"punct_ratio", $"stop_ratio", $"quality")
+      .orderBy($"doc_id")
+
+  /** Language ID by stopword-marker voting (n-gram-free heuristic:
+    * count hits against per-language marker sets, argmax with a fixed
+    * en>de>fr>es tie order). `lang` is carried through as the label
+    * column for downstream precision queries. */
+  val textLangid: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("hits_en", expr("size(filter(toks, t -> t IN ('the','and','is','of','to')))"))
+      .withColumn("hits_de", expr("size(filter(toks, t -> t IN ('der','die','das','und','ist')))"))
+      .withColumn("hits_fr", expr("size(filter(toks, t -> t IN ('le','la','les','et','est')))"))
+      .withColumn("hits_es", expr("size(filter(toks, t -> t IN ('el','los','las','es','y')))"))
+      .withColumn("pred_lang",
+        when($"hits_en" >= $"hits_de" && $"hits_en" >= $"hits_fr" && $"hits_en" >= $"hits_es", lit("en"))
+          .when($"hits_de" >= $"hits_fr" && $"hits_de" >= $"hits_es", lit("de"))
+          .when($"hits_fr" >= $"hits_es", lit("fr"))
+          .otherwise(lit("es")))
+      .select($"doc_id", $"lang", $"pred_lang", $"hits_en")
+      .orderBy($"doc_id")
+
+  /** Document fingerprint: rolling polynomial hash of the first 256
+    * chars of the normalized text — a cheap order-sensitive content
+    * fingerprint (cross-engine-stable alternative to xxhash64). */
+  val textFingerprint: Q = (s, d) => {
+    ensureRegistered(s)
+    Tables.documents(s, d)
+      .withColumn("head", substring(normText($"text"), 1, 256))
+      .withColumn("fp", expr(TextFeatures.charHashSql("head")))
+      .select($"doc_id", $"fp")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "text_tokens" -> textTokens,
+    "text_token_count" -> textTokenCount,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(1) AS n_copies
+        |FROM (SELECT doc_id,
+        |        regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |      FROM documents)
+        |GROUP BY norm ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT word, count(1) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t\r\n]')) AS INTEGER) AS n_bpe,
+        |  round(CAST(length(text) AS DOUBLE)
+        |    / nullif(len(regexp_extract_all(text, '\S+')), 0), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS alpha_raw,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS punct_raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(alpha_raw, 4) AS alpha_ratio,
+        |  round(punct_raw, 4) AS punct_ratio,
+        |  round(CAST(len(list_filter(toks, t -> t IN
+        |      ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+        |    / nullif(len(toks), 0), 4) AS stop_ratio,
+        |  CAST(floor((0.5 * alpha_raw + 0.3 * (1.0 - punct_raw)
+        |    + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)) * 10000.0) AS BIGINT) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        | h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','and','is','of','to'))) AS INTEGER) AS hits_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS hits_de,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS INTEGER) AS hits_fr,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','los','las','es','y'))) AS INTEGER) AS hits_es
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+        |       WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+        |       WHEN hits_fr >= hits_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang,
+        |  hits_en
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(
+        |      list_filter(string_split(
+        |        substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 256), ''),
+        |        c -> c <> ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,112 @@
+package graft.engine.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.engine.cdc.Initializer
+import graft.engine.model.{Ccd, Status}
+import graft.engine.topics.TopicStore
+
+/** Structured-Streaming control path (reference initializer.clj:88,
+  * 98, 101-110): tail the control topic, decode, keep `submitted`
+  * CCDs, and orchestrate each sequentially inside `foreachBatch` —
+  * the micro-batch loop is the engine's work queue (the reference's
+  * buffer-100 channel + single worker).
+  *
+  * The per-key status state machine is a `flatMapGroupsWithState`
+  * (SURVEY §7.4): state = last seen status per CCD key; emitted rows
+  * are the valid transitions, so replays/duplicates (at-least-once
+  * topic appends) collapse idempotently — the same convergence
+  * argument as the reference's log-compacted topic.
+  */
+object ControlStream {
+
+  /** Decoded streaming view of a control topic. */
+  def ccdStream(store: TopicStore, topic: String): DataFrame =
+    store.readStream(topic)
+      .select(col("key"), col("offset"),
+        from_json(col("value"), Ccd.jsonSchema).as("c"))
+      .select(col("key"), col("offset"),
+        col("c.table").as("table"), col("c.queue").as("queue"),
+        col("c.`queue-table`").as("queue_table"),
+        col("c.`table-alias`").as("table_alias"),
+        col("c.status").as("status"), col("c.timestamp").as("status_ts"))
+
+  /** New-submission filter (reference initializer.clj:88 —
+    * `msgs->ccds-with-status :submitted`). */
+  def submissions(store: TopicStore, topic: String): DataFrame =
+    ccdStream(store, topic).filter(col("status") === Status.Submitted)
+
+  case class KeyedStatus(key: String, offset: Long, status: String)
+  case class Transition(key: String, from: String, to: String, offset: Long)
+
+  /** Per-key status state machine: emits only genuine forward
+    * transitions (drops duplicate/replayed states). State survives
+    * across micro-batches via the state store; NoTimeout because CCD
+    * lifecycles are driven purely by arriving messages. */
+  def transitions(updates: Dataset[KeyedStatus]): Dataset[Transition] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedStatus], state: GroupState[String]) =>
+          var last = state.getOption.getOrElse("")
+          val out = rows.toSeq.sortBy(_.offset).flatMap { r =>
+            if (r.status != last) {
+              val t = Transition(key, if (last.isEmpty) null else last, r.status, r.offset)
+              last = r.status
+              Some(t)
+            } else None
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
+  /** Run the full streaming control loop over whatever is currently in
+    * the topic (Trigger.AvailableNow — used by tests and by catch-up
+    * runs; a live deployment uses the default processing-time
+    * trigger). Submissions are processed sequentially per micro-batch,
+    * mirroring the reference's single worker (initializer.clj:41-68).
+    * Returns after the backlog drains. */
+  def runSubmissions(
+      spark: SparkSession,
+      store: TopicStore,
+      controlTopic: String,
+      init: Initializer,
+      checkpoint: String): Unit = {
+    val q = submissions(store, controlTopic)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ccds = init.decodeCcds(batch.select(col("key"),
+          to_json(struct(
+            col("table"), col("queue"),
+            col("queue_table").as("queue-table"),
+            col("table_alias").as("table-alias"),
+            col("status"), col("status_ts").as("timestamp"))).as("value")))
+        ccds.sortBy(_.timestamp.getTime).foreach(init.process)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming windowed event counts with watermark — the live form of
+    * StreamOps.streamTumbling (same expression tree under readStream). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup with watermarked state — the live form of
+    * TextOps.dedupExact (state bounded by the watermark). */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+}

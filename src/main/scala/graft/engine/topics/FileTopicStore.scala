@@ -1,0 +1,151 @@
+package graft.engine.topics
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Keyed, compacted, offset-ordered message topics (the reference's
+  * Kafka surface: topic_store.clj + protocols.clj:6-22), backed by
+  * directories of JSON-lines files — the environment ships no Kafka
+  * jar, and a file-backed topic is readable both batch
+  * (`spark.read.json`) and as a Structured Streaming file source
+  * (`spark.readStream`), which is all the reference's dataflow needs.
+  *
+  * Message schema: (key, value, offset, ts). `offset` is a
+  * per-append-ordered total order used for last-state-per-key
+  * compaction on read (the stand-in for Kafka's
+  * `cleanup.policy=compact`, reference topic_store.clj:13-16); a
+  * production store would keep Kafka-style per-partition offsets and
+  * compact per partition — read-side semantics are identical because
+  * keys hash to exactly one partition.
+  */
+trait TopicStore {
+  def exists(topic: String): Boolean
+  def create(topic: String): Unit
+  /** Clear if exists, else create — reference core.clj:92-95 ensure-op. */
+  def clear(topic: String): Unit
+  def delete(topic: String): Unit
+  /** Keyed at-least-once append of a (key, value) frame. */
+  def append(topic: String, kv: DataFrame): Unit
+  /** Full log in offset order: (key, value, offset, ts). */
+  def readAll(topic: String): DataFrame
+  /** Log-compaction read: latest (key, value, offset, ts) per key. */
+  def readCompacted(topic: String): DataFrame
+  /** Streaming tail (file source). */
+  def readStream(topic: String): DataFrame
+}
+
+object FileTopicStore {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("offset", LongType),
+    StructField("ts", TimestampType)))
+
+  /** Cube-law backoff in ms: max(2, 2·round(n³/2))·1000 — the
+    * reference's delete-retry curve (topic_store.clj:21-27). */
+  def backoffMs(attempt: Int): Long =
+    math.max(2L, 2L * math.round(attempt * attempt * attempt / 2.0)) * 1000L
+}
+
+/** @param root     directory holding one subdirectory per topic
+  * @param sleeper  injectable so tests don't actually sleep
+  * @param failures injectable fault hook: ops that should throw, keyed
+  *                 by (op, topic) — mirrors the reference test dummies'
+  *                 `error-on!` (test_dummies.clj:38-142) */
+class FileTopicStore(
+    spark: SparkSession,
+    root: String,
+    sleeper: Long => Unit = Thread.sleep,
+    failures: (String, String) => Boolean = (_, _) => false)
+  extends TopicStore {
+
+  private def dir(topic: String): Path = Paths.get(root, topic)
+  private def check(op: String, topic: String): Unit =
+    if (failures(op, topic)) throw new RuntimeException(s"injected failure: $op $topic")
+
+  def exists(topic: String): Boolean = {
+    check("exists", topic)
+    Files.isDirectory(dir(topic))
+  }
+
+  def create(topic: String): Unit = {
+    check("create", topic)
+    Files.createDirectories(dir(topic))
+  }
+
+  def clear(topic: String): Unit = {
+    check("clear", topic)
+    if (exists(topic)) deleteWithRetry(topic)
+    create(topic)
+  }
+
+  def delete(topic: String): Unit = {
+    check("delete", topic)
+    val d = dir(topic)
+    if (Files.isDirectory(d)) {
+      Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** Delete and poll until gone, cube-law backoff, ≤ 10 attempts
+    * (reference topic_store.clj:72-82) — on a real broker deletion is
+    * async; here the retry guards against concurrent writers
+    * re-creating files mid-walk. */
+  def deleteWithRetry(topic: String, maxAttempts: Int = 10): Unit = {
+    def attemptDelete(): Unit =
+      try delete(topic) catch { case _: Exception => () } // poll-until-gone below
+    var attempt = 0
+    attemptDelete()
+    while (exists(topic) && attempt < maxAttempts) {
+      sleeper(FileTopicStore.backoffMs(attempt))
+      attemptDelete()
+      attempt += 1
+    }
+    if (exists(topic))
+      throw new IllegalStateException(s"topic $topic not deleted after $maxAttempts attempts")
+  }
+
+  /** Append (key, value) with offsets continuing from the current max.
+    * The row_number window is intentionally single-partition: offset
+    * assignment is the one serial point of a topic append (as in Kafka
+    * with one partition, which is exactly the reference's topic config,
+    * topic_store.clj:13-16). Data-plane throughput is unaffected — the
+    * expensive transform work happens before this projection. */
+  def append(topic: String, kv: DataFrame): Unit = {
+    if (!exists(topic)) create(topic)
+    val base = maxOffset(topic)
+    kv.select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"))
+      .withColumn("offset", lit(base) + row_number().over(
+        Window.orderBy(monotonically_increasing_id())).cast("long"))
+      .withColumn("ts", current_timestamp())
+      .write.mode("append").json(dir(topic).toString)
+  }
+
+  private def maxOffset(topic: String): Long = {
+    val files = Files.list(dir(topic)).filter(_.toString.endsWith(".json")).count()
+    if (files == 0) -1L
+    else readAll(topic).agg(max(col("offset"))).first() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+  }
+
+  def readAll(topic: String): DataFrame =
+    spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
+      .orderBy(col("offset"))
+
+  def readCompacted(topic: String): DataFrame =
+    graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
+      spark.read.schema(FileTopicStore.schema).json(dir(topic).toString))
+
+  def readStream(topic: String): DataFrame =
+    spark.readStream.schema(FileTopicStore.schema).json(dir(topic).toString)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.topics.FileTopicStore
+
+/** FileTopicStore semantics (reference topic_store.clj): keyed append,
+  * offset ordering, compaction-on-read, ensure/clear, delete retry
+  * with cube-law backoff. */
+class TopicStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def freshStore(): (FileTopicStore, String) = {
+    val root = Files.createTempDirectory("graft-topics").toString
+    (new FileTopicStore(spark, root, sleeper = _ => ()), root)
+  }
+
+  test("create / exists / clear lifecycle") {
+    val (store, _) = freshStore()
+    assert(!store.exists("t1"))
+    store.create("t1")
+    assert(store.exists("t1"))
+    store.clear("t1")
+    assert(store.exists("t1") && store.readAll("t1").count() == 0)
+  }
+
+  test("append assigns contiguous offsets across appends") {
+    val (store, _) = freshStore()
+    store.create("t")
+    store.append("t", Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value"))
+    store.append("t", Seq(("k1", "v3")).toDF("key", "value"))
+    val rows = store.readAll("t").select("key", "value", "offset")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.last == (("k1", "v3", 2L)))
+  }
+
+  test("readCompacted keeps latest value per key (log compaction)") {
+    val (store, _) = freshStore()
+    store.create("t")
+    store.append("t", Seq(("a", "1"), ("b", "1")).toDF("key", "value"))
+    store.append("t", Seq(("a", "2")).toDF("key", "value"))
+    val m = store.readCompacted("t").select("key", "value")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "2", "b" -> "1"))
+  }
+
+  test("cube-law backoff curve matches the reference (topic_store.clj:21-27)") {
+    val got = (0 to 5).map(FileTopicStore.backoffMs)
+    assert(got == Seq(2000L, 2000L, 8000L, 28000L, 64000L, 126000L))
+  }
+
+  test("deleteWithRetry retries with backoff until gone, then can re-create") {
+    val root = Files.createTempDirectory("graft-topics").toString
+    val slept = scala.collection.mutable.Buffer[Long]()
+    // fail the first two delete attempts to exercise the retry loop
+    var deletes = 0
+    val store: FileTopicStore = new FileTopicStore(spark, root,
+      sleeper = ms => slept += ms,
+      failures = (op, _) => op == "delete" && { deletes += 1; deletes <= 2 })
+    store.create("t")
+    intercept[RuntimeException](store.delete("t")) // first injected failure
+    store.deleteWithRetry("t") // fails once more inside, then succeeds
+    assert(!store.exists("t"))
+    assert(slept.nonEmpty && slept.head == 2000L)
+  }
+}
