@@ -1,0 +1,73 @@
+package graft.engine
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.cdc.{ControlPlane, InMemoryControlPlane, Initializer, SeedViews}
+import graft.engine.model.{Ccd, Status}
+import graft.engine.streaming.ControlStream
+import graft.engine.topics.{FileTopicStore, TopicStore}
+
+/** Component assembly + lifecycle — the engine port of the reference's
+  * system map (system.clj:15-25, initializer.clj:73-130, main.clj:42-45):
+  * topic store, control plane, and initializer wired by constructor
+  * injection; `start()` performs the reference's startup sequence
+  * (ensure control topic → drain backlog) and `runOnce()` drains any
+  * new submissions through the streaming tail; `stop()` releases the
+  * session-independent state. Swap [[plane]]/[[topics]] for real
+  * implementations (JDBC catalog, Kafka) without touching the dataflow.
+  */
+class GraftSystem(
+    val spark: SparkSession,
+    val root: String,
+    val controlTopic: String = "cdc-control",
+    val seedView: String => Option[DataFrame] = _ => None,
+    val plane: ControlPlane = new InMemoryControlPlane()) {
+
+  val topics: TopicStore = new FileTopicStore(spark, root)
+
+  val initializer: Initializer =
+    new Initializer(spark, plane, topics, controlTopic, seedView)
+
+  private val checkpointDir =
+    Files.createTempDirectory("graft-system-ckpt").toString
+
+  /** Submit a new capture definition (reference README "submitting a
+    * new table": a `submitted` CCD published to the control topic). */
+  def submit(table: String, queue: String, queueTable: String,
+      tableAlias: Option[String] = None): Unit = {
+    if (!topics.exists(controlTopic)) topics.create(controlTopic)
+    initializer.publish(Ccd(table, queue, queueTable, tableAlias,
+      Status.Submitted, new Timestamp(System.currentTimeMillis())))
+  }
+
+  /** Startup (reference initializer.clj:84-98): ensure the control
+    * topic exists, then resume every non-terminal CCD from the
+    * compacted backlog in timestamp order. Returns the emitted states
+    * per resumed CCD. */
+  def start(): Seq[(Ccd, Seq[Ccd])] = initializer.runBacklog()
+
+  /** Drain currently-pending submissions through the streaming tail
+    * (Trigger.AvailableNow micro-batches — the reference's live
+    * submission loop, initializer.clj:101-110). */
+  def runOnce(): Unit =
+    ControlStream.runSubmissions(spark, topics, controlTopic,
+      initializer, checkpointDir)
+
+  /** Current compacted control state (one row per CCD key). */
+  def controlState(): DataFrame = topics.readCompacted(controlTopic)
+
+  def stop(): Unit = () // file-backed components hold no daemon state
+
+  /** Convenience: a system whose seed views come from the driver's
+    * parquet testdata tables with their natural keys. */
+  def this(spark: SparkSession, root: String, sfDir: String, pk: Map[String, Seq[String]]) =
+    this(spark, root, "cdc-control",
+      (table: String) => {
+        val name = table.split('.').last
+        pk.get(name).map(keys => SeedViews.forTable(
+          spark.read.parquet(s"$sfDir/$name.parquet"), table, keys))
+      })
+}

@@ -146,11 +146,8 @@ class Initializer(
       out += stamp(ccd, Status.Seeding, progress = Some(Seq(0L, total)))
       val seedMsgs = Transforms.dmlMsgToSeedMsg(Transforms.seedRowToDmlMsg(view))
       topics.append(ccd.queue, seedMsgs)
-      if (total > 0) {
-        val step = math.max(1L, math.ceil(total * 0.02).toLong)
-        Iterator.iterate(step)(_ + step).takeWhile(_ <= total).foreach { c =>
-          out += stamp(ccd, Status.Seeding, progress = Some(Seq(c, total)))
-        }
+      Initializer.progressBuckets(total).foreach { c =>
+        out += stamp(ccd, Status.Seeding, progress = Some(Seq(c, total)))
       }
       out += stamp(ccd, Status.Active)
     } catch {
@@ -185,4 +182,17 @@ class Initializer(
     if (!topics.exists(controlTopic)) topics.create(controlTopic)
     backlog().map(c => c -> process(c))
   }
+}
+
+object Initializer {
+  /** The 2%-bucket progress ledger (reference core.clj:162-175): the
+    * seeded counts at which progress is reported after the initial
+    * [0, total] — every ceil(2% · total) rows, so at most 50 reports,
+    * none past total, none for an empty table. */
+  def progressBuckets(total: Long): Seq[Long] =
+    if (total <= 0) Seq.empty
+    else {
+      val step = math.max(1L, math.ceil(total * 0.02).toLong)
+      Iterator.iterate(step)(_ + step).takeWhile(_ <= total).toSeq
+    }
 }

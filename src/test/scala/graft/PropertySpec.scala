@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.cdc.{InMemoryControlPlane, Initializer, SeedViews, Transforms}
+import graft.engine.functions.VectorOps
+import graft.engine.model.{Ccd, Status}
+import graft.engine.topics.FileTopicStore
+
+/** Property-based invariants — the engine port of the reference's
+  * test.check layer (core_test.clj): generated CCDs through the full
+  * orchestration, ledger arithmetic over arbitrary totals, and
+  * bit-parity of the native expressions against their declarative
+  * (oracle-mirrored) formulations. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+
+  /** Run a ScalaCheck property and surface its result as an assertion. */
+  private def check(n: Int)(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- progress ledger (core_test.clj:205-249) ----
+
+  test("progress ledger: monotone, bounded, exact step for any total") {
+    check(100)(Prop.forAll(Gen.chooseNum(0L, 2000000L)) { total =>
+      val buckets = Initializer.progressBuckets(total)
+      if (total <= 0) assert(buckets.isEmpty)
+      else {
+        val step = math.max(1L, math.ceil(total * 0.02).toLong)
+        assert(buckets.size <= 51, "≤50 2%-reports (+1 rounding slack)")
+        assert(buckets == buckets.sorted && buckets.distinct == buckets, "strictly monotone")
+        assert(buckets.head == step && buckets.last <= total)
+        assert(buckets.zip(buckets.tail).forall { case (a, b) => b - a == step })
+      }
+      true
+    })
+  }
+
+  // ---- native expressions ≡ declarative formulations ----
+
+  test("PolyHash ≡ per-character aggregate fold for arbitrary ASCII strings") {
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    check(30)(Prop.forAll(gen) { s0 =>
+      val expected = {
+        var h = 0L
+        s0.foreach(c => h = (h * 31 + c.toInt) % 1000000007L)
+        h
+      }
+      VectorOps.polyHash(UTF8String.fromString(s0)) == expected
+    })
+    // and through the SQL surface against the declarative fold
+    graft.engine.functions.VectorOps.register(spark)
+    val df = Seq("key agg row", "", "a.b#c 42").toDF("s")
+      .withColumn("native", expr("graft_polyhash(s)"))
+      .withColumn("declarative", expr(
+        "aggregate(filter(split(s, ''), c -> c <> ''), cast(0 as bigint), " +
+          "(h, c) -> (h * 31 + cast(ascii(c) as bigint)) % 1000000007)"))
+    assert(df.filter($"native" =!= $"declarative").count() == 0)
+  }
+
+  test("DotProduct ≡ zip_with/aggregate fold, bit-for-bit") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    val vecs = Seq.tabulate(20)(i =>
+      (Seq.tabulate(64)(j => math.sin(i * 64 + j).toFloat),
+        Seq.tabulate(64)(j => math.cos(i * 64 + j).toFloat)))
+    val df = vecs.toDF("a", "b")
+      .withColumn("va", expr("transform(a, x -> cast(x as double))"))
+      .withColumn("vb", expr("transform(b, x -> cast(x as double))"))
+      .withColumn("native", expr("graft_dot(va, vb)"))
+      .withColumn("declarative", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
+    // exact equality — same IEEE fold order is the contract
+    assert(df.filter($"native" =!= $"declarative").count() == 0)
+  }
+
+  test("approx_count_distinct within 5% of exact (SURVEY §7.3g)") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val li = graft.engine.Tables.lineitem(spark, d)
+    val approx = li.agg(approx_count_distinct($"l_partkey")).first.getLong(0)
+    val exact = li.agg(countDistinct($"l_partkey")).first.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
+  // ---- seed-message key ordering (seed_store_test.clj:84-104) ----
+
+  test("seed key = name-sorted flattened id pairs for arbitrary pk column sets") {
+    val colGen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)))
+      .map(_.distinct).suchThat(_.nonEmpty)
+    check(10)(Prop.forAll(colGen) { pkCols =>
+      val df = spark.range(1).toDF("row_id")
+      val withPk = pkCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        d.withColumn(c, lit(i.toString))
+      }
+      val seedView = SeedViews.forTable(withPk, "s.t", pkCols)
+      val msg = Transforms.dmlMsgToSeedMsg(Transforms.seedRowToDmlMsg(seedView))
+      val key = msg.select("key").first.getString(0)
+      // key is the JSON array [col1, val1, col2, val2, …] sorted by name
+      val expectedJson = "[" + pkCols.sorted.map { c =>
+        val v = pkCols.indexOf(c).toString
+        s""""$c","$v""""
+      }.mkString(",") + "]"
+      key == expectedJson
+    })
+  }
+
+  // ---- generated CCDs through the full pipeline (core_test.clj:49-61) ----
+
+  test("every processed CCD ends active or error; errors only for bad input") {
+    val tableGen = Gen.oneOf(
+      Gen.const("tpch.nation"),                       // known, seedable
+      Gen.const("tpch.unknown"),                      // unknown table → error
+      Gen.const("noschema"),                          // invalid ref → error
+      Gen.alphaLowerStr.map(s => s"tpch.${s.take(10)}x")) // unknown → error
+    check(8)(Prop.forAll(tableGen,
+      Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty)) { (table, q) =>
+      val root = Files.createTempDirectory("graft-prop").toString
+      val store = new FileTopicStore(spark, root, sleeper = _ => ())
+      val plane = new InMemoryControlPlane()
+      val seedView = (t: String) =>
+        if (t == "tpch.nation")
+          Some(SeedViews.forTable(
+            spark.read.parquet("/root/testdata/sf0.001/nation.parquet"),
+            t, Seq("n_nationkey")))
+        else None
+      val init = new Initializer(spark, plane, store, "control", seedView)
+      store.create("control")
+      val states = init.process(
+        Ccd(table, s"q_$q", s"mq_$q", None, Status.Submitted,
+          new Timestamp(1700000000000L)))
+      val last = states.last.status
+      assert(last == Status.Active || last == Status.Error)
+      if (table == "tpch.nation") {
+        assert(last == Status.Active)
+        assert(states.map(_.status).count(_ == Status.Prepared) == 1)
+        // every state was published: compacted control topic has the last one
+        val compacted = store.readCompacted("control")
+          .filter(col("key") === table).select("value").first.getString(0)
+        assert(compacted.contains(s""""status":"${Status.Active}""""))
+      } else {
+        assert(last == Status.Error)
+      }
+      true
+    })
+  }
+}
