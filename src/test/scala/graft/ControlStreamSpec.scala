@@ -71,6 +71,28 @@ class ControlStreamSpec extends AnyFunSuite {
       Transition("b", null, "submitted", 0)))
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import ControlStream.KeyedStatus
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = in.toDS().toDF("event_id", "ts")
+    val q = ControlStream.streamingDedup(events, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    in.addData((1L, new java.sql.Timestamp(t0)), (2L, new java.sql.Timestamp(t0 + 1000)))
+    q.processAllAvailable()
+    in.addData((1L, new java.sql.Timestamp(t0 + 2000)), // replay of id 1 → dropped
+      (3L, new java.sql.Timestamp(t0 + 3000)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("watermarked windowed counts run as a stream over the events table") {
     // stream the real events through a file source by pointing at the
     // parquet directly (batch schema == stream schema)
