@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuning defaults.
+  *
+  * Local defaults mirror the test environment (local[32], 32 shuffle
+  * partitions); the cluster-relevant settings are the ones that matter
+  * at 100 TB and are safe locally:
+  *
+  *  - AQE on, with skew-join splitting (hot keys in as-of joins /
+  *    band-key joins get split at runtime) and partition coalescing
+  *    (small shuffles collapse instead of scheduling 32 tiny tasks);
+  *  - 256 MB scan partitions (fewer, fuller tasks over parquet);
+  *  - UTC session timezone (determinism contract, SURVEY §7.3e).
+  *
+  * On a real cluster, `spark.sql.shuffle.partitions` scales with
+  * executor cores (2–3× total cores) — AQE coalescing makes
+  * over-provisioning cheap — and broadcast thresholds ride on
+  * accurate stats; nothing in the engine assumes a partition count.
+  */
+object GraftSession {
+  def builder(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "268435456")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.engine.functions.VectorOps.register(spark)
+    spark
+  }
+}

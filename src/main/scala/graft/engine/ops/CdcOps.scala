@@ -50,20 +50,41 @@ object CdcOps {
 
   /** 2%-bucket progress ledger (reference core.clj:162-175): over the
     * event log in (ts, event_id) order, emit the rows where the running
-    * count crosses a 2% bucket of the total. Expressed as bucket-change
-    * on a running row_number — the batch analog of the reference's
-    * conflated progress channel.
+    * count crosses a 2% bucket of the total. The batch analog of the
+    * reference's conflated progress channel (live path:
+    * [[graft.engine.streaming.ProgressTracker]]).
     *
-    * Scale note: the global row_number here is a single-partition
-    * window — acceptable for a ledger query whose OUTPUT is ≤50 rows,
-    * and the streaming engine path uses accumulators instead. */
+    * The global ordered index is computed DISTRIBUTED: range-partition
+    * by the ledger order, rank within each partition, then add the
+    * cumulative size of the preceding partitions (a #partitions-sized
+    * driver map — the zipWithIndex pattern). A `Window.orderBy` without
+    * partitioning would drag the whole log through one task, which is
+    * exactly the kind of plan that dies at 100 TB. The checkpoint pins
+    * the (sampled, otherwise per-job) range boundaries so the offset
+    * map and the ranked scan see identical partitioning; the global
+    * rank is invariant to where the boundaries land. */
   val cdcProgress: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
-    val total = ev.agg(count(lit(1)).as("total"))
-    ev.crossJoin(broadcast(total))
+    val ranged = Tables.events(s, d)
+      .select($"event_id", $"ts")
+      .repartitionByRange($"ts", $"event_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val sizes = ranged.groupBy($"pid")
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = sizes.map(_._2).sum
+    val offsets = sizes.map(_._1).zip(
+      sizes.map(_._2).scanLeft(0L)(_ + _)).toMap // pid -> rows before it
+    val offsetExpr = sizes.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
+      when($"pid" === pid, lit(offsets(pid))).otherwise(acc)
+    }
+    ranged
       .withColumn("seeded",
-        row_number().over(Window.orderBy($"ts", $"event_id")).cast("long"))
+        row_number().over(
+          Window.partitionBy($"pid").orderBy($"ts", $"event_id"))
+          .cast("long") + offsetExpr)
+      .withColumn("total", lit(total))
       .filter(expr("(seeded * 50) DIV total > ((seeded - 1) * 50) DIV total"))
       .select($"seeded", $"total", $"event_id")
       .orderBy($"seeded")
