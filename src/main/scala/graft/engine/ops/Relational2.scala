@@ -97,6 +97,31 @@ object Relational2 {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** As-of join with explicit key salting — the skew-mitigation
+    * pattern for hot keys written out (AQE's skew-join split is the
+    * automatic form; this is the deterministic manual form for engines
+    * or layouts where AQE can't see the skew). The probe side derives
+    * a salt from its row identity; the build side replicates each row
+    * across all salt values, so the shuffle key becomes
+    * (user, salt) — hot users spread over `S` reducers. Result is
+    * identical to [[Relational.joinAsof]] (same oracle). */
+  val joinAsofSalted: Q = (s, d) => {
+    val S = 4
+    val ev = Tables.events(s, d)
+      .withColumn("esalt", pmod($"event_id", lit(S)).cast("int"))
+    val o = Tables.orders(s, d)
+      .withColumn("osalt", explode(sequence(lit(0), lit(S - 1))))
+    ev.join(o,
+        $"user_id" === $"o_custkey" && $"esalt" === $"osalt" &&
+          $"o_orderdate" <= $"ts", "inner")
+      .groupBy($"event_id")
+      .agg(max_by(struct($"o_orderkey", $"o_orderdate"),
+        struct($"o_orderdate", $"o_orderkey")).as("m"))
+      .select($"event_id", $"m.o_orderkey".as("o_orderkey"),
+        $"m.o_orderdate".as("o_orderdate"))
+      .orderBy($"event_id")
+  }
+
   /** Cross join of the two smallest dims (explicitly intentional —
     * anything larger crossed is a plan bug, not a feature). */
   val joinCross: Q = (s, d) =>
@@ -122,6 +147,7 @@ object Relational2 {
     "subq_scalar" -> subqScalar,
     "subq_in" -> subqIn,
     "subq_correlated" -> subqCorrelated,
+    "join_asof_salted" -> joinAsofSalted,
     "join_cross" -> joinCross,
     "fn_explode_pos" -> fnExplodePos,
   )
@@ -182,6 +208,15 @@ object Relational2 {
         |WHERE o_totalprice > (SELECT 1.2 * avg(i.o_totalprice)
         |                      FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "join_asof_salted" ->
+      """SELECT event_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "join_cross" ->
       """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation

@@ -82,9 +82,43 @@ object SimOps {
       .limit(5)
   }
 
+  /** IVF-style ANN: "train" centroids (deterministically: the first 8
+    * vectors), assign every vector to its max-cosine centroid
+    * (broadcast centroid table — map-only over the corpus), then
+    * answer the query by probing only its 2 nearest centroids'
+    * inverted lists and ranking those candidates by exact cosine.
+    * Cosines are ranked on a 6-dp rounding with centroid-id tie-break
+    * so the assignment is cross-engine deterministic. At production
+    * scale the centroids come from k-means and the assignment table is
+    * the partitioned index; probe count trades recall for touched
+    * partitions. */
+  val simIvf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ve = vecs(s, d).localCheckpoint()
+    val cents = ve.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val ranked = ve.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")))
+    val assignment = ranked.filter($"crn" === 1).select($"vec_id", $"cid")
+    val probes = ranked.filter($"vec_id" === 0 && $"crn" <= 2)
+      .select($"cid".as("probe_cid"))
+    val q = ve.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
+    ve.filter($"vec_id" =!= 0)
+      .join(assignment, "vec_id")
+      .join(broadcast(probes), $"cid" === $"probe_cid")
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(expr(dotSql) / ($"nrm" * $"qn"), 4))
+      .select($"vec_id", $"cos")
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
     "sim_lsh" -> simLsh,
+    "sim_ivf" -> simIvf,
   )
 
   private val duckDot =
@@ -123,6 +157,27 @@ object SimOps {
          |SELECT e.vec_id, round($duckDot / (e.nrm * q.nrm), 4) AS cos
          |FROM b e, (SELECT v, nrm, bucket FROM b WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0 AND e.bucket = q.bucket
+         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+
+    "sim_ivf" ->
+      s"""WITH $duckVecs,
+         | cents AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 8),
+         | ranked AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_reduce(list_prepend(0.0, list_transform(
+         |        range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])), (a, b) -> a + b)
+         |        / (e.nrm * c.cnrm), 6) DESC, c.cid) AS crn
+         |  FROM vecs e, cents c),
+         | assignment AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+         | probes AS (SELECT cid FROM ranked WHERE vec_id = 0 AND crn <= 2)
+         |SELECT e.vec_id, round($duckDot / (e.nrm * q.nrm), 4) AS cos
+         |FROM vecs e
+         |JOIN assignment a ON a.vec_id = e.vec_id
+         |JOIN probes p ON p.cid = a.cid,
+         |(SELECT v, nrm FROM vecs WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
          |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
   )
 }

@@ -48,6 +48,17 @@ class TopicStoreSpec extends AnyFunSuite {
     assert(m == Map("a" -> "2", "b" -> "1"))
   }
 
+  test("un-keyed (null-key) messages land and survive reads (core.clj:171-174)") {
+    val (store, _) = freshStore()
+    store.create("t")
+    store.append("t", Seq((null: String, "bare1"), (null, "bare2"), ("k", "keyed"))
+      .toDF("key", "value"))
+    val rows = store.readAll("t").select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.count(_._1 == null) == 2, "non-map seeds sent un-keyed")
+    assert(rows.map(_._2).toSet == Set("bare1", "bare2", "keyed"))
+  }
+
   test("cube-law backoff curve matches the reference (topic_store.clj:21-27)") {
     val got = (0 to 5).map(FileTopicStore.backoffMs)
     assert(got == Seq(2000L, 2000L, 8000L, 28000L, 64000L, 126000L))
