@@ -47,7 +47,8 @@ final class SeedingProgressListener(
   private val tracker = new ProgressTracker(total)
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    tracker.advance(0L).foreach(report) // the reference's initial [0 total]
+    if (event.name == queryName)
+      tracker.advance(0L).foreach(report) // the reference's initial [0 total]
 
   override def onQueryProgress(event: QueryProgressEvent): Unit =
     if (event.progress.name == queryName)

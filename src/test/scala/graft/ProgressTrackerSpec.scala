@@ -46,4 +46,29 @@ class ProgressTrackerSpec extends AnyFunSuite {
     // initial + one per large batch
     assert(reports == Seq((0L, 1000L), (500L, 1000L), (900L, 1000L), (1000L, 1000L)))
   }
+
+  test("listener reports progress from a live stream, conflated per batch") {
+    val spark = SparkTest.session
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.engine.streaming.SeedingProgressListener
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new SeedingProgressListener("graft_seed_test", 100L, reports.add)
+    spark.streams.addListener(listener)
+    try {
+      val in = MemoryStream[Long]
+      val q = in.toDS().writeStream.format("memory")
+        .queryName("graft_seed_test").outputMode("append").start()
+      in.addData(1L to 50L: _*); q.processAllAvailable()
+      in.addData(51L to 100L: _*); q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+      // listener delivery is async — wait for the final report
+      val deadline = System.nanoTime + 10e9.toLong
+      while (reports.size < 2 && System.nanoTime < deadline) Thread.sleep(50)
+      val got = reports.toArray(Array.empty[(Long, Long)]).toSeq
+      assert(got.contains((50L, 100L)) && got.contains((100L, 100L)),
+        s"two conflated batch reports expected, got $got")
+    } finally spark.streams.removeListener(listener)
+  }
 }
