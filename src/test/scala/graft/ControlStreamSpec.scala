@@ -71,6 +71,34 @@ class ControlStreamSpec extends AnyFunSuite {
       Transition("b", null, "submitted", 0)))
   }
 
+  test("session windows close under watermark in a live stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = in.toDS().toDF("user_id", "ts")
+    val q = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"n")
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    // two events 10 min apart (one session), then an event 2h later that
+    // advances the watermark far enough to close and emit the session
+    in.addData((7L, new java.sql.Timestamp(t0)),
+      (7L, new java.sql.Timestamp(t0 + 10 * 60 * 1000)))
+    q.processAllAvailable()
+    in.addData((7L, new java.sql.Timestamp(t0 + 2 * 3600 * 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("session_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(closed == Seq((7L, 2L)), s"first session closed with 2 events, got $closed")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import ControlStream.KeyedStatus
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
