@@ -16,9 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** DataFrame cache keyed by (session, path): `spark.read.parquet`
+    * re-lists the directory and re-reads footers on every call, which
+    * dominates the latency of small queries (the testdata never
+    * changes under a run). Cached frames share one resolved relation
+    * — the analyzed plan and file index are built once per session. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** The driver writes `events.ts` as parquet TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects. Read nanos as long
@@ -29,10 +38,12 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    cache.getOrElseUpdate((spark, s"$sfDir/events.parquet"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    })
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

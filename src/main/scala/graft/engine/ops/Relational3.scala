@@ -1,0 +1,135 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+
+/** Third relational batch: extended string functions, argmax/collect
+  * aggregates, bitwise ops, and RANGE window frames. Determinism
+  * contract as ever (SURVEY §7.3); collected arrays are sorted and
+  * string-joined so the cross-engine compare is scalar. */
+object Relational3 {
+  type Q = (SparkSession, String) => DataFrame
+  private val dec = DecimalType(18, 2)
+
+  /** Extended string function surface. */
+  val fnString2: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        $"p_partkey",
+        lpad($"p_brand", 12, "*").as("pad_l"),
+        rpad($"p_brand", 12, ".").as("pad_r"),
+        translate($"p_name", "ae", "43").as("leeted"),
+        reverse($"p_brand").as("rev"),
+        substring_index($"p_type", " ", 1).as("first_part"),
+        levenshtein($"p_brand", lit("Brand#00")).as("edit_dist"),
+        expr("left(p_name, 6)").as("head6"),
+        expr("right(p_name, 4)").as("tail4"),
+        instr($"p_type", "BRUSHED").as("brushed_at"))
+      .orderBy($"p_partkey")
+
+  /** max_by / min_by (argmax) aggregates per group. The ordering value
+    * is a fixed-width (price, key) string so ties on price break
+    * deterministically and identically in both engines (DuckDB's
+    * arg_max takes no composite ordering). */
+  val aggMinmaxBy: Q = (s, d) => {
+    val ord = concat(format_string("%020.2f", $"o_totalprice"), lit("-"),
+      format_string("%020d", $"o_orderkey"))
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        max_by($"o_orderkey", ord).as("priciest_key"),
+        min_by($"o_orderkey", ord).as("cheapest_key"),
+        max($"o_totalprice").as("max_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** collect_list → sorted → joined: deterministic scalar encoding of
+    * a grouped collection (cross-engine array compares are fragile). */
+  val aggCollect: Q = (s, d) =>
+    Tables.nation(s, d)
+      .groupBy($"n_regionkey")
+      .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+      .orderBy($"n_regionkey")
+
+  /** Bitwise arithmetic over keys. */
+  val fnBitwise: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_orderkey".bitwiseAND(255)).as("band"),
+        ($"l_orderkey".bitwiseOR($"l_linenumber")).as("bor"),
+        ($"l_orderkey".bitwiseXOR($"l_linenumber")).as("bxor"),
+        shiftleft($"l_linenumber", 4).as("shl"),
+        shiftright($"l_orderkey", 3).as("shr"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  /** RANGE frame: sum of all orders within 5000.00 of the current
+    * price for the same priority (value-range window, not row-count). */
+  val winRange: Q = (s, d) => {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+      .rangeBetween(-5000L, 0L)
+    Tables.orders(s, d)
+      .withColumn("nearby_sum",
+        sum($"o_totalprice".cast(dec)).over(w).cast("double"))
+      .select($"o_orderkey", $"o_orderpriority", $"nearby_sum")
+      .orderBy($"o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fn_string2" -> fnString2,
+    "agg_minmax_by" -> aggMinmaxBy,
+    "agg_collect" -> aggCollect,
+    "fn_bitwise" -> fnBitwise,
+    "win_range" -> winRange,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS pad_l,
+        |  rpad(p_brand, 12, '.') AS pad_r,
+        |  translate(p_name, 'ae', '43') AS leeted,
+        |  reverse(p_brand) AS rev,
+        |  split_part(p_type, ' ', 1) AS first_part,
+        |  CAST(levenshtein(p_brand, 'Brand#00') AS INTEGER) AS edit_dist,
+        |  left(p_name, 6) AS head6,
+        |  right(p_name, 4) AS tail4,
+        |  CAST(CASE WHEN position('BRUSHED' IN p_type) IS NULL THEN 0
+        |       ELSE position('BRUSHED' IN p_type) END AS INTEGER) AS brushed_at
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "agg_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, printf('%020.2f', o_totalprice) || '-'
+        |    || printf('%020d', o_orderkey)) AS priciest_key,
+        |  arg_min(o_orderkey, printf('%020.2f', o_totalprice) || '-'
+        |    || printf('%020d', o_orderkey)) AS cheapest_key,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS band,
+        |  l_orderkey | l_linenumber AS bor,
+        |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS bxor,
+        |  CAST(l_linenumber << 4 AS INTEGER) AS shl,
+        |  l_orderkey >> 3 AS shr
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "win_range" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}
