@@ -115,6 +115,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- fault injection at every control-plane op (test_dummies error-on!) ----
+
+  test("a failure in any prepare/initialize op surfaces as a published error state") {
+    val ops = Seq("trigger-exists", "create-trigger", "disable-trigger",
+      "queue-exists", "create-queue", "enable-trigger")
+    check(ops.size)(Prop.forAll(Gen.oneOf(ops)) { failOp =>
+      val root = Files.createTempDirectory("graft-fault").toString
+      val store = new FileTopicStore(spark, root, sleeper = _ => ())
+      val plane = new InMemoryControlPlane(failures = _ == failOp)
+      // disable-trigger is only reached when the trigger already exists
+      if (failOp == "disable-trigger") plane.triggers("tpch.nation") = false
+      val seedView = (t: String) =>
+        if (t == "tpch.nation")
+          Some(SeedViews.forTable(
+            spark.read.parquet("/root/testdata/sf0.001/nation.parquet"),
+            t, Seq("n_nationkey")))
+        else None
+      val init = new Initializer(spark, plane, store, "control", seedView)
+      store.create("control")
+      val states = init.process(Ccd("tpch.nation", "q_n", "mq_n", None,
+        Status.Submitted, new Timestamp(1700000000000L)))
+      val last = states.last
+      last.status == Status.Error &&
+        last.error.exists(_.contains(failOp)) &&
+        // the error state is on the control topic (restart sees terminal)
+        store.readCompacted("control").count() == 1
+    })
+  }
+
   // ---- generated CCDs through the full pipeline (core_test.clj:49-61) ----
 
   test("every processed CCD ends active or error; errors only for bad input") {
