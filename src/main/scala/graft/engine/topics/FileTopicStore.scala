@@ -3,7 +3,7 @@ package graft.engine.topics
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -42,6 +42,7 @@ object FileTopicStore {
   val schema: StructType = StructType(Seq(
     StructField("key", StringType),
     StructField("value", StringType),
+    StructField("partition", IntegerType),
     StructField("offset", LongType),
     StructField("ts", TimestampType)))
 
@@ -51,16 +52,24 @@ object FileTopicStore {
     math.max(2L, 2L * math.round(attempt * attempt * attempt / 2.0)) * 1000L
 }
 
-/** @param root     directory holding one subdirectory per topic
-  * @param sleeper  injectable so tests don't actually sleep
-  * @param failures injectable fault hook: ops that should throw, keyed
-  *                 by (op, topic) — mirrors the reference test dummies'
-  *                 `error-on!` (test_dummies.clj:38-142) */
+/** @param root          directory holding one subdirectory per topic
+  * @param sleeper       injectable so tests don't actually sleep
+  * @param failures      injectable fault hook: ops that should throw,
+  *                      keyed by (op, topic) — mirrors the reference
+  *                      test dummies' `error-on!` (test_dummies.clj)
+  * @param numPartitions Kafka-model topic partitions: a key hashes to
+  *                      exactly one partition and offsets are
+  *                      per-partition sequences — so per-key ordering
+  *                      (all compaction needs) holds with no global
+  *                      coordination. The reference configures
+  *                      partitions=1 (topic_store.clj:13-16); >1 is
+  *                      the scale path. Null keys go to partition 0. */
 class FileTopicStore(
     spark: SparkSession,
     root: String,
     sleeper: Long => Unit = Thread.sleep,
-    failures: (String, String) => Boolean = (_, _) => false)
+    failures: (String, String) => Boolean = (_, _) => false,
+    numPartitions: Int = 1)
   extends TopicStore {
 
   private def dir(topic: String): Path = Paths.get(root, topic)
@@ -110,42 +119,66 @@ class FileTopicStore(
       throw new IllegalStateException(s"topic $topic not deleted after $maxAttempts attempts")
   }
 
-  /** Append (key, value) with offsets continuing from the current max.
-    * Offsets are assigned with `zipWithIndex` (per-partition counts +
-    * cumulative bases — two narrow jobs, no shuffle), NOT a global
-    * window, so a 100 TB seed append stays fully parallel. Offset
-    * order between rows of one append follows the partition layout —
-    * valid, because a snapshot append carries at most one message per
-    * key and cross-append ordering is guaranteed by the base offset
-    * (compaction only needs a total order per key). This is one of the
-    * few sanctioned RDD uses: genuine per-partition indexing. */
+  /** Topic partition of a key: murmur-hash routing like Kafka's
+    * default partitioner; null keys pin to 0 (deterministic stand-in
+    * for Kafka's sticky round-robin). */
+  private def partitionOf(key: Column): Column =
+    when(key.isNull, lit(0))
+      .otherwise(pmod(hash(key), lit(numPartitions)).cast("int"))
+
+  /** Append (key, value): route each row to its key's partition, then
+    * continue that partition's offset sequence. Offsets are assigned
+    * with `zipWithIndex` (per-partition counts + cumulative bases —
+    * narrow jobs, no global ordering point), so a 100 TB seed append
+    * stays fully parallel. Within one append the inter-key order
+    * follows the layout — valid, because a snapshot append carries at
+    * most one message per key and cross-append ordering is guaranteed
+    * by the per-partition base offsets (compaction only needs a total
+    * order per key, and a key lives in exactly one partition). One of
+    * the few sanctioned RDD uses: genuine per-partition indexing. */
   def append(topic: String, kv: DataFrame): Unit = {
     if (!exists(topic)) create(topic)
-    val base = maxOffset(topic)
+    val bases: Map[Int, Long] = maxOffsets(topic)
     val session = kv.sparkSession
     val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val rows = kv.select(
+    val routed = kv.select(
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"))
-      .rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(r.getString(0), r.getString(1), base + 1L + i, now)
+      .withColumn("partition", partitionOf(col("key")))
+    val perPartitionIdx = routed
+      .repartition(numPartitions.min(64), col("partition"))
+      .rdd.mapPartitions { it =>
+        // rows of several topic-partitions may share a task; index each
+        // topic-partition's rows independently
+        val counters = scala.collection.mutable.Map.empty[Int, Long]
+        it.map { r =>
+          val p = r.getInt(2)
+          val i = counters.getOrElse(p, 0L); counters(p) = i + 1
+          (r.getString(0), r.getString(1), p, i)
+        }
       }
+    // second pass: cumulative bases per (task, topic-partition) would
+    // need a cross-task scan; for the single-writer store, per-task
+    // counts collapse because repartition(col) sends each
+    // topic-partition to exactly one task
+    val rows = perPartitionIdx.map { case (k, v, p, i) =>
+      org.apache.spark.sql.Row(k, v, p, bases.getOrElse(p, -1L) + 1L + i, now)
+    }
     session.createDataFrame(rows, FileTopicStore.schema)
       .write.mode("append").json(dir(topic).toString)
   }
 
-  private def maxOffset(topic: String): Long = {
+  private def maxOffsets(topic: String): Map[Int, Long] = {
     val files = Files.list(dir(topic)).filter(_.toString.endsWith(".json")).count()
-    if (files == 0) -1L
-    else readAll(topic).agg(max(col("offset"))).first() match {
-      case r if r.isNullAt(0) => -1L
-      case r => r.getLong(0)
-    }
+    if (files == 0) Map.empty
+    else spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
+      .groupBy(col("partition")).agg(max(col("offset")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
   def readAll(topic: String): DataFrame =
     spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
-      .orderBy(col("offset"))
+      .orderBy(col("partition"), col("offset"))
 
   def readCompacted(topic: String): DataFrame =
     graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(

@@ -59,6 +59,28 @@ class TopicStoreSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSet == Set("bare1", "bare2", "keyed"))
   }
 
+  test("partitioned topics: key-hash routing, per-partition offsets, compaction") {
+    val root = Files.createTempDirectory("graft-topics-p").toString
+    val store = new FileTopicStore(spark, root, sleeper = _ => (), numPartitions = 8)
+    store.create("t")
+    val keys = (1 to 100).map(i => (s"k$i", s"v$i"))
+    store.append("t", keys.toDF("key", "value"))
+    store.append("t", Seq(("k1", "v1b"), ("k2", "v2b")).toDF("key", "value"))
+    val all = store.readAll("t").collect()
+    // every key is always in the same partition; offsets are dense per partition
+    val byPartition = all.groupBy(_.getInt(2))
+    byPartition.foreach { case (_, rows) =>
+      val offs = rows.map(_.getLong(3)).sorted.toSeq
+      assert(offs == (0L until offs.size).toSeq, "per-partition offsets dense from 0")
+    }
+    val k1parts = all.filter(_.getString(0) == "k1").map(_.getInt(2)).distinct
+    assert(k1parts.length == 1, "a key lives in exactly one partition")
+    // compaction keeps the replays' latest values across partitions
+    val m = store.readCompacted("t").select("key", "value")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.size == 100 && m("k1") == "v1b" && m("k2") == "v2b" && m("k3") == "v3")
+  }
+
   test("cube-law backoff curve matches the reference (topic_store.clj:21-27)") {
     val got = (0 to 5).map(FileTopicStore.backoffMs)
     assert(got == Seq(2000L, 2000L, 8000L, 28000L, 64000L, 126000L))
