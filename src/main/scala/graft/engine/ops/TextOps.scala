@@ -147,6 +147,36 @@ object TextOps {
       .select($"doc_id", $"lang", $"pred_lang", $"hits_en")
       .orderBy($"doc_id")
 
+  /** Character-n-gram language ID: count occurrences of each
+    * language's profile trigrams in the lower-cased text (occurrence
+    * count via the length-difference trick — exact, no regex engine
+    * variation), argmax with fixed en>de>fr>es tie order. The n-gram
+    * counterpart of [[textLangid]]'s stopword voting. */
+  val textLangidNgram: Q = (s, d) => {
+    val profiles = Seq(
+      "en" -> Seq("the", "ing", "ion", "and"),
+      "de" -> Seq("der", "sch", "ein", "und"),
+      "fr" -> Seq("les", "ent", "que", "eur"),
+      "es" -> Seq("los", "cio", "ent", "ado"))
+    def hits(grams: Seq[String]): org.apache.spark.sql.Column =
+      grams.map(g =>
+        ((length($"lt") - length(regexp_replace($"lt", java.util.regex.Pattern.quote(g), "")))
+          / g.length).cast("int"))
+        .reduce(_ + _)
+    val withHits = profiles.foldLeft(
+      Tables.documents(s, d).withColumn("lt", lower($"text"))) {
+      case (df, (lang, grams)) => df.withColumn(s"ng_$lang", hits(grams))
+    }
+    withHits
+      .withColumn("pred_lang",
+        when($"ng_en" >= $"ng_de" && $"ng_en" >= $"ng_fr" && $"ng_en" >= $"ng_es", lit("en"))
+          .when($"ng_de" >= $"ng_fr" && $"ng_de" >= $"ng_es", lit("de"))
+          .when($"ng_fr" >= $"ng_es", lit("fr"))
+          .otherwise(lit("es")))
+      .select($"doc_id", $"lang", $"pred_lang", $"ng_en", $"ng_de")
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprint: rolling polynomial hash of the first 256
     * chars of the normalized text — a cheap order-sensitive content
     * fingerprint (cross-engine-stable alternative to xxhash64). */
@@ -165,6 +195,7 @@ object TextOps {
     "text_token_count" -> textTokenCount,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_langid_ngram" -> textLangidNgram,
     "text_fingerprint" -> textFingerprint,
   )
 
@@ -228,6 +259,36 @@ object TextOps {
         |       WHEN hits_fr >= hits_es THEN 'fr'
         |       ELSE 'es' END AS pred_lang,
         |  hits_en
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_langid_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        | h AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(lt) - length(replace(lt, 'the', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'ing', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'ion', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'and', ''))) / 3 AS INTEGER) AS ng_en,
+        |    CAST((length(lt) - length(replace(lt, 'der', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'sch', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'ein', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'und', ''))) / 3 AS INTEGER) AS ng_de,
+        |    CAST((length(lt) - length(replace(lt, 'les', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'ent', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'que', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'eur', ''))) / 3 AS INTEGER) AS ng_fr,
+        |    CAST((length(lt) - length(replace(lt, 'los', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'cio', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'ent', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'ado', ''))) / 3 AS INTEGER) AS ng_es
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN ng_en >= ng_de AND ng_en >= ng_fr AND ng_en >= ng_es THEN 'en'
+        |       WHEN ng_de >= ng_fr AND ng_de >= ng_es THEN 'de'
+        |       WHEN ng_fr >= ng_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang,
+        |  ng_en, ng_de
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->

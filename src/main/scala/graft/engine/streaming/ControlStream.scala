@@ -95,6 +95,33 @@ object ControlStream {
     q.awaitTermination()
   }
 
+  /** Live deployment form of [[runSubmissions]]: continuous
+    * micro-batches on a processing-time cadence (the reference's
+    * always-on submission loop). Returns the handle; callers own
+    * stop()/awaitTermination(). */
+  def runLive(
+      spark: SparkSession,
+      store: TopicStore,
+      controlTopic: String,
+      init: Initializer,
+      checkpoint: String,
+      cadence: String = "5 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
+    submissions(store, controlTopic)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(cadence))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ccds = init.decodeCcds(batch.select(col("key"),
+          to_json(struct(
+            col("table"), col("queue"),
+            col("queue_table").as("queue-table"),
+            col("table_alias").as("table-alias"),
+            col("status"), col("status_ts").as("timestamp"))).as("value")))
+        ccds.sortBy(_.timestamp.getTime).foreach(init.process)
+      }
+      .start()
+
   /** Streaming windowed event counts with watermark — the live form of
     * StreamOps.streamTumbling (same expression tree under readStream). */
   def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
