@@ -53,8 +53,7 @@ class GraftSystem(
     * (Trigger.AvailableNow micro-batches — the reference's live
     * submission loop, initializer.clj:101-110). */
   def runOnce(): Unit =
-    ControlStream.runSubmissions(spark, topics, controlTopic,
-      initializer, checkpointDir)
+    ControlStream.runSubmissions(topics, controlTopic, initializer, checkpointDir)
 
   /** Current compacted control state (one row per CCD key). */
   def controlState(): DataFrame = topics.readCompacted(controlTopic)

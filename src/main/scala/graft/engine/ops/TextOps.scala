@@ -157,8 +157,8 @@ object TextOps {
       "en" -> Seq("the", "ing", "ion", "and"),
       "de" -> Seq("der", "sch", "ein", "und"),
       "fr" -> Seq("les", "ent", "que", "eur"),
-      "es" -> Seq("los", "cio", "ent", "ado"))
-    def hits(grams: Seq[String]): org.apache.spark.sql.Column =
+      "es" -> Seq("los", "cio", "dad", "ado"))
+    def hits(grams: Seq[String]): Column =
       grams.map(g =>
         ((length($"lt") - length(regexp_replace($"lt", java.util.regex.Pattern.quote(g), "")))
           / g.length).cast("int"))
@@ -280,7 +280,7 @@ object TextOps {
         |       + (length(lt) - length(replace(lt, 'eur', ''))) / 3 AS INTEGER) AS ng_fr,
         |    CAST((length(lt) - length(replace(lt, 'los', ''))) / 3
         |       + (length(lt) - length(replace(lt, 'cio', ''))) / 3
-        |       + (length(lt) - length(replace(lt, 'ent', ''))) / 3
+        |       + (length(lt) - length(replace(lt, 'dad', ''))) / 3
         |       + (length(lt) - length(replace(lt, 'ado', ''))) / 3 AS INTEGER) AS ng_es
         |  FROM t)
         |SELECT doc_id, lang,

@@ -2,7 +2,7 @@ package graft.engine.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.engine.cdc.Initializer
 import graft.engine.model.{Ccd, Status}
@@ -72,55 +72,51 @@ object ControlStream {
     * mirroring the reference's single worker (initializer.clj:41-68).
     * Returns after the backlog drains. */
   def runSubmissions(
-      spark: SparkSession,
       store: TopicStore,
       controlTopic: String,
       init: Initializer,
-      checkpoint: String): Unit = {
-    val q = submissions(store, controlTopic)
+      checkpoint: String): Unit =
+    startSubmissionLoop(store, controlTopic, init, checkpoint,
+      Trigger.AvailableNow()).awaitTermination()
+
+  /** One micro-batch of the submission loop: decode the batch back to
+    * CCDs and orchestrate each sequentially in timestamp order. */
+  private def processBatch(init: Initializer)(batch: DataFrame): Unit = {
+    val ccds = init.decodeCcds(batch.select(col("key"),
+      to_json(struct(
+        col("table"), col("queue"),
+        col("queue_table").as("queue-table"),
+        col("table_alias").as("table-alias"),
+        col("status"), col("status_ts").as("timestamp"))).as("value")))
+    ccds.sortBy(_.timestamp.getTime).foreach(init.process)
+  }
+
+  private def startSubmissionLoop(
+      store: TopicStore,
+      controlTopic: String,
+      init: Initializer,
+      checkpoint: String,
+      trigger: Trigger): StreamingQuery =
+    submissions(store, controlTopic)
       .writeStream
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ccds = init.decodeCcds(batch.select(col("key"),
-          to_json(struct(
-            col("table"), col("queue"),
-            col("queue_table").as("queue-table"),
-            col("table_alias").as("table-alias"),
-            col("status"), col("status_ts").as("timestamp"))).as("value")))
-        ccds.sortBy(_.timestamp.getTime).foreach(init.process)
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(init)(batch) }
       .start()
-    q.awaitTermination()
-  }
 
   /** Live deployment form of [[runSubmissions]]: continuous
     * micro-batches on a processing-time cadence (the reference's
     * always-on submission loop). Returns the handle; callers own
     * stop()/awaitTermination(). */
   def runLive(
-      spark: SparkSession,
       store: TopicStore,
       controlTopic: String,
       init: Initializer,
       checkpoint: String,
-      cadence: String = "5 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
-    submissions(store, controlTopic)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.ProcessingTime(cadence))
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ccds = init.decodeCcds(batch.select(col("key"),
-          to_json(struct(
-            col("table"), col("queue"),
-            col("queue_table").as("queue-table"),
-            col("table_alias").as("table-alias"),
-            col("status"), col("status_ts").as("timestamp"))).as("value")))
-        ccds.sortBy(_.timestamp.getTime).foreach(init.process)
-      }
-      .start()
+      cadence: String = "5 seconds"): StreamingQuery =
+    startSubmissionLoop(store, controlTopic, init, checkpoint,
+      Trigger.ProcessingTime(cadence))
 
   /** Streaming windowed event counts with watermark — the live form of
     * StreamOps.streamTumbling (same expression tree under readStream). */

@@ -36,7 +36,7 @@ class ControlStreamSpec extends AnyFunSuite {
     init.publish(Ccd("tpch.other", "q_other", "mq_o", None, Status.Active,
       new Timestamp(1700000000000L)))
 
-    ControlStream.runSubmissions(spark, store, "control", init,
+    ControlStream.runSubmissions(store, "control", init,
       Files.createTempDirectory("graft-ckpt").toString)
 
     assert(store.exists("q_nation") && store.readAll("q_nation").count() == 25)
@@ -45,6 +45,29 @@ class ControlStreamSpec extends AnyFunSuite {
     val last = store.readCompacted("control")
       .filter($"key" === "tpch.nation").select("value").first.getString(0)
     assert(last.contains(s""""status":"${Status.Active}""""))
+  }
+
+  test("runLive picks up submissions appended after the query starts") {
+    val root = Files.createTempDirectory("graft-live").toString
+    val store = new FileTopicStore(spark, root, sleeper = _ => ())
+    val plane = new InMemoryControlPlane()
+    val seedView = (table: String) =>
+      if (table == "tpch.region")
+        Some(SeedViews.forTable(
+          spark.read.parquet(s"$sf/region.parquet"), table, Seq("r_regionkey")))
+      else None
+    val init = new Initializer(spark, plane, store, "control", seedView)
+    store.create("control")
+    val q = ControlStream.runLive(store, "control", init,
+      Files.createTempDirectory("graft-live-ckpt").toString, cadence = "1 second")
+    try {
+      // append AFTER the live query started — the tail must pick it up
+      init.publish(Ccd("tpch.region", "q_region_live", "mq_r", None,
+        Status.Submitted, new Timestamp(1700000000000L)))
+      q.processAllAvailable()
+      assert(store.exists("q_region_live") &&
+        store.readAll("q_region_live").count() == 5)
+    } finally { q.stop(); q.awaitTermination() }
   }
 
   test("flatMapGroupsWithState emits only genuine transitions") {
