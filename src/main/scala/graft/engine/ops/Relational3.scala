@@ -79,7 +79,34 @@ object Relational3 {
       .orderBy($"o_orderkey")
   }
 
+  /** Pearson correlation from exact decimal sums (same technique as
+    * agg_stats' stddev): both engines evaluate one fixed double
+    * expression tree over order-independent decimal aggregates, so the
+    * result is bit-stable — the built-in corr() is not (its running
+    * summation order varies with partitioning). */
+  val aggCorr: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val x = $"l_quantity".cast(dec)
+    val y = $"l_extendedprice".cast(dec)
+    val bigDec = DecimalType(38, 4)
+    li.groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast(bigDec)).as("sxx"),
+        sum((y * y).cast(bigDec)).as("syy"),
+        sum((x * y).cast(bigDec)).as("sxy"))
+      .select($"l_returnflag", $"n",
+        round(
+          (($"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double") / $"n")
+            / sqrt(($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n")
+              * ($"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double") / $"n"))),
+          4).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_corr" -> aggCorr,
     "fn_string2" -> fnString2,
     "agg_minmax_by" -> aggMinmaxBy,
     "agg_collect" -> aggCollect,
@@ -88,6 +115,26 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_corr" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(1) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+        |    4) AS corr_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
     "fn_string2" ->
       """SELECT p_partkey,
         |  lpad(p_brand, 12, '*') AS pad_l,
