@@ -105,8 +105,44 @@ object Relational3 {
       .orderBy($"l_returnflag")
   }
 
+  /** Shuffle-hash-hinted join — same semantics as join_inner, but the
+    * hint pins the physical strategy (useful when stats mislead the
+    * planner; at scale, hash beats sort-merge when one side fits
+    * per-task memory but is too big to broadcast). */
+  val joinShuffleHash: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d).hint("shuffle_hash"),
+        $"o_custkey" === $"c_custkey", "inner")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+
+  /** Multi-field JSON extraction via the json_tuple generator (the
+    * second field is absent from the data — null semantics for missing
+    * keys are part of the contract). */
+  val fnJsonTuple: Q = (s, d) =>
+    Tables.events(s, d)
+      .select($"event_id", json_tuple($"props", "k", "missing"))
+      .toDF("event_id", "k", "missing")
+      .withColumn("k", $"k".cast("int"))
+      .orderBy($"event_id")
+
+  /** Seeded stratified sample by return flag — **no-oracle** (sampling
+    * is engine-internal; determinism within a session and per-stratum
+    * fractions are property-tested in PropertySpec). The aggregate
+    * output keeps the verify artifact small and rows>0-checkable. */
+  val sampleStratified: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .stat.sampleBy("l_returnflag",
+        Map("A" -> 0.1, "N" -> 0.2, "R" -> 0.1), 42L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy($"l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "agg_corr" -> aggCorr,
+    "join_shuffle_hash" -> joinShuffleHash,
+    "fn_json_tuple" -> fnJsonTuple,
+    "sample_stratified" -> sampleStratified,
     "fn_string2" -> fnString2,
     "agg_minmax_by" -> aggMinmaxBy,
     "agg_collect" -> aggCollect,
@@ -115,6 +151,17 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_shuffle_hash" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "fn_json_tuple" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  json_extract_string(props, '$.missing') AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "agg_corr" ->
       """WITH a AS (
         |  SELECT l_returnflag, count(1) AS n,

@@ -93,6 +93,23 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("stratified sampling: deterministic per seed, fractions within tolerance") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val q = graft.engine.ops.Relational3.sampleStratified
+    val r1 = q(spark, d).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = q(spark, d).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r2, "same seed + same layout → identical sample")
+    val totals = graft.engine.Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("A" -> 0.1, "N" -> 0.2, "R" -> 0.1)
+    want.foreach { case (k, f) =>
+      val got = r1.getOrElse(k, 0L).toDouble / totals(k)
+      assert(math.abs(got - f) < 0.05, s"stratum $k: got $got want ~$f")
+    }
+  }
+
   // ---- seed-message key ordering (seed_store_test.clj:84-104) ----
 
   test("seed key = name-sorted flattened id pairs for arbitrary pk column sets") {
