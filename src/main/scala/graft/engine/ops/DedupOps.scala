@@ -163,11 +163,47 @@ object DedupOps {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Duplicate-cluster resolution: connected components over the
+    * MinHash-verified near-dup pair graph, canonical = min doc_id per
+    * component (the survivor-selection step after pair detection).
+    * Label propagation: every node starts labeled with itself; each
+    * round joins labels across edges (both directions) and keeps the
+    * min; converges in ≤ diameter rounds (components here are tiny;
+    * the loop is capped and stops early on fixpoint). Each round is
+    * two narrow equi-joins + an aggregate — the standard distributed
+    * connected-components shape. Output: non-canonical members with
+    * their canonical survivor. */
+  val dedupClusters: Q = (s, d) => {
+    val pairs = dedupMinhash(s, d).select($"doc_a", $"doc_b").localCheckpoint()
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    val nodes = edges.select($"doc_a".as("doc")).distinct()
+    var labels = nodes.withColumn("label", $"doc").localCheckpoint()
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 20) {
+      val viaEdges = edges
+        .join(labels, edges("doc_b") === labels("doc"))
+        .select(edges("doc_a").as("doc"), $"label")
+      val next = labels.select($"doc", $"label").unionByName(viaEdges)
+        .groupBy($"doc").agg(min($"label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter($"label" =!= $"old").limit(1).count() > 0
+      labels = next
+      rounds += 1
+    }
+    labels.filter($"doc" =!= $"label")
+      .select($"doc".as("doc_id"), $"label".as("canonical"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_near" -> dedupNear,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,
+    "dedup_clusters" -> dedupClusters,
   )
 
   private def duckCharHash(arg: String): String =
@@ -223,6 +259,41 @@ object DedupOps {
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $duckShingled,
+         | sigs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(range(0, 16), i -> list_min(list_transform(
+         |      list_transform(sh, s -> ${duckCharHash("s")}),
+         |      x -> ([${A.mkString(",")}][i + 1] * x
+         |            + [${B.mkString(",")}][i + 1]) % 1000000007))) AS mh
+         |  FROM docs WHERE len(sh) > 0),
+         | bands AS (
+         |  SELECT doc_id, band,
+         |    CAST(mh[band * 4 + 1] AS VARCHAR) || '_' || CAST(mh[band * 4 + 2] AS VARCHAR)
+         |    || '_' || CAST(mh[band * 4 + 3] AS VARCHAR) || '_'
+         |    || CAST(mh[band * 4 + 4] AS VARCHAR) AS band_key
+         |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)),
+         | cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         | pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cands JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
+         | edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         | reach(doc, root) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc)
+         |SELECT doc AS doc_id, min(root) AS canonical
+         |FROM reach GROUP BY doc HAVING doc <> min(root)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (
