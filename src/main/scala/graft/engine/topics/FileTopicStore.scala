@@ -176,6 +176,29 @@ class FileTopicStore(
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
+  /** Storage-side compaction: rewrite the log keeping only the latest
+    * message per key (Kafka's background log cleaner, triggered
+    * explicitly — the reference relies on `cleanup.policy=compact` +
+    * `min.cleanable.dirty.ratio`, topic_store.clj:13-16). Offsets and
+    * partitions are preserved, so readers and the streaming tail see
+    * consistent positions; null-keyed messages are all retained (Kafka
+    * semantics: compaction needs a key). */
+  def compact(topic: String): Unit = {
+    val keyed = readCompacted(topic).filter(col("key").isNotNull)
+    val unkeyed = spark.read.schema(FileTopicStore.schema)
+      .json(dir(topic).toString).filter(col("key").isNull)
+    val kept = keyed.unionByName(unkeyed).collect() // topics are control-plane-sized
+    val tmp = Files.createTempDirectory(s"graft-compact-$topic")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(kept.toIndexedSeq, 1),
+        FileTopicStore.schema)
+      .write.mode("overwrite").json(tmp.toString)
+    deleteWithRetry(topic)
+    create(topic)
+    Files.list(tmp).filter(_.toString.endsWith(".json"))
+      .forEach(p => Files.copy(p, dir(topic).resolve(p.getFileName)))
+  }
+
   def readAll(topic: String): DataFrame =
     spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
       .orderBy(col("partition"), col("offset"))

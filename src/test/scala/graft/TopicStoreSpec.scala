@@ -59,6 +59,21 @@ class TopicStoreSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSet == Set("bare1", "bare2", "keyed"))
   }
 
+  test("storage compaction keeps latest per key + all un-keyed, preserves offsets") {
+    val (store, _) = freshStore()
+    store.create("t")
+    store.append("t", Seq(("a", "1"), ("b", "1"), (null: String, "bare")).toDF("key", "value"))
+    store.append("t", Seq(("a", "2")).toDF("key", "value"))
+    store.compact("t")
+    val rows = store.readAll("t").select("key", "value", "offset").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(("a", "2", 3L), ("b", "1", 1L), (null, "bare", 2L)))
+    // appends continue past the surviving max offset
+    store.append("t", Seq(("c", "1")).toDF("key", "value"))
+    assert(store.readAll("t").agg(org.apache.spark.sql.functions.max($"offset"))
+      .first.getLong(0) == 4L)
+  }
+
   test("partitioned topics: key-hash routing, per-partition offsets, compaction") {
     val root = Files.createTempDirectory("graft-topics-p").toString
     val store = new FileTopicStore(spark, root, sleeper = _ => (), numPartitions = 8)
