@@ -47,6 +47,38 @@ class ControlStreamSpec extends AnyFunSuite {
     assert(last.contains(s""""status":"${Status.Active}""""))
   }
 
+  test("checkpoint recovery: a second run processes only new submissions") {
+    val root = Files.createTempDirectory("graft-ckpt-rec").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-rec-cp").toString
+    val store = new FileTopicStore(spark, root, sleeper = _ => ())
+    val plane = new InMemoryControlPlane()
+    val seedView = (table: String) =>
+      if (table == "tpch.nation")
+        Some(SeedViews.forTable(
+          spark.read.parquet(s"$sf/nation.parquet"), table, Seq("n_nationkey")))
+      else if (table == "tpch.region")
+        Some(SeedViews.forTable(
+          spark.read.parquet(s"$sf/region.parquet"), table, Seq("r_regionkey")))
+      else None
+    val init = new Initializer(spark, plane, store, "control", seedView)
+    store.create("control")
+    init.publish(Ccd("tpch.nation", "q_n1", "mq_n", None, Status.Submitted,
+      new Timestamp(1700000000000L)))
+    ControlStream.runSubmissions(store, "control", init, ckpt)
+    val nationMsgs = store.readAll("control")
+      .filter($"key" === "tpch.nation").count()
+    // second run, SAME checkpoint, one NEW submission
+    init.publish(Ccd("tpch.region", "q_r1", "mq_r", None, Status.Submitted,
+      new Timestamp(1700000001000L)))
+    ControlStream.runSubmissions(store, "control", init, ckpt)
+    assert(store.exists("q_r1") && store.readAll("q_r1").count() == 5,
+      "new submission processed")
+    val nationMsgsAfter = store.readAll("control")
+      .filter($"key" === "tpch.nation").count()
+    assert(nationMsgsAfter == nationMsgs,
+      "already-processed submission not replayed from the checkpointed offset")
+  }
+
   test("runLive picks up submissions appended after the query starts") {
     val root = Files.createTempDirectory("graft-live").toString
     val store = new FileTopicStore(spark, root, sleeper = _ => ())
