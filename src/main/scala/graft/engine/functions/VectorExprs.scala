@@ -61,6 +61,23 @@ object VectorOps {
   }
 }
 
+/** Config-level registration (`spark.sql.extensions=graft.engine.functions.GraftExtensions`):
+  * injects the engine's native functions into every session built with
+  * the extension, so SQL like `SELECT graft_dot(a, b)` works without a
+  * programmatic [[VectorOps.register]] call. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+  }
+}
+
 /** Codegen'd dot product over two array<double> columns. */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -12,9 +12,10 @@ import graft.engine.Tables
   * Scale design: [[dedupMinhash]] is the 100 TB path — per-doc MinHash
   * signatures (linear map-only pass), band explosion (16 rows/doc),
   * and an equi-join on band keys, so candidate generation never goes
-  * quadratic. [[dedupNear]] and [[dedupEmbed]] are the exact
-  * quadratic verifiers, deliberately bounded to a doc_id window — at
-  * scale they run only on LSH candidates, never the full corpus.
+  * quadratic. [[dedupNear]] is the exact similarity join (narrow-row
+  * shingle equi-join, bounded by shingle frequency, not corpus size);
+  * [[dedupEmbed]] is the exact pairwise verifier, deliberately bounded
+  * to a vec_id window — at scale it runs only on ANN candidates.
   *
   * All hashes are 31-base polynomial mod 1e9+7 (cross-engine-stable);
   * permutations are fixed literal (a, b) pairs, so MinHash signatures
@@ -52,16 +53,19 @@ object DedupOps {
       .localCheckpoint()
   }
 
-  /** Exact 3-gram (shingle) Jaccard near-dup pairs at τ = 0.5 over a
-    * bounded doc_id window, via the scalable exact similarity join:
-    * explode shingles → self-equi-join on the shingle string →
-    * per-pair match count (|A∩B|) by hash aggregate → size join +
-    * Jaccard filter. No nested-loop pairing, no wide arrays through
-    * the shuffle — every row that moves is (doc_id, shingle) or
-    * (doc_a, doc_b, inter). Pairs sharing zero shingles can't reach
-    * τ > 0, so the equi-join loses nothing. */
+  /** Exact 3-gram (shingle) Jaccard near-dup pairs at τ = 0.5 over
+    * the full corpus, via the scalable exact similarity join: explode
+    * shingles → self-equi-join on the shingle string → per-pair match
+    * count (|A∩B|) by hash aggregate → size join + Jaccard filter. No
+    * nested-loop pairing, no wide arrays through the shuffle — every
+    * row that moves is (doc_id, shingle) or (doc_a, doc_b, inter).
+    * Pairs sharing zero shingles can't reach τ > 0, so the equi-join
+    * loses nothing; shingle frequency bounds the join blowup (a
+    * corpus with adversarially hot shingles would add a frequency cap
+    * on the exploded side, trading recall like any candidate
+    * pruner). */
   val dedupNear: Q = (s, d) => {
-    val base = shingled(s, d).filter($"doc_id" < 1000)
+    val base = shingled(s, d)
     val ex = base.select($"doc_id", explode($"sh").as("g"))
     val inter = ex.as("x").join(ex.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
@@ -228,7 +232,7 @@ object DedupOps {
          |FROM docs a JOIN docs b
          |  ON a.doc_id < b.doc_id
          |  AND least(len(a.sh), len(b.sh)) >= 0.5 * greatest(len(a.sh), len(b.sh))
-         |WHERE a.doc_id < 1000 AND b.doc_id < 1000 AND len(a.sh) > 0 AND len(b.sh) > 0
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
