@@ -55,6 +55,11 @@ class GraftSystem(
   def runOnce(): Unit =
     ControlStream.runSubmissions(topics, controlTopic, initializer, checkpointDir)
 
+  /** Always-on submission loop (processing-time trigger); caller owns
+    * the returned handle's stop()/awaitTermination(). */
+  def runLive(cadence: String = "5 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
+    ControlStream.runLive(topics, controlTopic, initializer, checkpointDir, cadence)
+
   /** Current compacted control state (one row per CCD key). */
   def controlState(): DataFrame = topics.readCompacted(controlTopic)
 

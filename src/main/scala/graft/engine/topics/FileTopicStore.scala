@@ -207,6 +207,14 @@ class FileTopicStore(
     graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
       spark.read.schema(FileTopicStore.schema).json(dir(topic).toString))
 
-  def readStream(topic: String): DataFrame =
-    spark.readStream.schema(FileTopicStore.schema).json(dir(topic).toString)
+  def readStream(topic: String): DataFrame = readStream(topic, 100)
+
+  /** @param maxFilesPerTrigger admission control per micro-batch — the
+    *   engine analog of the reference's bounded work queue
+    *   (initializer.clj:87, buffer 100): limits how much backlog one
+    *   trigger admits so a large catch-up can't starve the loop. */
+  def readStream(topic: String, maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(FileTopicStore.schema).json(dir(topic).toString)
 }
