@@ -31,8 +31,17 @@ class GraftSystem(
   val initializer: Initializer =
     new Initializer(spark, plane, topics, controlTopic, seedView)
 
-  private val checkpointDir =
-    Files.createTempDirectory("graft-system-ckpt").toString
+  // durable per-root checkpoint: restarted systems resume the stream
+  // from the last processed offsets instead of replaying the whole
+  // control topic (the reference resets its consumer offset past the
+  // backlog scan, initializer.clj:27-39; Initializer.process
+  // additionally skips terminal-state replays as the at-least-once
+  // backstop)
+  private val checkpointDir = {
+    val d = java.nio.file.Paths.get(root, "__checkpoint")
+    Files.createDirectories(d)
+    d.toString
+  }
 
   /** Submit a new capture definition (reference README "submitting a
     * new table": a `submitted` CCD published to the control topic). */

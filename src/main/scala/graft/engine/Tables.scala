@@ -20,7 +20,11 @@ object Tables {
     * re-lists the directory and re-reads footers on every call, which
     * dominates the latency of small queries (the testdata never
     * changes under a run). Cached frames share one resolved relation
-    * — the analyzed plan and file index are built once per session. */
+    * — the analyzed plan and file index are built once per session.
+    * Entries live for the process lifetime (keyed by session, so a
+    * stopped session's plans are retained — acceptable for this
+    * engine's one-session-per-process mains and test suite; a
+    * session-per-job service would evict on session stop). */
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

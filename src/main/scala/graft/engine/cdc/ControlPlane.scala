@@ -67,6 +67,10 @@ object Identifiers {
   /** `strip-schema` (sql/util.clj:31-36). */
   def stripSchema(ref: String): String = splitTableRef(ref)._2
 
+  /** Alias of [[stripSchema]] under a validation-friendly name (used by
+    * checkCcd, which converts the throw into an error state). */
+  def stripTableSchema(ref: String): String = stripSchema(ref)
+
   /** `mq-table` (sql/util.clj:38-46): message-queue table name. */
   def mqTable(ref: String): String = "mq_" + stripSchema(ref)
 

@@ -66,8 +66,14 @@ class Initializer(
           queueTable = r.getAs[String]("queue-table"),
           tableAlias = Option(r.getAs[String]("table-alias")),
           status = r.getAs[String]("status"),
-          timestamp = Timestamp.valueOf(
-            Option(r.getAs[String]("timestamp")).getOrElse("1970-01-01 00:00:00")),
+          // parse in explicit UTC: Timestamp.valueOf would use the JVM
+          // default zone, shifting instants on non-UTC hosts (publish
+          // formats via the UTC session timezone)
+          timestamp = Timestamp.from(
+            java.time.LocalDateTime.parse(
+              Option(r.getAs[String]("timestamp")).getOrElse("1970-01-01 00:00:00")
+                .replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)),
           progress = Option(r.getAs[Seq[Long]]("progress")),
           error = Option(r.getAs[String]("error")))
       }
@@ -79,11 +85,17 @@ class Initializer(
     if (blank(ccd.table)) Some("missing table")
     else if (blank(ccd.queue)) Some("missing queue")
     else if (blank(ccd.queueTable)) Some("missing queue-table")
-    else if (!ccd.table.contains(".")) Some("table must be schema-qualified")
-    else if (Identifiers.stripSchema(ccd.table).length > Identifiers.maxUnaliasedLength
-      && ccd.tableAlias.forall(_.trim.isEmpty))
-      Some(s"table name longer than ${Identifiers.maxUnaliasedLength} chars requires table-alias")
-    else None
+    else scala.util.Try(Identifiers.stripTableSchema(ccd.table)) match {
+      // malformed refs must become error STATES, not thrown exceptions —
+      // a throw here would crash the submission stream on a poison
+      // message and loop forever from the checkpoint
+      case scala.util.Failure(e) => Some(e.getMessage)
+      case scala.util.Success(obj)
+        if obj.length > Identifiers.maxUnaliasedLength
+          && ccd.tableAlias.forall(_.trim.isEmpty) =>
+        Some(s"table name longer than ${Identifiers.maxUnaliasedLength} chars requires table-alias")
+      case _ => None
+    }
   }
 
   private def stamp(ccd: Ccd, status: String,
@@ -93,8 +105,17 @@ class Initializer(
   /** Publish a status update to the control topic (the engine's
     * updates-chan ∘ send-ccd-update!, initializer.clj:90-95). Key =
     * the CCD identity (its table), so compaction keeps latest state. */
-  def publish(ccd: Ccd): Unit = {
-    val json = Seq(ccd).toDS().toDF()
+  def publish(ccd: Ccd): Unit = publishAll(Seq(ccd))
+
+  /** Batched publish: one topic append for a whole lifecycle's states
+    * (appends scan the topic for offset bases — per-state appends
+    * would make control-topic maintenance quadratic over time).
+    * Within-append order follows the sequence, so compaction keeps the
+    * LAST state: offsets are assigned in row order per partition and
+    * all states of one CCD share a key. */
+  def publishAll(ccds: Seq[Ccd]): Unit = {
+    if (ccds.isEmpty) return
+    val json = ccds.toDS().toDF()
       .select(
         col("table").as("key"),
         to_json(struct(
@@ -163,6 +184,12 @@ class Initializer(
     * emitted states are published to the control topic and returned
     * (latest last). */
   def process(ccd: Ccd): Seq[Ccd] = {
+    // at-least-once guard: a replayed submission (fresh checkpoint,
+    // restarted stream) for a CCD that already reached a terminal state
+    // must NOT re-run — prepare() clears the live queue (reference
+    // parity: the backlog scan resets the consumer offset past
+    // processed messages, initializer.clj:27-39)
+    if (currentStatus(ccd.table).exists(Status.terminal.contains)) return Seq.empty
     val states = checkCcd(ccd) match {
       case Some(err) =>
         Seq(stamp(ccd, Status.Error, error = Some(s"invalid specification: $err")))
@@ -171,8 +198,17 @@ class Initializer(
         if (prep.lastOption.exists(_.status == Status.Error)) prep
         else prep ++ initialize(prep.last)
     }
-    states.foreach(publish)
+    publishAll(states)
     states
+  }
+
+  /** Current compacted status of a CCD key, if any. */
+  def currentStatus(table: String): Option[String] = {
+    if (!topics.exists(controlTopic)) return None
+    topics.readCompacted(controlTopic)
+      .filter(col("key") === table)
+      .select(from_json(col("value"), Ccd.jsonSchema).getField("status"))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
   }
 
   /** Full service run (reference initializer.clj:76-115): ensure the

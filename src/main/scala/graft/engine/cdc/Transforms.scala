@@ -53,6 +53,12 @@ object Transforms {
       heads.map { h =>
         val sub = entries.filter(_._1.head == h)
         val (leaves, interior) = sub.partition(_._1.size == 1)
+        // a leaf and an interior node on the same path (e.g. column
+        // `cdc.data` next to unprefixed data columns) cannot both be
+        // represented — fail loudly instead of silently dropping data
+        require(leaves.isEmpty || interior.isEmpty,
+          s"column path conflict at '$h': leaf column(s) ${leaves.map(_._2)} " +
+            s"collide with nested column(s) ${interior.map(_._2)}")
         if (interior.isEmpty) col(s"`${leaves.head._2}`").as(h)
         else struct(build(interior.map { case (p, src) => (p.tail, src) }): _*).as(h)
       }

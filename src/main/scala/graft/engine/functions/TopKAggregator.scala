@@ -29,7 +29,8 @@ class TopKAggregator(k: Int)
     xs.sortWith(better).take(k)
 
   override def zero: Buf = Buf(Seq.empty)
-  override def reduce(buf: Buf, in: (Long, Double)): Buf = Buf(trim(buf.items :+ in))
+  override def reduce(buf: Buf, in: (Long, Double)): Buf =
+    if (in._2.isNaN) buf else Buf(trim(buf.items :+ in))
   override def merge(a: Buf, b: Buf): Buf = Buf(trim(a.items ++ b.items))
   override def finish(buf: Buf): Seq[(Long, Double)] = trim(buf.items)
 

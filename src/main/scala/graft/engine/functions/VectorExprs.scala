@@ -24,7 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorOps {
   /** Left-fold dot product: Σ a(i)·b(i) in index order (IEEE order
-    * matches `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)`). */
+    * matches `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)`).
+    *
+    * CONTRACT: equal-length arrays of non-null doubles (every engine
+    * embedding column is fixed-dimension, non-null). Ragged inputs
+    * fold to min-length — unlike the declarative form, which nulls out
+    * (zip_with pads) — so don't point this at data that can be ragged
+    * without normalizing first. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray()
     val y = b.toDoubleArray()

@@ -97,12 +97,12 @@ object StreamOps {
 
     "stream_session" ->
       """WITH m AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         | s AS (
-        |  SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM m)
         |SELECT user_id,

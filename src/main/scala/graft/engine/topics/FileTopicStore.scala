@@ -96,8 +96,10 @@ class FileTopicStore(
     check("delete", topic)
     val d = dir(topic)
     if (Files.isDirectory(d)) {
-      Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(d)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
@@ -168,9 +170,13 @@ class FileTopicStore(
       .write.mode("append").json(dir(topic).toString)
   }
 
+  private def hasFiles(topic: String): Boolean = {
+    val ls = Files.list(dir(topic))
+    try ls.anyMatch(_.toString.endsWith(".json")) finally ls.close()
+  }
+
   private def maxOffsets(topic: String): Map[Int, Long] = {
-    val files = Files.list(dir(topic)).filter(_.toString.endsWith(".json")).count()
-    if (files == 0) Map.empty
+    if (!hasFiles(topic)) Map.empty
     else spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
       .groupBy(col("partition")).agg(max(col("offset")).as("m"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -195,8 +201,13 @@ class FileTopicStore(
       .write.mode("overwrite").json(tmp.toString)
     deleteWithRetry(topic)
     create(topic)
-    Files.list(tmp).filter(_.toString.endsWith(".json"))
+    val ls = Files.list(tmp)
+    try ls.filter(_.toString.endsWith(".json"))
       .forEach(p => Files.copy(p, dir(topic).resolve(p.getFileName)))
+    finally ls.close()
+    val rm = Files.walk(tmp)
+    try rm.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+    finally rm.close()
   }
 
   def readAll(topic: String): DataFrame =

@@ -131,6 +131,26 @@ class InitializerSpec extends AnyFunSuite {
     assert(init.runBacklog().isEmpty)
   }
 
+  test("malformed dotted table refs become error states, never throws (poison message)") {
+    val (init, _, _) = mkInit()
+    Seq("tpch.line-item", "a.b.c", "1pch.foo").foreach { bad =>
+      val states = init.process(ccd(table = bad, queue = "q_bad"))
+      assert(states.map(_.status) == Seq(Status.Error), s"for '$bad'")
+      assert(states.head.error.exists(_.contains("invalid specification")))
+    }
+  }
+
+  test("replayed submission for a terminal CCD is skipped (at-least-once guard)") {
+    val (init, plane, store) = mkInit()
+    val first = init.process(ccd())
+    assert(first.last.status == Status.Active)
+    val seeded = store.readAll("q_nation").count()
+    // replay the ORIGINAL submitted message (fresh checkpoint scenario)
+    val replay = init.process(ccd())
+    assert(replay.isEmpty, "terminal state on the control topic blocks re-processing")
+    assert(store.readAll("q_nation").count() == seeded, "live queue untouched")
+  }
+
   test("identifier utilities port (sql/util.clj:31-57)") {
     assert(Identifiers.splitTableRef("s.t") == (("s", "t")))
     assert(Identifiers.stripSchema("schema.obj") == "obj")
