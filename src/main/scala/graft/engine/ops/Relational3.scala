@@ -138,7 +138,25 @@ object Relational3 {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy($"l_returnflag")
 
+  /** lead(): next order's price per customer (the forward twin of
+    * Relational.winLag). */
+  val winLead: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("next_price", lead($"o_totalprice", 1).over(
+        Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"next_price")
+      .orderBy($"o_custkey", $"o_orderkey")
+
+  /** UNION DISTINCT (set union proper, vs set_union's UNION ALL). */
+  val setUnionDistinct: Q = (s, d) =>
+    Tables.orders(s, d).select($"o_custkey".as("k"))
+      .union(Tables.events(s, d).select($"user_id".as("k")))
+      .distinct()
+      .orderBy($"k")
+
   val queries: Map[String, Q] = Map(
+    "win_lead" -> winLead,
+    "set_union_distinct" -> setUnionDistinct,
     "agg_corr" -> aggCorr,
     "join_shuffle_hash" -> joinShuffleHash,
     "fn_json_tuple" -> fnJsonTuple,
@@ -151,6 +169,18 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT o_custkey AS k FROM orders
+        |UNION
+        |SELECT user_id AS k FROM events
+        |ORDER BY k""".stripMargin,
+
     "join_shuffle_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
