@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.ops.{DedupOps, Relational}
+
+/** Physical-plan regression guards: the optimizations the engine
+  * depends on at scale must stay in the plan — filters pushed into the
+  * parquet scan, pruned read schemas, broadcast for small dims,
+  * map-side partial aggregation, and no accidental cartesian products
+  * anywhere in the inventory. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_range pushes predicates into the parquet scan, prunes columns") {
+    val p = plan(Relational.filterRange(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_discount:double>"), "scan reads only the 4 needed columns")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin with the dim side built") {
+    val p = plan(Relational.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("agg_group aggregates partially before the shuffle") {
+    val p = plan(Relational.aggGroup(spark, sf))
+    assert(p.contains("partial_sum"), "map-side combine present")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial + final")
+  }
+
+  test("scan_count reads zero data columns (footer-count shape)") {
+    val p = plan(Relational.scanCount(spark, sf))
+    assert(p.contains("ReadSchema: struct<>"))
+  }
+
+  test("no query in the inventory plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("minhash candidate generation is an equi-join on band keys, not a loop join") {
+    val p = plan(DedupOps.dedupMinhash(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("SortMergeJoin")
+      || p.contains("HashJoin"),
+      "band-key join must be hash/merge (nested-loop would be quadratic)")
+  }
+}
