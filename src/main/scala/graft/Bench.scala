@@ -1,25 +1,84 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Benchmark harness: times every `SparkEntry.queries` entry at the scale
+  * factor pointed to by SPARK_GRAFT_SF_DIR (plus a secondary SF when one
+  * exists, so scale regressions — not just constant-factor ones — show up
+  * round over round).
+  *
+  * The one-line JSON result is printed to stdout AND written to
+  * `bench_out.json` in the working directory, first thing after results are
+  * computed, so the artifact survives truncated/noisy sbt logs.
+  *
+  * Failed queries are excluded from the best-of-two and from the total, and
+  * reported separately under `"failed"` — a broken query must never
+  * contribute a bogus fast timing.
+  */
 object Bench {
+  private final case class Timing(seconds: Double, failed: Boolean)
+
+  private def timeAll(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String): Map[String, Timing] =
+    SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val failed =
+        try { fn(spark, sfDir).count(); false }
+        catch { case scala.util.control.NonFatal(_) => true }
+      name -> Timing((System.nanoTime() - t0) / 1e9, failed)
+    }
+
+  /** Best-of-two per query; a query that failed either pass is `failed`. */
+  private def bench(spark: org.apache.spark.sql.SparkSession,
+                    sfDir: String): (Map[String, Double], List[String]) = {
+    val (r1, r2) = (timeAll(spark, sfDir), timeAll(spark, sfDir))
+    val failed = r1.keys.filter(k => r1(k).failed || r2(k).failed).toList.sorted
+    val ok = r1.collect {
+      case (k, t) if !failed.contains(k) =>
+        k -> math.min(t.seconds, r2(k).seconds)
+    }
+    (ok, failed)
+  }
+
+  private def json(results: Map[String, Double], failed: List[String],
+                   sfDir: String, extra: String): String = {
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"$extra}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.get()
-    // warm the session (executor threads, codegen compiler, parquet
-    // footer reader) so the first timed query doesn't absorb startup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // two passes, best-of per query: steady-state throughput without
-    // first-run JIT/compile noise (the queries are deterministic)
-    def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // warm the session (executor threads, codegen compiler, parquet footer
+    // reader) so the first timed query doesn't absorb startup cost
+    try SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(_) => () }
+
+    val (results, failed) = bench(spark, sfDir)
+
+    // secondary scale factor: one step down from the primary, when present,
+    // so round-over-round comparisons can see scaling (not just constants)
+    val secondary = List("sf0.01", "sf0.001")
+      .map(s => Paths.get(sfDir).resolveSibling(s))
+      .find(p => p.toString != sfDir && Files.isDirectory(p))
+    val extra = secondary match {
+      case Some(dir) =>
+        val (r2, f2) = bench(spark, dir.toString)
+        "," + "\"secondary\":" + json(r2, f2, dir.toString, "")
+      case None => ""
     }
-    val (r1, r2) = (timeAll(), timeAll())
-    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val line = json(results, failed, sfDir, extra)
+    // file first — stdout in an sbt run is noisy and may be truncated
+    Files.write(Paths.get("bench_out.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    println(line)
     spark.stop()
   }
 }

@@ -68,12 +68,18 @@ class Initializer(
           status = r.getAs[String]("status"),
           // parse in explicit UTC: Timestamp.valueOf would use the JVM
           // default zone, shifting instants on non-UTC hosts (publish
-          // formats via the UTC session timezone)
-          timestamp = Timestamp.from(
-            java.time.LocalDateTime.parse(
-              Option(r.getAs[String]("timestamp")).getOrElse("1970-01-01 00:00:00")
-                .replace(' ', 'T'))
-              .toInstant(java.time.ZoneOffset.UTC)),
+          // formats via the UTC session timezone). A MALFORMED timestamp
+          // degrades to the epoch default instead of throwing — a throw
+          // here would crash backlog()/the submission loop on a poison
+          // message and replay it forever from the checkpoint (same
+          // hardening as checkCcd for malformed table refs)
+          timestamp = scala.util.Try(
+            Timestamp.from(
+              java.time.LocalDateTime.parse(
+                Option(r.getAs[String]("timestamp")).getOrElse("1970-01-01 00:00:00")
+                  .replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC)))
+            .getOrElse(Timestamp.from(java.time.Instant.EPOCH)),
           progress = Option(r.getAs[Seq[Long]]("progress")),
           error = Option(r.getAs[String]("error")))
       }
@@ -110,21 +116,25 @@ class Initializer(
   /** Batched publish: one topic append for a whole lifecycle's states
     * (appends scan the topic for offset bases — per-state appends
     * would make control-topic maintenance quadratic over time).
-    * Within-append order follows the sequence, so compaction keeps the
-    * LAST state: offsets are assigned in row order per partition and
-    * all states of one CCD share a key. */
+    * Within-append order is pinned by an explicit `seq` column —
+    * append() sorts within each partition by it before assigning
+    * offsets, so compaction keeps the LAST state by contract. (Relying
+    * on row order through the shuffle would work in local tests by
+    * accident only: all states of one CCD share a key, and a
+    * multi-partition source reorders under repartition.) */
   def publishAll(ccds: Seq[Ccd]): Unit = {
     if (ccds.isEmpty) return
-    val json = ccds.toDS().toDF()
+    val json = ccds.zipWithIndex.toDS().toDF("c", "seq")
       .select(
-        col("table").as("key"),
+        col("c.table").as("key"),
         to_json(struct(
-          col("table"), col("queue"),
-          col("queueTable").as("queue-table"),
-          col("tableAlias").as("table-alias"),
-          col("status"),
-          date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSS").as("timestamp"),
-          col("progress"), col("error"))).as("value"))
+          col("c.table").as("table"), col("c.queue").as("queue"),
+          col("c.queueTable").as("queue-table"),
+          col("c.tableAlias").as("table-alias"),
+          col("c.status").as("status"),
+          date_format(col("c.timestamp"), "yyyy-MM-dd HH:mm:ss.SSS").as("timestamp"),
+          col("c.progress").as("progress"), col("c.error").as("error"))).as("value"),
+        col("seq"))
     topics.append(controlTopic, json)
   }
 

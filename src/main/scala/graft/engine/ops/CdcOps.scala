@@ -18,22 +18,31 @@ object CdcOps {
     * column name. Built with explicit concat (not to_json) so the
     * oracle compares byte-identically (SURVEY §7.3f). */
   val cdcSeedKey: Q = (s, d) =>
+    // dedup on the two narrow PK columns BEFORE building the key string:
+    // a full-row dropDuplicates after the concat shuffles the wide
+    // seed_key string and hash-aggregates on it (~30× slower at sf0.1);
+    // deduping first moves only two longs through the exchange and the
+    // string is built map-side after
     Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber")
+      .dropDuplicates("l_orderkey", "l_linenumber")
       .select(
         $"l_orderkey", $"l_linenumber",
         concat(
           lit("[\"l_linenumber\",\""), $"l_linenumber".cast("string"),
           lit("\",\"l_orderkey\",\""), $"l_orderkey".cast("string"),
           lit("\"]")).as("seed_key"))
-      .dropDuplicates()
       .orderBy($"l_orderkey", $"l_linenumber")
 
   /** Nested DML document built from a flat row by the `cdc.`-prefix
-    * name convention (reference seed_store.clj:38-48). No-oracle: JSON
-    * field order is formatting, not semantics — property-tested against
-    * the golden fixture (FIXTURES.md A.3) in CdcTransformsSpec. The
-    * query synthesizes a seed-view-shaped frame from lineitem, applies
-    * the combinators, and returns (key, value). */
+    * name convention (reference seed_store.clj:38-48). Oracle-checked:
+    * Spark's `to_json(struct(...))` emits fields in select order, so
+    * the DuckDB oracle mirrors the exact field order with
+    * `struct_pack` — both engines produce byte-identical compact JSON
+    * (golden fixture FIXTURES.md A.3 still covers the combinators).
+    * The query synthesizes a seed-view-shaped frame from lineitem,
+    * applies the combinators, and returns (key, value) sorted by
+    * key. */
   val cdcDmlMsg: Q = (s, d) => {
     val seedView = Tables.lineitem(s, d)
       .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
@@ -45,7 +54,11 @@ object CdcOps {
         $"l_orderkey".cast("string").as("cdc.id.l_orderkey"),
         $"l_linenumber".cast("string").as("cdc.id.l_linenumber"),
         $"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+    // order by key AND value: the testdata's (l_orderkey, l_linenumber)
+    // is not unique, so same-key rows need the value as tie-break for a
+    // deterministic cross-engine row order
     Transforms.dmlMsgToSeedMsg(Transforms.seedRowToDmlMsg(seedView))
+      .orderBy($"key", $"value")
   }
 
   /** 2%-bucket progress ledger (reference core.clj:162-175): over the
@@ -120,8 +133,31 @@ object CdcOps {
     "cdc_status_filter" -> cdcStatusFilter,
   )
 
-  /** DuckDB oracles (cdc_dml_msg is no-oracle — JSON formatting). */
+  /** DuckDB oracles. cdc_dml_msg is checkable because both engines emit
+    * deterministic-field-order compact JSON (Spark: select order;
+    * DuckDB: struct_pack order). */
   val oracles: Map[String, String] = Map(
+    "cdc_dml_msg" ->
+      """WITH sv AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |  FROM lineitem
+        |  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |  LIMIT 1000)
+        |SELECT
+        |  to_json(['l_linenumber', CAST(l_linenumber AS VARCHAR),
+        |           'l_orderkey', CAST(l_orderkey AS VARCHAR)]) AS key,
+        |  to_json(struct_pack(
+        |    "type" := 'insert',
+        |    "table" := 'tpch.lineitem',
+        |    info := struct_pack(user_id := 'loader'),
+        |    id := struct_pack(l_orderkey := CAST(l_orderkey AS VARCHAR),
+        |                      l_linenumber := CAST(l_linenumber AS VARCHAR)),
+        |    data := struct_pack(l_orderkey := l_orderkey,
+        |                        l_linenumber := l_linenumber,
+        |                        l_quantity := l_quantity,
+        |                        l_extendedprice := l_extendedprice))) AS value
+        |FROM sv ORDER BY key, value""".stripMargin,
+
     "cdc_seed_key" ->
       """SELECT DISTINCT l_orderkey, l_linenumber,
         |  '["l_linenumber","' || CAST(l_linenumber AS VARCHAR)

@@ -46,10 +46,11 @@ object FileTopicStore {
     StructField("offset", LongType),
     StructField("ts", TimestampType)))
 
-  /** Cube-law backoff in ms: max(2, 2·round(n³/2))·1000 — the
-    * reference's delete-retry curve (topic_store.clj:21-27). */
+  /** Cube-law backoff in ms: 2·round(n³/2)·1000 — the reference's
+    * delete-retry curve (topic_store.clj:21-27). n=0 returns 0 (the
+    * first retry is immediate), matching the reference exactly. */
   def backoffMs(attempt: Int): Long =
-    math.max(2L, 2L * math.round(attempt * attempt * attempt / 2.0)) * 1000L
+    2L * math.round(attempt.toDouble * attempt * attempt / 2.0) * 1000L
 }
 
 /** @param root          directory holding one subdirectory per topic
@@ -63,13 +64,20 @@ object FileTopicStore {
   *                      (all compaction needs) holds with no global
   *                      coordination. The reference configures
   *                      partitions=1 (topic_store.clj:13-16); >1 is
-  *                      the scale path. Null keys go to partition 0. */
+  *                      the scale path. Null keys go to partition 0.
+  * @param dirtyRatio    when set, append() self-compacts the topic once
+  *                      the fraction of superseded keyed messages
+  *                      reaches this threshold — the engine analog of
+  *                      Kafka's `min.cleanable.dirty.ratio=0.75` that
+  *                      makes compaction an invariant rather than a
+  *                      maintenance chore (reference topic_store.clj:13-16). */
 class FileTopicStore(
     spark: SparkSession,
     root: String,
     sleeper: Long => Unit = Thread.sleep,
     failures: (String, String) => Boolean = (_, _) => false,
-    numPartitions: Int = 1)
+    numPartitions: Int = 1,
+    dirtyRatio: Option[Double] = None)
   extends TopicStore {
 
   private def dir(topic: String): Path = Paths.get(root, topic)
@@ -132,29 +140,40 @@ class FileTopicStore(
     * continue that partition's offset sequence. Offsets are assigned
     * with `zipWithIndex` (per-partition counts + cumulative bases —
     * narrow jobs, no global ordering point), so a 100 TB seed append
-    * stays fully parallel. Within one append the inter-key order
-    * follows the layout — valid, because a snapshot append carries at
-    * most one message per key and cross-append ordering is guaranteed
-    * by the per-partition base offsets (compaction only needs a total
-    * order per key, and a key lives in exactly one partition). One of
-    * the few sanctioned RDD uses: genuine per-partition indexing. */
+    * stays fully parallel.
+    *
+    * Intra-append ordering: a shuffle does NOT preserve row order, so
+    * when the caller's frame carries a `seq` column (any numeric — see
+    * [[graft.engine.cdc.Initializer.publishAll]]) rows are sorted
+    * within each partition by it before offsets are assigned; offsets
+    * then follow the caller's sequence BY CONTRACT, not by accident of
+    * task layout. Without `seq`, intra-append order is unspecified —
+    * valid only for appends carrying at most one message per key (the
+    * snapshot-seed path); cross-append ordering is always guaranteed by
+    * the per-partition base offsets, and a key lives in exactly one
+    * partition. One of the few sanctioned RDD uses: genuine
+    * per-partition indexing. */
   def append(topic: String, kv: DataFrame): Unit = {
     if (!exists(topic)) create(topic)
     val bases: Map[Int, Long] = maxOffsets(topic)
     val session = kv.sparkSession
     val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val seqCol =
+      if (kv.columns.contains("seq")) col("seq").cast("long") else lit(0L)
     val routed = kv.select(
         col("key").cast("string").as("key"),
-        col("value").cast("string").as("value"))
+        col("value").cast("string").as("value"),
+        seqCol.as("seq"))
       .withColumn("partition", partitionOf(col("key")))
     val perPartitionIdx = routed
       .repartition(numPartitions.min(64), col("partition"))
+      .sortWithinPartitions(col("partition"), col("seq"))
       .rdd.mapPartitions { it =>
         // rows of several topic-partitions may share a task; index each
         // topic-partition's rows independently
         val counters = scala.collection.mutable.Map.empty[Int, Long]
         it.map { r =>
-          val p = r.getInt(2)
+          val p = r.getInt(3)
           val i = counters.getOrElse(p, 0L); counters(p) = i + 1
           (r.getString(0), r.getString(1), p, i)
         }
@@ -168,6 +187,23 @@ class FileTopicStore(
     }
     session.createDataFrame(rows, FileTopicStore.schema)
       .write.mode("append").json(dir(topic).toString)
+    dirtyRatio.foreach(maybeAutoCompact(topic, _))
+  }
+
+  /** Dirty ratio of a topic = superseded keyed messages / keyed
+    * messages. One aggregate scan; a production store would keep
+    * running counters per segment instead of re-scanning. */
+  private def maybeAutoCompact(topic: String, threshold: Double): Unit = {
+    val stats = spark.read.schema(FileTopicStore.schema)
+      .json(dir(topic).toString)
+      .filter(col("key").isNotNull)
+      .agg(count(lit(1)).as("total"), countDistinct(col("key")).as("live"))
+      .collect().headOption
+    stats.foreach { r =>
+      val (total, live) = (r.getLong(0), r.getLong(1))
+      if (total > 0 && (total - live).toDouble / total >= threshold)
+        compact(topic)
+    }
   }
 
   private def hasFiles(topic: String): Boolean = {
@@ -193,11 +229,14 @@ class FileTopicStore(
     val keyed = readCompacted(topic).filter(col("key").isNotNull)
     val unkeyed = spark.read.schema(FileTopicStore.schema)
       .json(dir(topic).toString).filter(col("key").isNull)
-    val kept = keyed.unionByName(unkeyed).collect() // topics are control-plane-sized
+    // fully distributed: the surviving frame is written straight to a
+    // temp dir (materializing it BEFORE the source is deleted — the
+    // write is an action), then the directories are swapped. No
+    // collect(): compaction works on topics larger than driver memory.
     val tmp = Files.createTempDirectory(s"graft-compact-$topic")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(kept.toIndexedSeq, 1),
-        FileTopicStore.schema)
+    keyed.unionByName(unkeyed)
+      .select(FileTopicStore.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .repartition(numPartitions.min(64), col("partition"))
       .write.mode("overwrite").json(tmp.toString)
     deleteWithRetry(topic)
     create(topic)

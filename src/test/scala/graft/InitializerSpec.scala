@@ -140,6 +140,19 @@ class InitializerSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed timestamp in a control message degrades to epoch, never throws") {
+    val (init, _, _) = mkInit()
+    val df = Seq(
+      ("tpch.nation", """{"table":"tpch.nation","queue":"q","queue-table":"mq_q",
+        |"status":"submitted","timestamp":"not-a-timestamp"}""".stripMargin.replace("\n", "")),
+      ("tpch.region", """{"table":"tpch.region","queue":"q2","queue-table":"mq_q2",
+        |"status":"submitted"}""".stripMargin.replace("\n", "")))
+      .toDF("key", "value")
+    val ccds = init.decodeCcds(df)
+    assert(ccds.size == 2, "poison timestamps must not crash the decode")
+    assert(ccds.forall(_.timestamp.getTime == 0L), "malformed/missing → epoch default")
+  }
+
   test("replayed submission for a terminal CCD is skipped (at-least-once guard)") {
     val (init, plane, store) = mkInit()
     val first = init.process(ccd())

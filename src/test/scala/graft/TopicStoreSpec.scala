@@ -97,8 +97,43 @@ class TopicStoreSpec extends AnyFunSuite {
   }
 
   test("cube-law backoff curve matches the reference (topic_store.clj:21-27)") {
+    // n=0 → 0: the first retry is immediate, exactly as the reference's
+    // (-> n (pow 3) (/ 2) round (* 2) (* 1000)) evaluates at n=0
     val got = (0 to 5).map(FileTopicStore.backoffMs)
-    assert(got == Seq(2000L, 2000L, 8000L, 28000L, 64000L, 126000L))
+    assert(got == Seq(0L, 2000L, 8000L, 28000L, 64000L, 126000L))
+  }
+
+  test("append with a seq column pins intra-append offset order (multi-partition source)") {
+    val (store, _) = freshStore()
+    store.create("t")
+    // same key, several states in one append, source spread over many
+    // partitions — without the seq contract the final offset order would
+    // depend on task layout
+    val states = (0 until 8).map(i => ("tbl", s"state$i", i))
+    store.append("t", states.toDF("key", "value", "seq").repartition(8))
+    val vals = store.readAll("t").orderBy($"offset")
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(vals == (0 until 8).map(i => s"state$i"))
+    // compaction therefore keeps the LAST published state
+    val m = store.readCompacted("t").select("key", "value")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("tbl" -> "state7"))
+  }
+
+  test("dirty-ratio policy self-compacts a busy keyed topic") {
+    val root = Files.createTempDirectory("graft-topics-dr").toString
+    val store = new FileTopicStore(spark, root, sleeper = _ => (),
+      dirtyRatio = Some(0.75))
+    store.create("t")
+    // 4 generations of the same key: after the 4th append the ratio is
+    // (4-1)/4 ≥ 0.75 → auto-compaction fires
+    (1 to 4).foreach(i => store.append("t", Seq(("k", s"v$i")).toDF("key", "value")))
+    val rows = store.readAll("t").select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("k", "v4")), s"expected self-compacted single row, got $rows")
+    // appends continue past the surviving offset
+    store.append("t", Seq(("k2", "x")).toDF("key", "value"))
+    assert(store.readAll("t").count() == 2)
   }
 
   test("deleteWithRetry retries with backoff until gone, then can re-create") {
@@ -113,6 +148,6 @@ class TopicStoreSpec extends AnyFunSuite {
     intercept[RuntimeException](store.delete("t")) // first injected failure
     store.deleteWithRetry("t") // fails once more inside, then succeeds
     assert(!store.exists("t"))
-    assert(slept.nonEmpty && slept.head == 2000L)
+    assert(slept.nonEmpty && slept.head == 0L, "first retry is immediate (n=0 → 0ms)")
   }
 }
