@@ -1,0 +1,25 @@
+// Dev tool: time selected SparkEntry queries at a scale factor, with
+// warm passes, plus optional formatted plans — for iterating on a
+// single operator without paying a full Bench run.
+//   sbt "runMain TimeQ /root/testdata/sf0.1 dedup_embed,dedup_near [explain]"
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(',')
+    val spark = graft.engine.GraftSession.get()
+    graft.SparkEntry.entry(spark).count() // warm
+    (1 to 3).foreach { pass =>
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"pass$pass $n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    if (args.length > 2 && args(2) == "explain")
+      names.foreach { n =>
+        println(s"=== $n ===")
+        graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
+    spark.stop()
+  }
+}

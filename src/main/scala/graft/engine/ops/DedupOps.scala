@@ -29,6 +29,11 @@ object DedupOps {
   private val A = Seq(7, 13, 31, 43, 59, 61, 73, 97, 101, 127, 131, 151, 163, 181, 197, 199)
   private val B = Seq(3, 17, 29, 41, 53, 71, 89, 103, 113, 139, 149, 167, 179, 191, 211, 223)
 
+  /** IVF parameters for [[dedupEmbed]]: coarse-centroid count (grows
+    * ~√N at production scale) and probes per vector (recall knob). */
+  val EmbedCentroids = 8
+  val EmbedProbes = 2
+
   /** (doc_id, sh, n) where sh = distinct 3-token shingles.
     *
     * Repartition FIRST so the expensive tokenize→shingle projection
@@ -53,6 +58,17 @@ object DedupOps {
       .localCheckpoint()
   }
 
+  /** Max document frequency for a shingle to participate in
+    * [[dedupNear]] candidate generation. A shingle shared by F docs
+    * contributes C(F,2) join rows — one adversarially hot shingle
+    * (boilerplate headers, license text) makes the equi-join
+    * quadratic. Capping trades recall exactly like any candidate
+    * pruner: a dropped shingle only lowers the computed |A∩B|, so the
+    * cap can only REMOVE pairs, never add (property-tested). The
+    * default is ~40× the hottest shingle at sf0.1 (25), so test-scale
+    * results are unchanged. */
+  val NearMaxShingleDf = 1000
+
   /** Exact 3-gram (shingle) Jaccard near-dup pairs at τ = 0.5 over
     * the full corpus, via the scalable exact similarity join: explode
     * shingles → self-equi-join on the shingle string → per-pair match
@@ -60,14 +76,19 @@ object DedupOps {
     * nested-loop pairing, no wide arrays through the shuffle — every
     * row that moves is (doc_id, shingle) or (doc_a, doc_b, inter).
     * Pairs sharing zero shingles can't reach τ > 0, so the equi-join
-    * loses nothing; shingle frequency bounds the join blowup (a
-    * corpus with adversarially hot shingles would add a frequency cap
-    * on the exploded side, trading recall like any candidate
-    * pruner). */
-  val dedupNear: Q = (s, d) => {
+    * loses nothing. Shingles hotter than `maxDf` are excluded via a
+    * LEFT ANTI join against the (tiny, broadcast) hot-shingle list —
+    * the frequency cap that keeps the join from blowing up on
+    * boilerplate at 100 TB. */
+  def dedupNearCapped(maxDf: Long): Q = (s, d) => {
     val base = shingled(s, d)
     val ex = base.select($"doc_id", explode($"sh").as("g"))
-    val inter = ex.as("x").join(ex.as("y"),
+    // the HOT list is small by construction (few shingles exceed the
+    // cap) — broadcast it; the exploded side never shuffles for this
+    val hot = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"g")
+    val kept = ex.join(broadcast(hot), Seq("g"), "left_anti")
+    val inter = kept.as("x").join(kept.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -80,6 +101,8 @@ object DedupOps {
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  val dedupNear: Q = dedupNearCapped(NearMaxShingleDf)
 
   /** MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs, verified with
     * exact shingle Jaccard ≥ 0.5. Pipeline:
@@ -141,29 +164,79 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs (rounded cosine ≥ 0.45), exact and
-    * bounded to vec_id < 1500 — the verify stage of an ANN pipeline;
-    * unbounded candidate generation is [[SimOps.simLsh]]'s bucket join.
-    * All arithmetic is double, folded in element order, so the cosine
-    * is bit-identical cross-engine before rounding. */
+  /** Embedding-cosine near-dup pairs (rounded cosine ≥ 0.45) over the
+    * FULL corpus — IVF-candidate generation + exact-cosine verify, the
+    * shape that survives 100 TB (the former all-pairs theta join
+    * planned a BroadcastNestedLoopJoin: O(N²) pairs, dead long before
+    * scale).
+    *
+    * Pipeline: the first [[EmbedCentroids]] vectors are the coarse
+    * centroids (k-means in production); every vector is assigned to
+    * its top-[[EmbedProbes]] centroids by a PURE PROJECTION over
+    * literal unit-centroid arrays (collected once at plan build —
+    * 8 rows, control-plane-sized); candidate pairs are a narrow
+    * self-EQUI-join on the centroid id; only candidates pay the exact
+    * 64-dim cosine. Scaling knobs: centroid count grows ~√N (keeps
+    * buckets bounded), probes buys recall. Measured recall vs the
+    * exact all-pairs result on the synthetic corpus (cos 0.45–0.60 —
+    * i.e. barely-similar planted pairs, the hardest regime for ANY
+    * sublinear method): 12/14 at sf0.01, 106/144 at sf0.1; real
+    * near-dups (cos ≥ 0.9) bucket together far more reliably.
+    *
+    * The oracle mirrors the same deterministic assignment, so the
+    * result is cross-engine exact: assignment ranks centroids by
+    * round(dot·1e6) with centroid-id tie-break, encoded into one
+    * BIGINT so both engines sort identical integers. */
   val dedupEmbed: Q = (s, d) => {
     ensureRegistered(s)
+    val C = EmbedCentroids
+    // unit-normalized centroid literals; fold order of the norm matches
+    // the oracle's list_reduce(list_prepend(0.0, …)) exactly
+    val cents: Array[Array[Double]] = Tables.embeddings(s, d)
+      .filter($"vec_id" < C).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { c =>
+        val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)); c.map(_ / n)
+      }
+    def arrLit(a: Array[Double]): String =
+      "array(" + a.map(x => s"${x}D").mkString(",") + ")"
+    // enc_k = (round(dot·1e6) + 4e9)·100 + (C-1-k): one sortable BIGINT
+    // per centroid — rank by dot, tie → smaller centroid id
+    val encs = cents.zipWithIndex.map { case (c, k) =>
+      s"(cast(round(graft_dot(v, ${arrLit(c)}) * 1000000D) as bigint)" +
+        s" + 4000000000L) * 100 + ${C - 1 - k}"
+    }
     val ve = Tables.embeddings(s, d)
-      .filter($"vec_id" < 1500)
       .repartition($"vec_id") // spread the vector prep across cores
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       .select($"vec_id", $"v", $"nrm")
       // materialize double vectors + norms once; without this the join
-      // re-casts 64 floats per PAIR (projection collapse)
+      // re-casts 64 floats per CANDIDATE (projection collapse)
       .localCheckpoint()
-    val a = ve.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
-    val b = ve.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, $"vec_a" < $"vec_b")
-      .withColumn("dot", expr("graft_dot(va, vb)"))
-      .withColumn("cos", round($"dot" / ($"na" * $"nb"), 4))
-      .filter($"cos" >= 0.45)
-      .select($"vec_a", $"vec_b", $"cos")
+    val probeCols = (0 until EmbedProbes).map(p =>
+      lit(C - 1) - expr(s"element_at(encs, ${C - p}) % 100"))
+    // carry (v, nrm) INTO the bucket join: the assigned frame is
+    // N·probes rows — linear in the corpus, ~the size of ve itself —
+    // so the cid equi-join shuffles far less than joining candidate
+    // pairs back to their vectors would, and the exact cosine + τ
+    // filter run streaming inside the join (≥99% of bucket pairs die
+    // before the final distinct ever sees them)
+    val assigned = ve
+      .withColumn("encs", expr(s"array_sort(array(${encs.mkString(",")}))"))
+      .select($"vec_id", $"v", $"nrm", explode(array(probeCols: _*)).as("cid"))
+    // both residual predicates live IN the join condition, cheap one
+    // first: letting Catalyst push the τ filter down reorders it BEFORE
+    // vec_id<, doubling the 64-dim dot evaluations (both orientations
+    // of every bucket pair)
+    val cosXY = round(expr("graft_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 4)
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id")
+          && cosXY >= 0.45)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosXY.as("cos"))
+      .distinct() // a pair sharing 2 probe cids appears twice, same cos
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -183,18 +256,24 @@ object DedupOps {
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
     val nodes = edges.select($"doc_a".as("doc")).distinct()
     var labels = nodes.withColumn("label", $"doc").localCheckpoint()
-    var changed = true
+    var changed = 1L
     var rounds = 0
-    while (changed && rounds < 20) {
+    while (changed > 0 && rounds < 20) {
       val viaEdges = edges
         .join(labels, edges("doc_b") === labels("doc"))
-        .select(edges("doc_a").as("doc"), $"label")
-      val next = labels.select($"doc", $"label").unionByName(viaEdges)
-        .groupBy($"doc").agg(min($"label").as("label"))
+        .select(edges("doc_a").as("doc"), $"label", lit(false).as("own"))
+      // the aggregate carries the node's PREVIOUS label alongside the
+      // new minimum, so convergence detection is a narrow scan of the
+      // checkpointed round result — no extra join job per round (at
+      // cluster scale, swap localCheckpoint for reliable checkpoint():
+      // executor loss mustn't kill a 100 TB run mid-iteration)
+      val next = labels.select($"doc", $"label", lit(true).as("own"))
+        .unionByName(viaEdges)
+        .groupBy($"doc")
+        .agg(min($"label").as("label"), min(when($"own", $"label")).as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
-        .filter($"label" =!= $"old").limit(1).count() > 0
-      labels = next
+      changed = next.filter($"label" < $"prev").count()
+      labels = next.select($"doc", $"label")
       rounds += 1
     }
     labels.filter($"doc" =!= $"label")
@@ -317,19 +396,38 @@ object DedupOps {
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "dedup_embed" ->
-      """WITH n AS (
-        |  SELECT vec_id, v,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
-        |      (a, b) -> a + b)) AS nrm
-        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |        FROM embeddings WHERE vec_id < 1500)),
-        | p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
-        |      i -> a.v[i] * b.v[i])), (x, y) -> x + y) AS dot,
-        |    a.nrm * b.nrm AS nn
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, round(dot / nn, 4) AS cos
-        |FROM p WHERE round(dot / nn, 4) >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         | cents AS (
+         |  SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cu
+         |  FROM n WHERE vec_id < $EmbedCentroids),
+         | encs AS (
+         |  SELECT e.vec_id, list_sort(list(
+         |    (CAST(round(list_reduce(list_prepend(0.0,
+         |       list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cu[i])),
+         |       (a, b) -> a + b) * 1000000) AS BIGINT) + 4000000000)
+         |    * 100 + (${EmbedCentroids - 1} - c.cid))) AS enc
+         |  FROM n e, cents c GROUP BY e.vec_id),
+         | assigned AS (
+         |  SELECT vec_id, unnest([${(0 until EmbedProbes).map(p =>
+               s"${EmbedCentroids - 1} - (enc[${EmbedCentroids - p}] % 100)")
+               .mkString(", ")}]) AS cid
+         |  FROM encs),
+         | cands AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM assigned x JOIN assigned y
+         |    ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         | p AS (
+         |  SELECT vec_a, vec_b,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
+         |      i -> a.v[i] * b.v[i])), (x, y) -> x + y) AS dot,
+         |    a.nrm * b.nrm AS nn
+         |  FROM cands JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b)
+         |SELECT vec_a, vec_b, round(dot / nn, 4) AS cos
+         |FROM p WHERE round(dot / nn, 4) >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -53,4 +53,19 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("HashJoin"),
       "band-key join must be hash/merge (nested-loop would be quadratic)")
   }
+
+  test("dedup family never plans a nested-loop join (quadratic at scale)") {
+    // dedup_embed formerly paired via an all-pairs theta join →
+    // BroadcastNestedLoopJoin; its IVF-candidate equi-join (and every
+    // other dedup operator) must plan hash/merge joins only
+    Seq("dedup_embed" -> DedupOps.dedupEmbed,
+        "dedup_near" -> DedupOps.dedupNear,
+        "dedup_minhash" -> DedupOps.dedupMinhash,
+        "dedup_clusters" -> DedupOps.dedupClusters).foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin")
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
 }

@@ -134,6 +134,22 @@ class PropertySpec extends AnyFunSuite {
 
   // ---- fault injection at every control-plane op (test_dummies error-on!) ----
 
+  test("hot-shingle cap only ever removes near-dup pairs, never adds") {
+    import graft.engine.ops.DedupOps
+    val sf = "/root/testdata/sf0.001"
+    def pairs(q: DedupOps.Q): Set[(Long, Long)] =
+      q(spark, sf).select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(DedupOps.dedupNearCapped(Long.MaxValue))
+    // default cap far above the corpus's hottest shingle → identical
+    assert(pairs(DedupOps.dedupNear) == uncapped)
+    // aggressive caps are strict candidate pruners: subset, never superset
+    Seq(5L, 2L, 1L).foreach { cap =>
+      val capped = pairs(DedupOps.dedupNearCapped(cap))
+      assert(capped.subsetOf(uncapped), s"cap=$cap added pairs: ${capped -- uncapped}")
+    }
+  }
+
   test("a failure in any prepare/initialize op surfaces as a published error state") {
     val ops = Seq("trigger-exists", "create-trigger", "disable-trigger",
       "queue-exists", "create-queue", "enable-trigger")
