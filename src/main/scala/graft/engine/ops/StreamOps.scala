@@ -73,11 +73,67 @@ object StreamOps {
       .orderBy($"event_id")
   }
 
+  /** Stream-stream interval join: purchases within 1 hour AFTER a
+    * click by the same user. Exactly the shape Structured Streaming
+    * plans for a watermarked stream-stream join — equi-join on the key
+    * with a time-range residual predicate; state retention on a real
+    * stream is bounded by the interval + watermark. The equi-key
+    * carries the shuffle; the range is a cheap residual, so this
+    * scales like any keyed join (no time-bucketing blowup). */
+  val streamJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val buys = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+    clicks.join(buys, "user_id")
+      .filter($"purchase_ts" >= $"click_ts"
+        && $"purchase_ts" < $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"click_id", $"purchase_id")
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
+  /** Watermarked stream dedup analog (`withWatermark` +
+    * `dropDuplicates("user_id","event_type")`): FIRST arrival wins, in
+    * (ts, event_id) order — one `min_by` grouped aggregate, map-side
+    * partial, no window-function sort of the whole log. */
+  val streamDedup: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy($"user_id", $"event_type")
+      .agg(min_by($"event_id", struct($"ts", $"event_id")).as("first_event_id"),
+        min($"ts").cast("timestamp").cast("long").as("first_ts"))
+      .orderBy($"user_id", $"event_type")
+
+  /** Custom-state analog: per-user LONGEST STREAK of consecutive
+    * same-type events in (ts, event_id) order. Batch form is
+    * gaps-and-islands (two ranked windows partitioned by user — the
+    * sort is per-user, never global); the live form is the
+    * mapGroupsWithState machine in
+    * [[graft.engine.streaming.StatefulStreaks]], spec-checked to
+    * produce identical results on the same data. */
+  val streamState: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byUserType =
+      Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        (row_number().over(byUser) - row_number().over(byUserType)).as("grp"))
+      .groupBy($"user_id", $"event_type", $"grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(max($"len").as("longest"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_late" -> streamLate,
+    "stream_join" -> streamJoin,
+    "stream_dedup" -> streamDedup,
+    "stream_state" -> streamState,
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,5 +171,35 @@ object StreamOps {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
         |ORDER BY event_id""".stripMargin,
+
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS first_ts
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "stream_state" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts, event_id) AS grp
+        |  FROM events),
+        | runs AS (
+        |  SELECT user_id, count(1) AS len
+        |  FROM o GROUP BY user_id, event_type, grp)
+        |SELECT user_id, max(len) AS longest
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
