@@ -154,7 +154,31 @@ object Relational3 {
       .distinct()
       .orderBy($"k")
 
+  /** Band (range) join via integer bucketing — the equi-join rewrite of
+    * an interval predicate (what a range-join hint does natively on
+    * engines that have one): parts priced within ±0.5 of a unit-priced
+    * line's value. Each probe row explodes to its bucket ±1 (bucket
+    * width ≥ band width guarantees coverage), the join is a plain hash
+    * equi-join on the bucket, and the exact band predicate filters the
+    * residual. Without this rewrite Spark plans BroadcastNestedLoopJoin
+    * — O(N·M) at any scale; with it the cost is the true candidate
+    * count. */
+  val joinRangeBucket: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).filter($"l_quantity" === 1.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice".as("u"))
+    val p = Tables.part(s, d).select($"p_partkey", $"p_retailprice")
+      .withColumn("bucket", floor($"p_retailprice"))
+    li.withColumn("bucket",
+        explode(array(floor($"u") - 1, floor($"u"), floor($"u") + 1)))
+      .join(p, "bucket")
+      .filter(abs($"u" - $"p_retailprice") <= 0.5)
+      .select($"l_orderkey", $"l_linenumber", $"p_partkey",
+        round(abs($"u" - $"p_retailprice"), 4).as("price_diff"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"price_diff")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_range_bucket" -> joinRangeBucket,
     "win_lead" -> winLead,
     "set_union_distinct" -> setUnionDistinct,
     "agg_corr" -> aggCorr,
@@ -169,6 +193,14 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_range_bucket" ->
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
+        |  round(abs(l.l_extendedprice - p.p_retailprice), 4) AS price_diff
+        |FROM lineitem l JOIN part p
+        |  ON abs(l.l_extendedprice - p.p_retailprice) <= 0.5
+        |WHERE l.l_quantity = 1
+        |ORDER BY l.l_orderkey, l.l_linenumber, p.p_partkey, price_diff""".stripMargin,
+
     "win_lead" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey

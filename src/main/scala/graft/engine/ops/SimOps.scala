@@ -115,10 +115,32 @@ object SimOps {
       .limit(5)
   }
 
+  /** Element-wise mean embedding per group (the k-means update step /
+    * per-cluster centroid computation). Cross-engine-exact double sums
+    * are impossible (fold order), so each float is scaled to an exact
+    * BIGINT first — x·1e9 is exactly representable (24-bit float
+    * mantissa × 5⁹ < 2⁵³) and round() ties break identically (both
+    * engines round half away from zero) — then summed order-free in
+    * integer space; one division at the end. posexplode → one hash
+    * aggregate on (grp, pos): fully map-side-combined, scales as a
+    * plain grouped agg. */
+  val embedGroupMean: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .repartition($"vec_id")
+      .select(($"vec_id" % 8).as("grp"), posexplode(
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000000D) as bigint))")))
+      .groupBy($"grp", $"pos")
+      .agg(sum($"col").as("ssum"), count(lit(1)).as("n"))
+      .select($"grp", $"pos",
+        round($"ssum".cast("double")
+          / ($"n" * lit(1000000000L)).cast("double"), 6).as("mean"))
+      .orderBy($"grp", $"pos")
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
     "sim_lsh" -> simLsh,
     "sim_ivf" -> simIvf,
+    "embed_group_mean" -> embedGroupMean,
   )
 
   private val duckDot =
@@ -143,6 +165,16 @@ object SimOps {
       |    (a, b) -> a + b) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_group_mean" ->
+      """WITH ex AS (
+        |  SELECT vec_id % 8 AS grp, u.i - 1 AS pos,
+        |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000000) AS BIGINT) AS sv
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u)
+        |SELECT grp, pos,
+        |  round(CAST(sum(sv) AS DOUBLE)
+        |    / CAST(count(1) * 1000000000 AS DOUBLE), 6) AS mean
+        |FROM ex GROUP BY grp, pos ORDER BY grp, pos""".stripMargin,
+
     "sim_topk" ->
       s"""WITH $duckVecs
          |SELECT e.vec_id, round($duckDot / (e.nrm * q.nrm), 4) AS cos

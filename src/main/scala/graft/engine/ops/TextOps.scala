@@ -189,6 +189,48 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Top-3 keywords per document by an INTEGER-EXACT tf-idf ranking:
+    * score = tf · N_docs · 10⁶ DIV df (BIGINT division). Log-free on
+    * purpose — ln()'s low bits are implementation-defined, so a
+    * conventional tf·ln(N/df) could rank ties differently across
+    * engines; integer scores rank identically everywhere and preserve
+    * the tf·(N/df) order. Shape: one tf aggregate (doc, term), one
+    * vocab-sized df aggregate, an equi-join on term, and a per-doc
+    * ranked window — every stage partial-aggregates map-side; nothing
+    * is corpus-global except the broadcast scalar N. */
+  val textTfidf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * n_docs * 1000000 DIV df"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"term", $"score")
+      .orderBy($"doc_id", $"score".desc, $"term")
+  }
+
+  /** Corpus-level bigram frequency: top-50 token 2-grams. The global
+    * term-statistics pass of a data pipeline (boilerplate detection,
+    * vocab building): bigram explode → one hash aggregate → bounded
+    * top-N merge, all map-side-combined. */
+  val textNgramFreq: Q = (s, d) =>
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .withColumn("toks", tokens($"text"))
+      .select(explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+          "ELSE array() END")).as("gram"))
+      .groupBy($"gram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"gram")
+      .limit(50)
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
@@ -197,9 +239,34 @@ object TextOps {
     "text_langid" -> textLangid,
     "text_langid_ngram" -> textLangidNgram,
     "text_fingerprint" -> textFingerprint,
+    "text_tfidf" -> textTfidf,
+    "text_ngram_freq" -> textNgramFreq,
   )
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(1) AS tf FROM toks GROUP BY 1, 2),
+        | df AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(1) AS n_docs FROM documents),
+        | scored AS (
+        |  SELECT doc_id, tf.term AS term, (tf * n_docs * 1000000) // df AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY (tf * n_docs * 1000000) // df DESC, tf.term) AS rn
+        |  FROM tf JOIN df ON tf.term = df.term, n)
+        |SELECT doc_id, term, score FROM scored WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+    "text_ngram_freq" ->
+      """SELECT gram, count(1) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |        FROM documents))
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(1) AS n_copies
         |FROM (SELECT doc_id,

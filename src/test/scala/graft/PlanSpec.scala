@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite {
       "band-key join must be hash/merge (nested-loop would be quadratic)")
   }
 
+  test("join_range_bucket's interval predicate rides a hash equi-join") {
+    // the bucketed rewrite exists to avoid the BroadcastNestedLoopJoin a
+    // raw interval join plans — regression-guard the equi-join shape
+    val p = plan(graft.engine.ops.Relational3.joinRangeBucket(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band join must stay an equi-join on the bucket")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("dedup family never plans a nested-loop join (quadratic at scale)") {
     // dedup_embed formerly paired via an all-pairs theta join →
     // BroadcastNestedLoopJoin; its IVF-candidate equi-join (and every
