@@ -81,6 +81,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    // abs(x−y) <= c interval joins → bucketed equi-joins (see
+    // graft.engine.plans.BandJoinRule): plan-level, no call-site changes
+    ext.injectOptimizerRule(_ => graft.engine.plans.BandJoinRule)
   }
 }
 

@@ -177,7 +177,23 @@ object Relational3 {
       .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"price_diff")
   }
 
+  /** The SAME band join written the naive way — `abs(u − p) <= 0.5`
+    * with no manual bucketing. [[graft.engine.plans.BandJoinRule]]
+    * (injected via GraftExtensions) rewrites it to the bucketed
+    * equi-join automatically; identical oracle to join_range_bucket,
+    * and BandJoinRuleSpec asserts the plan carries no nested loop. */
+  val joinBandAuto: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).filter($"l_quantity" === 1.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice".as("u"))
+    li.join(Tables.part(s, d).select($"p_partkey", $"p_retailprice"),
+        abs($"u" - $"p_retailprice") <= 0.5)
+      .select($"l_orderkey", $"l_linenumber", $"p_partkey",
+        round(abs($"u" - $"p_retailprice"), 4).as("price_diff"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"price_diff")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_band_auto" -> joinBandAuto,
     "join_range_bucket" -> joinRangeBucket,
     "win_lead" -> winLead,
     "set_union_distinct" -> setUnionDistinct,
@@ -193,6 +209,14 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_band_auto" ->
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
+        |  round(abs(l.l_extendedprice - p.p_retailprice), 4) AS price_diff
+        |FROM lineitem l JOIN part p
+        |  ON abs(l.l_extendedprice - p.p_retailprice) <= 0.5
+        |WHERE l.l_quantity = 1
+        |ORDER BY l.l_orderkey, l.l_linenumber, p.p_partkey, price_diff""".stripMargin,
+
     "join_range_bucket" ->
       """SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
         |  round(abs(l.l_extendedprice - p.p_retailprice), 4) AS price_diff

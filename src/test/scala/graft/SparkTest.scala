@@ -8,6 +8,9 @@ object SparkTest {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // same extensions as GraftSession: native functions + BandJoinRule
+      .config("spark.sql.extensions",
+        classOf[graft.engine.functions.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
