@@ -25,6 +25,10 @@ object CdcOps {
     // string is built map-side after
     Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_linenumber")
+      // the single-row-group parquet file scans as ONE task; repartition
+      // on the dedup keys parallelizes the aggregate (the exchange
+      // satisfies dropDuplicates' distribution, so no second shuffle)
+      .repartition($"l_orderkey", $"l_linenumber")
       .dropDuplicates("l_orderkey", "l_linenumber")
       .select(
         $"l_orderkey", $"l_linenumber",
