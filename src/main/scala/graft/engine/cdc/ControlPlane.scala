@@ -11,7 +11,12 @@ import scala.collection.mutable
   */
 trait ControlPlane {
   def triggerExists(table: String): Boolean
-  def createTrigger(table: String): Unit
+  /** Create the change-capture trigger for `table`, routing captured
+    * changes to `queue` in `queueTable` (reference
+    * create_trigger.sql:1-10 — `create_cdc_trigger(schema, table,
+    * queue, …)` takes the queue for exactly this reason). Created
+    * DISABLED; [[enableTrigger]] arms it. */
+  def createTrigger(table: String, queue: String, queueTable: String): Unit
   def enableTrigger(table: String): Unit
   def disableTrigger(table: String): Unit
   def triggerEnabled(table: String): Boolean
@@ -38,7 +43,9 @@ class InMemoryControlPlane(
   val cleared: mutable.Buffer[String] = mutable.Buffer()
 
   def triggerExists(table: String): Boolean = { check("trigger-exists"); triggers.contains(table) }
-  def createTrigger(table: String): Unit = { check("create-trigger"); triggers(table) = false }
+  def createTrigger(table: String, queue: String = "", queueTable: String = ""): Unit = {
+    check("create-trigger"); triggers(table) = false
+  }
   def enableTrigger(table: String): Unit = {
     check("enable-trigger")
     require(triggers.contains(table), s"no trigger for $table")

@@ -147,7 +147,10 @@ class Initializer(
     val out = Seq.newBuilder[Ccd]
     try {
       if (plane.triggerExists(ccd.table)) plane.disableTrigger(ccd.table)
-      else { plane.createTrigger(ccd.table); out += stamp(ccd, Status.TriggerCreated) }
+      else {
+        plane.createTrigger(ccd.table, ccd.queue, ccd.queueTable)
+        out += stamp(ccd, Status.TriggerCreated)
+      }
       if (plane.queueExists(ccd.queue)) plane.clearQueue(ccd.queue)
       else { plane.createQueue(ccd.queue, ccd.queueTable); out += stamp(ccd, Status.QueueCreated) }
       if (topics.exists(ccd.queue)) topics.clear(ccd.queue)
