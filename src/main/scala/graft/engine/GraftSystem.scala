@@ -24,9 +24,20 @@ class GraftSystem(
     val root: String,
     val controlTopic: String = "cdc-control",
     val seedView: String => Option[DataFrame] = _ => None,
-    val plane: ControlPlane = new InMemoryControlPlane()) {
+    val plane: ControlPlane = new InMemoryControlPlane(),
+    /** topic partitions for the data path — the reference configures 1
+      * (topic_store.clj:13-16); >1 spreads seed appends and compaction
+      * across keys, the 100 TB layout (each key still lives in exactly
+      * one partition, so per-key ordering is unaffected). */
+    val topicPartitions: Int = 1,
+    /** when set, busy keyed topics self-compact at this dirty ratio
+      * (Kafka's `min.cleanable.dirty.ratio`, default off ↔ manual
+      * `compact()`). */
+    val dirtyRatio: Option[Double] = None) {
 
-  val topics: TopicStore = new FileTopicStore(spark, root)
+  val topics: TopicStore =
+    new FileTopicStore(spark, root, numPartitions = topicPartitions,
+      dirtyRatio = dirtyRatio)
 
   val initializer: Initializer =
     new Initializer(spark, plane, topics, controlTopic, seedView)
