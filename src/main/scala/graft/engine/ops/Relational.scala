@@ -126,7 +126,10 @@ object Relational {
       .select($"l_orderkey", $"l_linenumber", $"p_partkey", $"p_size", $"l_quantity")
       .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"l_quantity")
 
-  /** Composite-key self join against a derived aggregate. */
+  /** Composite-key self join against a derived aggregate. (AQE picks a
+    * broadcast of the aggregate side at bench scale — an explicit
+    * repartition was measured neutral-to-worse: the probe side of a
+    * BHJ needs no distribution, so the extra exchange is pure cost.) */
   val joinMultikey: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val firstLines = li.groupBy($"l_orderkey".as("o_key"))
