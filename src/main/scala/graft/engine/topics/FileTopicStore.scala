@@ -253,6 +253,14 @@ class FileTopicStore(
     spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
       .orderBy(col("partition"), col("offset"))
 
+  /** DataSource V2 read of the full log
+    * ([[graft.engine.sources.TopicSource]]): per-file scan splits,
+    * offset/partition predicate pushdown, column pruning. Unordered —
+    * consumers that need offset order sort explicitly. */
+  def readV2(topic: String): DataFrame =
+    spark.read.format(classOf[graft.engine.sources.TopicSource].getName)
+      .load(dir(topic).toString)
+
   def readCompacted(topic: String): DataFrame =
     graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
       spark.read.schema(FileTopicStore.schema).json(dir(topic).toString))
