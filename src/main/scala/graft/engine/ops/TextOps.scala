@@ -231,7 +231,38 @@ object TextOps {
       .orderBy($"n".desc, $"gram")
       .limit(50)
 
+  /** Repetition quality signals (the Gopher/C4-style repetition
+    * filters): per doc, the fraction of all token bigrams taken by the
+    * single most frequent bigram, and the fraction of duplicate lines.
+    * Both are exact integer ratios (one IEEE division + round at the
+    * end), so they hash-match cross-engine. Shape: bigram explode →
+    * (doc, gram) count → per-doc max/sum — two map-side-combined
+    * aggregates; line stats are a pure projection. */
+  val textRepetition: Q = (s, d) => {
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val bigrams = docs
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+          "ELSE array() END")).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(round(max($"cnt").cast("double") / sum($"cnt"), 4).as("top_bigram_frac"))
+    docs
+      .withColumn("lines", expr("filter(split(text, '\\n'), x -> x <> '')"))
+      .select($"doc_id",
+        when(size($"lines") > 0,
+          round((size($"lines") - size(array_distinct($"lines"))).cast("double")
+            / size($"lines"), 4)).otherwise(0.0).as("dup_line_frac"))
+      .join(bigrams, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"top_bigram_frac", lit(0.0)).as("top_bigram_frac"),
+        $"dup_line_frac")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_repetition" -> textRepetition,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
     "text_token_count" -> textTokenCount,
@@ -244,6 +275,31 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_bigram_frac
+        |  FROM (
+        |    SELECT doc_id, gram, count(1) AS cnt FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |            FROM documents))
+        |    GROUP BY doc_id, gram)
+        |  GROUP BY doc_id),
+        | l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |        / len(lines), 4) ELSE 0.0 END AS dup_line_frac
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+        |        FROM documents))
+        |SELECT l.doc_id, coalesce(g.top_bigram_frac, 0.0) AS top_bigram_frac,
+        |  l.dup_line_frac
+        |FROM l LEFT JOIN g ON g.doc_id = l.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
