@@ -136,11 +136,33 @@ object SimOps {
           / ($"n" * lit(1000000000L)).cast("double"), 6).as("mean"))
       .orderBy($"grp", $"pos")
 
+  /** Per-vector int8 scalar quantization (the storage/ANN compression
+    * pass: 4× smaller than float32, 8× smaller than the double form):
+    * q_i = round((x_i − min) / ((max − min)/255)) ∈ [0, 255], plus the
+    * max reconstruction error. Pure map-only projection — scales as a
+    * scan; every step is IEEE arithmetic both engines execute
+    * identically (div + round-half-away, no sums). */
+  val embedQuantize: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .repartition($"vec_id")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("mn", expr("array_min(v)"))
+      .withColumn("scale", (expr("array_max(v)") - $"mn") / 255.0)
+      .withColumn("q", expr(
+        "transform(v, x -> CASE WHEN scale > 0D " +
+          "THEN cast(round((x - mn) / scale) as int) ELSE 0 END)"))
+      .withColumn("max_err", round(expr(
+        "array_max(transform(v, (x, i) -> " +
+          "abs(x - (mn + element_at(q, i + 1) * scale))))"), 6))
+      .select($"vec_id", $"q", $"max_err")
+      .orderBy($"vec_id")
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
     "sim_lsh" -> simLsh,
     "sim_ivf" -> simIvf,
     "embed_group_mean" -> embedGroupMean,
+    "embed_quantize" -> embedQuantize,
   )
 
   private val duckDot =
@@ -165,6 +187,22 @@ object SimOps {
       |    (a, b) -> a + b) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH n AS (
+        |  SELECT vec_id, v, list_min(v) AS mn,
+        |    (list_max(v) - list_min(v)) / 255.0 AS scale
+        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings)),
+        | q AS (
+        |  SELECT vec_id, v, mn, scale,
+        |    list_transform(v, x -> CASE WHEN scale > 0 THEN
+        |      CAST(round((x - mn) / scale) AS INTEGER) ELSE 0 END) AS q
+        |  FROM n)
+        |SELECT vec_id, q,
+        |  round(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(v[i] - (mn + q[i] * scale)))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "embed_group_mean" ->
       """WITH ex AS (
         |  SELECT vec_id % 8 AS grp, u.i - 1 AS pos,
