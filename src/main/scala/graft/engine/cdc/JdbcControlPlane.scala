@@ -35,6 +35,20 @@ class JdbcControlPlane(
     try f(c) finally c.close()
   }
 
+  /** Names interpolated into DDL must be plain identifiers — queue and
+    * queue-table names arrive from externally-submitted CCDs, and the
+    * reference binds its parameters (create_queue.sql `:table`/`:name`)
+    * rather than splicing them. A violation throws, which the
+    * initializer's prepare() converts into an `error` STATE — so a
+    * hostile control message degrades like any other invalid spec
+    * instead of reaching the database. */
+  private val Ident = """^[A-Za-z][A-Za-z0-9_$#]*$""".r
+  private def checkIdent(name: String): String = name match {
+    case Ident() => name
+    case _ => throw new IllegalArgumentException(
+      s"not a valid identifier: '$name'")
+  }
+
   private def exec(sql: String): Unit = withConn(_.createStatement().execute(sql))
 
   private def queryLong(sql: String): Long = withConn { c =>
@@ -86,8 +100,10 @@ class JdbcControlPlane(
   }
 
   def enableTrigger(table: String): Unit = {
-    val (name, queue, queueTable) = registryRow(table)
+    val (name, queue, queueTable0) = registryRow(table)
       .getOrElse(throw new IllegalStateException(s"no trigger for $table"))
+    val queueTable = checkIdent(queueTable0)
+    checkIdent(queue)
     val (dbTable, keyCol) = tables(table)
     if (!triggerEnabled(table))
       exec(
@@ -107,10 +123,14 @@ class JdbcControlPlane(
     queryLong("SELECT count(*) FROM SYS.SYSTRIGGERS WHERE TRIGGERNAME = '" +
       trgName(table) + "'") > 0
 
-  def queueExists(queue: String): Boolean =
-    queryLong(s"SELECT count(*) FROM GRAFT_QUEUES WHERE queue = '$queue'") > 0
+  def queueExists(queue: String): Boolean = withConn { c =>
+    val ps = c.prepareStatement("SELECT count(*) FROM GRAFT_QUEUES WHERE queue = ?")
+    ps.setString(1, queue)
+    val rs = ps.executeQuery(); rs.next(); rs.getLong(1) > 0
+  }
 
   def createQueue(queue: String, queueTable: String): Unit = withConn { c =>
+    checkIdent(queue); checkIdent(queueTable)
     if (!tableExists(queueTable))
       c.createStatement().execute(
         s"""CREATE TABLE $queueTable (
@@ -127,8 +147,11 @@ class JdbcControlPlane(
       "SELECT queue_table FROM GRAFT_QUEUES WHERE queue = ?")
     ps.setString(1, queue)
     val rs = ps.executeQuery()
-    if (rs.next())
-      c.createStatement().execute(
-        s"DELETE FROM ${rs.getString(1)} WHERE q_name = '$queue'")
+    if (rs.next()) {
+      val qt = checkIdent(rs.getString(1))
+      val del = c.prepareStatement(s"DELETE FROM $qt WHERE q_name = ?")
+      del.setString(1, queue)
+      del.executeUpdate()
+    }
   }
 }

@@ -88,6 +88,33 @@ class JdbcControlPlaneSpec extends AnyFunSuite {
     assert(queueRows(url, "mq_q_nation").isEmpty, "clear_queue.sql semantics")
   }
 
+  test("hostile queue names become error states, never DDL") {
+    val url = freshDb()
+    loadNation(url)
+    val plane = mkPlane(url)
+    val src = new JdbcSeedSource(spark, url,
+      Map("tpch.nation" -> JdbcSeedSource.TableSpec(
+        "NATION", Seq("n_nationkey"), "n_nationkey")))
+    val root = Files.createTempDirectory("graft-cp-inj").toString
+    val store = new FileTopicStore(spark, root, sleeper = _ => ())
+    val init = new Initializer(spark, plane, store, "control", src.view,
+      now = () => new Timestamp(1700000001000L))
+    store.create("control")
+    // queue-table name carrying SQL — interpolating it would execute DDL
+    val states = init.process(Ccd("tpch.nation", "q_nation",
+      "mq (q VARCHAR(9)); DROP TABLE NATION; --",
+      None, Status.Submitted, new Timestamp(1700000000000L)))
+    assert(states.last.status == Status.Error,
+      s"got: ${states.map(_.status)}")
+    assert(states.last.error.exists(_.contains("not a valid identifier")))
+    // the captured table survived
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery("SELECT count(*) FROM NATION")
+      rs.next(); assert(rs.getLong(1) == 25)
+    } finally c.close()
+  }
+
   test("full initializer cycle with JDBC control plane + JDBC seed source") {
     val url = freshDb()
     loadNation(url)
