@@ -222,9 +222,16 @@ class FileTopicStore(
     * message per key (Kafka's background log cleaner, triggered
     * explicitly — the reference relies on `cleanup.policy=compact` +
     * `min.cleanable.dirty.ratio`, topic_store.clj:13-16). Offsets and
-    * partitions are preserved, so readers and the streaming tail see
-    * consistent positions; null-keyed messages are all retained (Kafka
-    * semantics: compaction needs a key). */
+    * partitions are preserved, so batch readers see consistent
+    * positions; null-keyed messages are all retained (Kafka semantics:
+    * compaction needs a key).
+    *
+    * Do NOT compact a topic while a streaming tail is attached: the
+    * file source tracks FILES, so it would re-read the rewritten log
+    * as new input (duplicate deliveries — convergent under keyed
+    * compaction semantics, but wasteful). Run compaction as batch-side
+    * maintenance between streaming sessions, like Kafka's cleaner runs
+    * outside the fetch path. */
   def compact(topic: String): Unit = {
     val keyed = readCompacted(topic).filter(col("key").isNotNull)
     val unkeyed = spark.read.schema(FileTopicStore.schema)
