@@ -285,7 +285,29 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥ 10
+    * distinct 3-gram shingles with the eval set (doc_id < 20 stands in
+    * for the held-out benchmark) — the n-gram-overlap contamination
+    * check every serious training-data pipeline runs before training.
+    * Shape: the eval shingle set is SMALL by nature → broadcast
+    * equi-join against the exploded corpus shingles, one count
+    * aggregate; the corpus side is map-only + one shuffle on doc_id.
+    * At 100 TB this is a broadcast-semi-join scan, not a join of two
+    * big sides. */
+  val dedupContamination: Q = (s, d) => {
+    val base = shingled(s, d)
+    val evalSh = base.filter($"doc_id" < 20)
+      .select(explode($"sh").as("g")).distinct()
+    base.filter($"doc_id" >= 20)
+      .select($"doc_id", explode($"sh").as("g"))
+      .join(broadcast(evalSh), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("overlap"))
+      .filter($"overlap" >= 10)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_contamination" -> dedupContamination,
     "dedup_near" -> dedupNear,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -307,6 +329,15 @@ object DedupOps {
       |  WHERE len(toks) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_contamination" ->
+      s"""WITH $duckShingled,
+         | ev AS (SELECT DISTINCT unnest(sh) AS g FROM docs WHERE doc_id < 20),
+         | cx AS (SELECT doc_id, unnest(sh) AS g FROM docs WHERE doc_id >= 20)
+         |SELECT doc_id, count(1) AS overlap
+         |FROM cx JOIN ev USING (g)
+         |GROUP BY doc_id HAVING count(1) >= 10
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_near" ->
       s"""WITH $duckShingled
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -157,10 +157,32 @@ object SimOps {
       .select($"vec_id", $"q", $"max_err")
       .orderBy($"vec_id")
 
+  /** Batched exact retrieval: top-5 cosine neighbors for EACH of the
+    * first 10 query vectors in one corpus pass — the batch-ANN shape
+    * (broadcast the query block, one scan, per-query bounded top-k).
+    * Spark plans the rank filter as WindowGroupLimit: each task keeps
+    * only 5 rows per query before the shuffle, so the corpus never
+    * materializes Q×N scored rows. */
+  val simBatchTopk: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ve = vecs(s, d).localCheckpoint()
+    val qs = ve.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    ve.filter($"vec_id" >= 10)
+      .crossJoin(broadcast(qs))
+      .withColumn("cos", round(expr(dotSql) / ($"nrm" * $"qn"), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"vec_id", $"cos")
+      .orderBy($"qid", $"cos".desc, $"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
     "sim_lsh" -> simLsh,
     "sim_ivf" -> simIvf,
+    "sim_batch_topk" -> simBatchTopk,
     "embed_group_mean" -> embedGroupMean,
     "embed_quantize" -> embedQuantize,
   )
@@ -187,6 +209,20 @@ object SimOps {
       |    (a, b) -> a + b) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_batch_topk" ->
+      s"""WITH $duckVecs,
+         | scored AS (
+         |  SELECT q.vec_id AS qid, e.vec_id,
+         |    round($duckDot / (e.nrm * q.nrm), 4) AS cos
+         |  FROM vecs e, (SELECT vec_id, v, nrm FROM vecs WHERE vec_id < 10) q
+         |  WHERE e.vec_id >= 10),
+         | ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT qid, vec_id, cos FROM ranked WHERE rn <= 5
+         |ORDER BY qid, cos DESC, vec_id""".stripMargin,
+
     "embed_quantize" ->
       """WITH n AS (
         |  SELECT vec_id, v, list_min(v) AS mn,
