@@ -54,7 +54,7 @@ private[sources] class TopicTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"graft_topic($dir)"
   override def schema(): StructType = FileTopicStore.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TopicScanBuilder(dir)
 }
@@ -111,6 +111,69 @@ private[sources] class TopicScan(dir: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TopicReaderFactory(required.fieldNames, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : streaming.MicroBatchStream =
+    new TopicMicroBatchStream(dir, required.fieldNames, pushed)
+}
+
+/** Streaming tail of a topic directory as a V2 MicroBatchStream: the
+  * offset is the SET of consumed log files (serialized into the
+  * checkpoint, like the Kafka source's partition-offset map), and each
+  * micro-batch plans exactly the set difference end − start — so
+  * recovery is ordering-independent: however a restarted stream
+  * re-lists the directory, already-committed files are never
+  * re-planned and new ones never skipped. Appends only add files;
+  * storage compaction must not run under a live tail (see
+  * FileTopicStore.compact). Pushed offset/partition predicates apply
+  * inside the readers exactly as in batch. */
+private[sources] class TopicMicroBatchStream(dir: String, columns: Array[String],
+    pushed: Array[Filter]) extends streaming.MicroBatchStream {
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  private val mapper = new ObjectMapper()
+
+  private def listFiles(): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val ls = Files.list(p)
+      try ls.iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .map(_.toString).toSeq.sorted
+      finally ls.close()
+    }
+  }
+
+  override def initialOffset(): streaming.Offset = TopicStreamOffset(Seq.empty)
+  override def latestOffset(): streaming.Offset = TopicStreamOffset(listFiles())
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    TopicStreamOffset(
+      mapper.readValue(json, classOf[Array[String]]).toSeq)
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[TopicStreamOffset].files.toSet
+    end.asInstanceOf[TopicStreamOffset].files
+      .filterNot(seen)
+      .map(f => TopicFilePartition(f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TopicReaderFactory(columns, pushed)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class TopicStreamOffset(files: Seq[String])
+  extends streaming.Offset {
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.writeValueAsString(files.toArray)
+  }
 }
 
 private[sources] case class TopicFilePartition(file: String) extends InputPartition

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.sources.TopicSource
+import graft.engine.topics.FileTopicStore
+
+/** V2 MicroBatchStream over a topic: micro-batches deliver exactly the
+  * appended messages, and a restart from the checkpoint resumes where
+  * the first run stopped (set-difference offsets — no re-reads, no
+  * skips). */
+class TopicStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val fmt = classOf[TopicSource].getName
+
+  test("streaming tail delivers appends incrementally and survives restart") {
+    val root = Files.createTempDirectory("graft-v2s").toString
+    val store = new FileTopicStore(spark, root, sleeper = _ => ())
+    store.create("t")
+    store.append("t", Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value"))
+    val dir = Paths.get(root, "t").toString
+    val ckpt = Files.createTempDirectory("graft-v2s-ckpt").toString
+
+    val outDir = Files.createTempDirectory("graft-v2s-out").toString
+    def runBatch(): Unit = {
+      val q = spark.readStream.format(fmt)
+        .schema(FileTopicStore.schema).load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runBatch()
+    assert(spark.read.parquet(outDir).select($"value").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("v1", "v2"))
+
+    // new appends between runs; a restart from the same checkpoint must
+    // deliver ONLY them (each message lands exactly once in the sink)
+    store.append("t", Seq(("k1", "v1b"), ("k3", "v3")).toDF("key", "value"))
+    runBatch()
+    val all = spark.read.parquet(outDir).collect()
+    assert(all.map(_.getAs[String]("value")).sorted.toSeq ==
+      Seq("v1", "v1b", "v2", "v3"), "no re-reads, no skips across restart")
+    // offsets arrive intact through the stream; replays continue the log
+    assert(all.filter(_.getAs[String]("value") == "v1b")
+      .forall(_.getAs[Long]("offset") >= 2L))
+  }
+}
