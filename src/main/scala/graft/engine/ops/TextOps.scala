@@ -261,7 +261,28 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Data-mixture rebalancing weights: per language, the sampling
+    * fraction that downsamples every language to the rarest one's
+    * token budget (the "equal share, capped by the smallest source"
+    * mixture rule used when balancing corpus languages/domains).
+    * Token counts are exact integers; one broadcast scalar + one IEEE
+    * division per group — the fractions feed `sampleBy` (the
+    * `sample_stratified` operator) for the actual draw. */
+  val mixWeights: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"lang", size(tokens($"text")).cast("long").as("toks"))
+    val per = tok.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"))
+    val mn = per.agg(min($"tokens").as("min_tokens"))
+    per.crossJoin(broadcast(mn))
+      .withColumn("sample_frac", round($"min_tokens".cast("double") / $"tokens", 4))
+      .select($"lang", $"n_docs", $"tokens", $"sample_frac")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mix_weights" -> mixWeights,
     "text_repetition" -> textRepetition,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
@@ -275,6 +296,16 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "mix_weights" ->
+      """WITH per AS (
+        |  SELECT lang, count(1) AS n_docs,
+        |    sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tokens
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, tokens,
+        |  round(CAST((SELECT min(tokens) FROM per) AS DOUBLE) / tokens, 4)
+        |    AS sample_frac
+        |FROM per ORDER BY lang""".stripMargin,
+
     "text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,
