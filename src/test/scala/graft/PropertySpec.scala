@@ -150,6 +150,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization error is bounded by half a quantization step") {
+    import graft.engine.ops.SimOps
+    val sf = "/root/testdata/sf0.001"
+    val rows = SimOps.embedQuantize(spark, sf).collect()
+    assert(rows.length == 500)
+    // recompute each vector's step; round() puts every value within step/2
+    val steps = graft.engine.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "(array_max(transform(embedding, x -> cast(x as double)))" +
+          " - array_min(transform(embedding, x -> cast(x as double)))) / 255.0 AS step")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (id, err) = (r.getLong(0), r.getDouble(2))
+      // max_err is reported rounded to 6 dp → allow half that grid
+      assert(err <= steps(id) / 2 + 5.01e-7, s"vec $id err $err > step/2 ${steps(id) / 2}")
+      assert(r.getSeq[Int](1).forall(q => q >= 0 && q <= 255), s"vec $id q out of range")
+    }
+  }
+
+  test("mixture weights: rarest language keeps everything, others downsample to its budget") {
+    import graft.engine.ops.TextOps
+    val rows = TextOps.mixWeights(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val minTokens = rows.map(_._2).min
+    rows.foreach { case (lang, tokens, frac) =>
+      assert(frac > 0.0 && frac <= 1.0, s"$lang frac $frac out of (0,1]")
+      if (tokens == minTokens) assert(frac == 1.0, s"rarest $lang must keep all")
+      // projected budget lands on the rarest language's, within rounding
+      assert(math.abs(tokens * frac - minTokens) <= tokens * 1e-4,
+        s"$lang projected ${tokens * frac} vs target $minTokens")
+    }
+  }
+
   test("a failure in any prepare/initialize op surfaces as a published error state") {
     val ops = Seq("trigger-exists", "create-trigger", "disable-trigger",
       "queue-exists", "create-queue", "enable-trigger")
