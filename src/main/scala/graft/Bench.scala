@@ -51,6 +51,11 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"$extra}"""
   }
 
+  private def writeArtifact(line: String): Unit =
+    Files.write(Paths.get("bench_out.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.get()
@@ -60,6 +65,10 @@ object Bench {
     catch { case scala.util.control.NonFatal(_) => () }
 
     val (results, failed) = bench(spark, sfDir)
+    // persist the primary result IMMEDIATELY: the optional secondary pass
+    // doubles the runtime, and an external timeout mid-secondary must not
+    // cost the round its primary perf artifact
+    writeArtifact(json(results, failed, sfDir, ""))
 
     // secondary scale factor: one step down from the primary, when present,
     // so round-over-round comparisons can see scaling (not just constants)
@@ -74,11 +83,8 @@ object Bench {
     }
 
     val line = json(results, failed, sfDir, extra)
-    // file first — stdout in an sbt run is noisy and may be truncated
-    Files.write(Paths.get("bench_out.json"),
-      (line + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    println(line)
+    writeArtifact(line) // final artifact: primary + secondary
+    println(line)       // the driver parses this single stdout line
     spark.stop()
   }
 }
