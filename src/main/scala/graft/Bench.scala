@@ -43,8 +43,13 @@ object Bench {
 
   private def json(results: Map[String, Double], failed: List[String],
                    sfDir: String, extra: String): String = {
+    // Locale.ROOT: the default-locale f"" interpolator would emit
+    // comma decimals on e.g. de_DE JVMs — invalid JSON
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(v))
+      }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
@@ -70,11 +75,19 @@ object Bench {
     // cost the round its primary perf artifact
     writeArtifact(json(results, failed, sfDir, ""))
 
-    // secondary scale factor: one step down from the primary, when present,
-    // so round-over-round comparisons can see scaling (not just constants)
+    // secondary scale factor: the largest sibling STRICTLY SMALLER than
+    // the primary, so round-over-round comparisons can see scaling — and
+    // the extra pass can never be the more expensive one
+    def sfValue(name: String): Option[Double] =
+      "^sf([0-9.]+)$".r.findFirstMatchIn(name)
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    val primarySf = sfValue(Paths.get(sfDir).getFileName.toString)
     val secondary = List("sf0.01", "sf0.001")
+      .filter(s => (for (p <- primarySf; c <- sfValue(s)) yield c < p).getOrElse(false))
       .map(s => Paths.get(sfDir).resolveSibling(s))
-      .find(p => p.toString != sfDir && Files.isDirectory(p))
+      .filter(p => Files.isDirectory(p))
+      .sortBy(p => sfValue(p.getFileName.toString).getOrElse(0.0))
+      .lastOption
     val extra = secondary match {
       case Some(dir) =>
         val (r2, f2) = bench(spark, dir.toString)

@@ -119,9 +119,12 @@ class JdbcControlPlane(
       if (triggerEnabled(table)) exec(s"DROP TRIGGER $name")
     }
 
-  def triggerEnabled(table: String): Boolean =
-    queryLong("SELECT count(*) FROM SYS.SYSTRIGGERS WHERE TRIGGERNAME = '" +
-      trgName(table) + "'") > 0
+  def triggerEnabled(table: String): Boolean = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT count(*) FROM SYS.SYSTRIGGERS WHERE TRIGGERNAME = ?")
+    ps.setString(1, trgName(table))
+    val rs = ps.executeQuery(); rs.next(); rs.getLong(1) > 0
+  }
 
   def queueExists(queue: String): Boolean = withConn { c =>
     val ps = c.prepareStatement("SELECT count(*) FROM GRAFT_QUEUES WHERE queue = ?")

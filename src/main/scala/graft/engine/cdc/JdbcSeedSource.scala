@@ -48,9 +48,12 @@ class JdbcSeedSource(
 
   private def viewName(spec: TableSpec): String = s"GRAFT_SEED_${spec.dbTable}"
 
-  /** Physical column names of a table, in ordinal order. */
+  /** Physical column names of a table, in ordinal order. The metadata
+    * lookup is case-sensitive while SQL identifiers are not: Derby
+    * stores unquoted names uppercase, so match that (a lowercase
+    * dbTable would otherwise silently yield ZERO data columns). */
   private def tableColumns(c: Connection, dbTable: String): Seq[String] = {
-    val rs = c.getMetaData.getColumns(null, null, dbTable, null)
+    val rs = c.getMetaData.getColumns(null, null, dbTable.toUpperCase, null)
     val cols = Seq.newBuilder[(Int, String)]
     while (rs.next())
       cols += rs.getInt("ORDINAL_POSITION") -> rs.getString("COLUMN_NAME")

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *  - objective: Σ max-dot as a scaled-BIGINT sum — exact, so
   *    "non-decreasing" is a hard spec assertion, not a tolerance
   *
-  * Each iteration is one job (aggregate k·dim cells + k·dim-sized
-  * collect); at 100 TB that is the standard k-means shape: broadcast
-  * centroids, map-side partial aggregation, driver holds only k·dim
-  * doubles.
+  * Each iteration materializes the assignment ONCE (localCheckpoint)
+  * and runs two cheap actions over it (k·dim cell aggregate + the
+  * exact objective sum) — the k-dot-product projection, the dominant
+  * cost, is never recomputed. At 100 TB that is the standard k-means
+  * shape: broadcast centroids, map-side partial aggregation, driver
+  * holds only k·dim doubles.
   */
 object KMeans {
 
@@ -57,6 +59,9 @@ object KMeans {
       val assigned = vecs
         .withColumn("enc", expr(s"array_max(array(${encs.mkString(",")}))"))
         .withColumn("cid", lit(k - 1) - ($"enc" % k).cast("int"))
+        // materialize: both the cell aggregate and the objective read
+        // this, and the k-dot assignment must not run twice
+        .localCheckpoint()
       // exact update: scaled-BIGINT sums per (cid, pos)
       val cells = assigned
         .select($"cid", posexplode(expr(

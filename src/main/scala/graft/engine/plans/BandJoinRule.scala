@@ -53,10 +53,14 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
+      def crossSide(a: Expression, b: Expression): Boolean =
+        (canEvaluate(a, left) && canEvaluate(b, right)) ||
+          (canEvaluate(a, right) && canEvaluate(b, left))
+      // any existing equi-conjunct (incl. null-safe) already hash-joins;
+      // rewriting on top would only triple the probe side
       val hasEqui = conjuncts.exists {
-        case EqualTo(a, b) =>
-          (canEvaluate(a, left) && canEvaluate(b, right)) ||
-            (canEvaluate(a, right) && canEvaluate(b, left))
+        case EqualTo(a, b) => crossSide(a, b)
+        case EqualNullSafe(a, b) => crossSide(a, b)
         case _ => false
       }
       val band =

@@ -199,15 +199,18 @@ private[sources] class TopicFileReader(file: String, columns: Array[String],
     case other => other.toString.toLong
   }
 
-  private def accept(partition: Int, offset: Long): Boolean = pushed.forall {
-    case EqualTo("partition", v) => partition == longOf(v)
-    case EqualTo("offset", v) => offset == longOf(v)
-    case GreaterThan("offset", v) => offset > longOf(v)
-    case GreaterThanOrEqual("offset", v) => offset >= longOf(v)
-    case LessThan("offset", v) => offset < longOf(v)
-    case LessThanOrEqual("offset", v) => offset <= longOf(v)
-    case _ => true
-  }
+  /** SQL comparison semantics: a predicate on a MISSING field is null,
+    * i.e. the row is dropped — never matched via a sentinel. */
+  private def accept(partition: Option[Int], offset: Option[Long]): Boolean =
+    pushed.forall {
+      case EqualTo("partition", v) => partition.exists(_ == longOf(v))
+      case EqualTo("offset", v) => offset.exists(_ == longOf(v))
+      case GreaterThan("offset", v) => offset.exists(_ > longOf(v))
+      case GreaterThanOrEqual("offset", v) => offset.exists(_ >= longOf(v))
+      case LessThan("offset", v) => offset.exists(_ < longOf(v))
+      case LessThanOrEqual("offset", v) => offset.exists(_ <= longOf(v))
+      case _ => true
+    }
 
   /** Timestamp → Spark micros; Spark's JSON writer emits ISO-8601 with
     * offset (UTC session), e.g. 2026-08-12T10:05:27.123Z. */
@@ -228,16 +231,20 @@ private[sources] class TopicFileReader(file: String, columns: Array[String],
       val line = it.next()
       if (line.nonEmpty) {
         val node: JsonNode = mapper.readTree(line)
-        val partition = if (node.hasNonNull("partition")) node.get("partition").asInt else 0
-        val offset = if (node.hasNonNull("offset")) node.get("offset").asLong else -1L
+        // absent fields stay null all the way to the output row, exactly
+        // like the spark.read.json path — no sentinels
+        val partition =
+          if (node.hasNonNull("partition")) Some(node.get("partition").asInt) else None
+        val offset =
+          if (node.hasNonNull("offset")) Some(node.get("offset").asLong) else None
         if (accept(partition, offset)) {
           val values: Array[Any] = columns.map {
             case "key" =>
               if (node.hasNonNull("key")) UTF8String.fromString(node.get("key").asText) else null
             case "value" =>
               if (node.hasNonNull("value")) UTF8String.fromString(node.get("value").asText) else null
-            case "partition" => partition
-            case "offset" => offset
+            case "partition" => partition.map(Int.box).orNull
+            case "offset" => offset.map(Long.box).orNull
             case "ts" =>
               if (node.hasNonNull("ts")) tsMicros(node.get("ts").asText): java.lang.Long else null
           }
