@@ -35,9 +35,12 @@ class GraftSystem(
       * `compact()`). */
     val dirtyRatio: Option[Double] = None) {
 
+  // the CONTROL topic is exempt from auto-compaction: the submission
+  // loop keeps a streaming tail on it, and the file source would
+  // re-read a rewritten log as new input (see FileTopicStore.compact)
   val topics: TopicStore =
     new FileTopicStore(spark, root, numPartitions = topicPartitions,
-      dirtyRatio = dirtyRatio)
+      dirtyRatio = dirtyRatio, dirtyRatioExempt = Set(controlTopic))
 
   val initializer: Initializer =
     new Initializer(spark, plane, topics, controlTopic, seedView)
@@ -80,8 +83,13 @@ class GraftSystem(
   def runLive(cadence: String = "5 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
     ControlStream.runLive(topics, controlTopic, initializer, checkpointDir, cadence)
 
-  /** Current compacted control state (one row per CCD key). */
-  def controlState(): DataFrame = topics.readCompacted(controlTopic)
+  /** Current compacted control state (one row per CCD key); ensures
+    * the topic exists first (a fresh system has no state, not an
+    * unreadable path). */
+  def controlState(): DataFrame = {
+    if (!topics.exists(controlTopic)) topics.create(controlTopic)
+    topics.readCompacted(controlTopic)
+  }
 
   def stop(): Unit = () // file-backed components hold no daemon state
 

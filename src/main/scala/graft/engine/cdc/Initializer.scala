@@ -54,14 +54,21 @@ class Initializer(
       .sortBy(_.timestamp.getTime)
   }
 
+  /** Decode control messages to CCDs. The decoded `table` falls back
+    * to the MESSAGE KEY when the value is unparseable or lacks one:
+    * the table doubles as the publish key, and an error state for a
+    * poison message must land under the ORIGINAL key so compaction
+    * supersedes it — keyed by the decoded null it would never reach a
+    * terminal state and every restart would reprocess it. */
   def decodeCcds(df: DataFrame): Seq[Ccd] =
-    df.select(from_json(col("value"), Ccd.jsonSchema).as("c"))
-      .select("c.*")
+    df.select(col("key"), from_json(col("value"), Ccd.jsonSchema).as("c"))
+      .select(col("key"), col("c.*"))
       .collect()
       .toSeq
       .map { r =>
         Ccd(
-          table = r.getAs[String]("table"),
+          table = Option(r.getAs[String]("table")).filter(_.trim.nonEmpty)
+            .getOrElse(r.getAs[String]("key")),
           queue = r.getAs[String]("queue"),
           queueTable = r.getAs[String]("queue-table"),
           tableAlias = Option(r.getAs[String]("table-alias")),

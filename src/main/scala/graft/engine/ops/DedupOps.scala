@@ -211,14 +211,11 @@ object DedupOps {
       s"(cast(round(graft_dot(v, ${arrLit(c)}) * 1000000D) as bigint)" +
         s" + 4000000000L) * 100 + ${C - 1 - k}"
     }
-    val ve = Tables.embeddings(s, d)
-      .repartition($"vec_id") // spread the vector prep across cores
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      .select($"vec_id", $"v", $"nrm")
-      // materialize double vectors + norms once; without this the join
-      // re-casts 64 floats per CANDIDATE (projection collapse)
-      .localCheckpoint()
+    // SimOps.vecs: the one shared vector-prep (identical fold order is
+    // what keeps every embedding oracle cross-engine exact); checkpoint
+    // so the join doesn't re-cast 64 floats per CANDIDATE (projection
+    // collapse)
+    val ve = SimOps.vecs(s, d).localCheckpoint()
     val probeCols = (0 until EmbedProbes).map(p =>
       lit(C - 1) - expr(s"element_at(encs, ${C - p}) % 100"))
     // carry (v, nrm) INTO the bucket join: the assigned frame is

@@ -28,8 +28,10 @@ object SimOps {
   /** (vec_id, v: array<double>, nrm) with fold-order-stable norm.
     * Uses the native codegen'd `graft_dot` (see VectorExprs) — same
     * IEEE fold order as the declarative aggregate/zip_with form the
-    * DuckDB oracle mirrors. */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
+    * DuckDB oracle mirrors. Shared with [[DedupOps.dedupEmbed]]: ONE
+    * definition of the prep keeps every embedding oracle's fold order
+    * in lockstep. */
+  private[ops] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.engine.functions.VectorOps.register(s)
     Tables.embeddings(s, d)
       .repartition($"vec_id") // single-file scan → spread across cores

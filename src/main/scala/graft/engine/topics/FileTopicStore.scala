@@ -70,14 +70,20 @@ object FileTopicStore {
   *                      reaches this threshold — the engine analog of
   *                      Kafka's `min.cleanable.dirty.ratio=0.75` that
   *                      makes compaction an invariant rather than a
-  *                      maintenance chore (reference topic_store.clj:13-16). */
+  *                      maintenance chore (reference topic_store.clj:13-16).
+  * @param dirtyRatioExempt topics the policy must never touch — any
+  *                      topic with a live streaming tail (the file
+  *                      source would re-read the rewritten log; see
+  *                      [[compact]]). GraftSystem exempts its control
+  *                      topic. */
 class FileTopicStore(
     spark: SparkSession,
     root: String,
     sleeper: Long => Unit = Thread.sleep,
     failures: (String, String) => Boolean = (_, _) => false,
     numPartitions: Int = 1,
-    dirtyRatio: Option[Double] = None)
+    dirtyRatio: Option[Double] = None,
+    dirtyRatioExempt: Set[String] = Set.empty)
   extends TopicStore {
 
   private def dir(topic: String): Path = Paths.get(root, topic)
@@ -155,7 +161,11 @@ class FileTopicStore(
     * per-partition indexing. */
   def append(topic: String, kv: DataFrame): Unit = {
     if (!exists(topic)) create(topic)
-    val bases: Map[Int, Long] = maxOffsets(topic)
+    // ONE scan serves both the offset bases and the dirty-ratio stats
+    // (the policy therefore sees the log as of the PREVIOUS append —
+    // one-append lag, in exchange for never scanning the topic twice)
+    val stats = topicStats(topic)
+    val bases: Map[Int, Long] = stats.bases
     val session = kv.sparkSession
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val seqCol =
@@ -187,35 +197,43 @@ class FileTopicStore(
     }
     session.createDataFrame(rows, FileTopicStore.schema)
       .write.mode("append").json(dir(topic).toString)
-    dirtyRatio.foreach(maybeAutoCompact(topic, _))
+    // dirty ratio = superseded keyed messages / keyed messages, from the
+    // stats of the pre-append scan above (a production store keeps
+    // running per-segment counters instead of scanning at all)
+    dirtyRatio.foreach { threshold =>
+      if (!dirtyRatioExempt.contains(topic) && stats.keyedTotal > 0 &&
+        (stats.keyedTotal - stats.keyedLive).toDouble / stats.keyedTotal >= threshold)
+        compact(topic)
+    }
   }
 
-  /** Dirty ratio of a topic = superseded keyed messages / keyed
-    * messages. One aggregate scan; a production store would keep
-    * running counters per segment instead of re-scanning. */
-  private def maybeAutoCompact(topic: String, threshold: Double): Unit = {
-    val stats = spark.read.schema(FileTopicStore.schema)
-      .json(dir(topic).toString)
-      .filter(col("key").isNotNull)
-      .agg(count(lit(1)).as("total"), countDistinct(col("key")).as("live"))
-      .collect().headOption
-    stats.foreach { r =>
-      val (total, live) = (r.getLong(0), r.getLong(1))
-      if (total > 0 && (total - live).toDouble / total >= threshold)
-        compact(topic)
+  private case class TopicStats(
+      bases: Map[Int, Long], keyedTotal: Long, keyedLive: Long)
+
+  /** One aggregate pass over the log: per-partition max offsets (the
+    * append bases) + keyed total/distinct counts (the dirty-ratio
+    * inputs). Distinct keys sum across partitions because a key lives
+    * in exactly one partition. */
+  private def topicStats(topic: String): TopicStats = {
+    if (!hasFiles(topic)) TopicStats(Map.empty, 0L, 0L)
+    else {
+      val rows = spark.read.schema(FileTopicStore.schema)
+        .json(dir(topic).toString)
+        .groupBy(col("partition"))
+        .agg(max(col("offset")).as("m"),
+          count(col("key")).as("keyed"), // count() skips nulls
+          countDistinct(col("key")).as("live"))
+        .collect()
+      TopicStats(
+        rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+        rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(3)).sum)
     }
   }
 
   private def hasFiles(topic: String): Boolean = {
     val ls = Files.list(dir(topic))
     try ls.anyMatch(_.toString.endsWith(".json")) finally ls.close()
-  }
-
-  private def maxOffsets(topic: String): Map[Int, Long] = {
-    if (!hasFiles(topic)) Map.empty
-    else spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
-      .groupBy(col("partition")).agg(max(col("offset")).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
   /** Storage-side compaction: rewrite the log keeping only the latest

@@ -153,6 +153,23 @@ class InitializerSpec extends AnyFunSuite {
     assert(ccds.forall(_.timestamp.getTime == 0L), "malformed/missing → epoch default")
   }
 
+  test("unparseable control message reaches a terminal error under its ORIGINAL key") {
+    val (init, _, store) = mkInit()
+    // a poison message: valid key, garbage value
+    store.append("control", Seq(("tpch.broken", "{not json at all"))
+      .toDF("key", "value"))
+    val first = init.runBacklog()
+    assert(first.size == 1, "poison message surfaces as work exactly once")
+    assert(first.head._2.last.status == Status.Error)
+    // the error state must compact OVER the poison message (same key) so
+    // a restart sees a terminal state and does nothing
+    val second = init.runBacklog()
+    assert(second.isEmpty, "restart must not reprocess the poison message")
+    val last = store.readCompacted("control")
+      .filter($"key" === "tpch.broken").select("value").first.getString(0)
+    assert(last.contains(s""""status":"${Status.Error}""""))
+  }
+
   test("replayed submission for a terminal CCD is skipped (at-least-once guard)") {
     val (init, plane, store) = mkInit()
     val first = init.process(ccd())

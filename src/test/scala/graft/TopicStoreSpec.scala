@@ -125,12 +125,13 @@ class TopicStoreSpec extends AnyFunSuite {
     val store = new FileTopicStore(spark, root, sleeper = _ => (),
       dirtyRatio = Some(0.75))
     store.create("t")
-    // 4 generations of the same key: after the 4th append the ratio is
-    // (4-1)/4 ≥ 0.75 → auto-compaction fires
-    (1 to 4).foreach(i => store.append("t", Seq(("k", s"v$i")).toDF("key", "value")))
+    // generations of the same key: the policy evaluates the log AS OF
+    // THE PREVIOUS append (one scan per append), so with 4 superseded
+    // states on file — ratio 3/4 ≥ 0.75 — the 5th append self-compacts
+    (1 to 5).foreach(i => store.append("t", Seq(("k", s"v$i")).toDF("key", "value")))
     val rows = store.readAll("t").select("key", "value").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    assert(rows == Seq(("k", "v4")), s"expected self-compacted single row, got $rows")
+    assert(rows == Seq(("k", "v5")), s"expected self-compacted single row, got $rows")
     // appends continue past the surviving offset
     store.append("t", Seq(("k2", "x")).toDF("key", "value"))
     assert(store.readAll("t").count() == 2)
