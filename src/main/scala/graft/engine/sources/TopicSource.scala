@@ -56,10 +56,12 @@ private[sources] class TopicTable(dir: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TopicScanBuilder(dir)
+    new TopicScanBuilder(dir,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
-private[sources] class TopicScanBuilder(dir: String) extends ScanBuilder
+private[sources] class TopicScanBuilder(dir: String,
+    maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = FileTopicStore.schema
@@ -84,11 +86,13 @@ private[sources] class TopicScanBuilder(dir: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TopicScan(dir, required, pushed)
+  override def build(): Scan =
+    new TopicScan(dir, required, pushed, maxFilesPerTrigger)
 }
 
 private[sources] class TopicScan(dir: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -114,7 +118,7 @@ private[sources] class TopicScan(dir: String, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : streaming.MicroBatchStream =
-    new TopicMicroBatchStream(dir, required.fieldNames, pushed)
+    new TopicMicroBatchStream(dir, required.fieldNames, pushed, maxFilesPerTrigger)
 }
 
 /** Streaming tail of a topic directory as a V2 MicroBatchStream: the
@@ -128,7 +132,8 @@ private[sources] class TopicScan(dir: String, required: StructType,
   * FileTopicStore.compact). Pushed offset/partition predicates apply
   * inside the readers exactly as in batch. */
 private[sources] class TopicMicroBatchStream(dir: String, columns: Array[String],
-    pushed: Array[Filter]) extends streaming.MicroBatchStream {
+    pushed: Array[Filter], maxFilesPerTrigger: Option[Int] = None)
+  extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
   import com.fasterxml.jackson.databind.ObjectMapper
 
   private val mapper = new ObjectMapper()
@@ -147,6 +152,28 @@ private[sources] class TopicMicroBatchStream(dir: String, columns: Array[String]
 
   override def initialOffset(): streaming.Offset = TopicStreamOffset(Seq.empty)
   override def latestOffset(): streaming.Offset = TopicStreamOffset(listFiles())
+
+  /** Admission control (`maxFilesPerTrigger` option — same knob as the
+    * store's JSON readStream): a large backlog is admitted N files per
+    * micro-batch instead of flooding the first one, the engine analog
+    * of the reference's bounded work queue (initializer.clj:87). */
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    maxFilesPerTrigger.map(streaming.ReadLimit.maxFiles)
+      .getOrElse(streaming.ReadLimit.allAvailable())
+
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    val seen = start.asInstanceOf[TopicStreamOffset].files
+    val newFiles = listFiles().filterNot(seen.toSet)
+    val admitted = limit match {
+      case m: streaming.ReadMaxFiles => newFiles.take(m.maxFiles)
+      case _ => newFiles
+    }
+    TopicStreamOffset(seen ++ admitted)
+  }
+
+  override def reportLatestOffset(): streaming.Offset =
+    TopicStreamOffset(listFiles())
 
   override def deserializeOffset(json: String): streaming.Offset =
     TopicStreamOffset(

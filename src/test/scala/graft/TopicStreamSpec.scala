@@ -51,4 +51,27 @@ class TopicStreamSpec extends AnyFunSuite {
     assert(all.filter(_.getAs[String]("value") == "v1b")
       .forall(_.getAs[Long]("offset") >= 2L))
   }
+
+  test("maxFilesPerTrigger admits a backlog over multiple micro-batches") {
+    val root = Files.createTempDirectory("graft-v2s-adm").toString
+    val store = new FileTopicStore(spark, root, sleeper = _ => ())
+    store.create("t")
+    // 4 appends → ≥4 log files of backlog
+    (1 to 4).foreach(i => store.append("t", Seq((s"k$i", s"v$i")).toDF("key", "value")))
+    val dir = Paths.get(root, "t").toString
+    var batches = 0
+    val q = spark.readStream.format(fmt)
+      .schema(FileTopicStore.schema)
+      .option("maxFilesPerTrigger", 1)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) batches += 1; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-v2s-adm-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 4, s"backlog must drain one file per trigger, got $batches batches")
+  }
 }
