@@ -19,6 +19,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any STALE artifact from a previous run into this
+        // outDir — the driver's compare must see the failure, not a
+        // leftover result that happens to still match the oracle
+        val stale = java.nio.file.Paths.get(outDir, name)
+        if (java.nio.file.Files.isDirectory(stale)) {
+          val walk = java.nio.file.Files.walk(stale)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -28,6 +28,12 @@ object GraftSession {
       .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // the driver's events.parquet carries TIMESTAMP(NANOS): read nanos
+      // as long session-wide (Tables.events truncates to µs). Declared
+      // HERE, not buried in a loader: streaming reads re-derive parquet
+      // schemas from the live conf every micro-batch, so the flag must
+      // hold for the session's lifetime
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -43,6 +43,14 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     cache.getOrElseUpdate((spark, s"$sfDir/events.parquet"), {
+      // nanosAsLong is a SESSION-level contract, declared up front by
+      // GraftSession/SparkTest: it cannot be scoped to this read
+      // because STREAMING reads of the same files re-derive the
+      // parquet schema from the live conf on every micro-batch (a
+      // set/restore here was measured to crash the watermarked stream
+      // with PARQUET_TYPE_ILLEGAL). The set below only makes events()
+      // work on foreign sessions that skipped GraftSession — and then
+      // it is a deliberate, documented session-wide choice.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts",

@@ -93,9 +93,10 @@ object CdcOps {
     val total = sizes.map(_._2).sum
     val offsets = sizes.map(_._1).zip(
       sizes.map(_._2).scanLeft(0L)(_ + _)).toMap // pid -> rows before it
-    val offsetExpr = sizes.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
-      when($"pid" === pid, lit(offsets(pid))).otherwise(acc)
-    }
+    // O(1) map-literal lookup per row: a when/otherwise chain over pids
+    // would nest one level per partition — thousands deep at cluster
+    // partition counts, past the JVM method-size limit codegen tolerates
+    val offsetExpr = element_at(typedLit(offsets), $"pid")
     ranged
       .withColumn("seeded",
         row_number().over(

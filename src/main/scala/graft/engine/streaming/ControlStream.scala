@@ -22,12 +22,15 @@ import graft.engine.topics.TopicStore
   */
 object ControlStream {
 
-  /** Decoded streaming view of a control topic. */
+  /** Decoded streaming view of a control topic. Carries the RAW value
+    * through: downstream consumers that need full CCDs (processBatch)
+    * decode once from it, instead of a lossy re-serialize round-trip
+    * of the projected fields. */
   def ccdStream(store: TopicStore, topic: String): DataFrame =
     store.readStream(topic)
-      .select(col("key"), col("offset"),
+      .select(col("key"), col("offset"), col("value"),
         from_json(col("value"), Ccd.jsonSchema).as("c"))
-      .select(col("key"), col("offset"),
+      .select(col("key"), col("offset"), col("value"),
         col("c.table").as("table"), col("c.queue").as("queue"),
         col("c.`queue-table`").as("queue_table"),
         col("c.`table-alias`").as("table_alias"),
@@ -42,25 +45,36 @@ object ControlStream {
   case class Transition(key: String, from: String, to: String, offset: Long)
 
   /** Per-key status state machine: emits only genuine forward
-    * transitions (drops duplicate/replayed states). State survives
-    * across micro-batches via the state store; NoTimeout because CCD
+    * transitions. State = (last status, max seen offset): the offset
+    * guard makes at-least-once REDELIVERY of an older message a no-op
+    * (comparing status alone would regress the machine and re-emit
+    * spurious transitions on the next genuine message), and null
+    * statuses (malformed values) are skipped rather than stored —
+    * `state.update(null)` would kill the query and replay the poison
+    * message forever from the checkpoint. NoTimeout because CCD
     * lifecycles are driven purely by arriving messages. */
   def transitions(updates: Dataset[KeyedStatus]): Dataset[Transition] = {
     import updates.sparkSession.implicits._
     updates
       .groupByKey(_.key)
-      .flatMapGroupsWithState[String, Transition](
+      .flatMapGroupsWithState[(String, Long), Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[KeyedStatus], state: GroupState[String]) =>
-          var last = state.getOption.getOrElse("")
+        (key: String, rows: Iterator[KeyedStatus],
+         state: GroupState[(String, Long)]) =>
+          var (last, maxOff) = state.getOption.getOrElse(("", -1L))
           val out = rows.toSeq.sortBy(_.offset).flatMap { r =>
-            if (r.status != last) {
-              val t = Transition(key, if (last.isEmpty) null else last, r.status, r.offset)
-              last = r.status
-              Some(t)
-            } else None
+            if (r.status == null || r.offset <= maxOff) None
+            else {
+              maxOff = r.offset
+              if (r.status != last) {
+                val t = Transition(key,
+                  if (last.isEmpty) null else last, r.status, r.offset)
+                last = r.status
+                Some(t)
+              } else None
+            }
           }
-          state.update(last)
+          state.update((last, maxOff))
           out.iterator
       }
   }
@@ -79,15 +93,12 @@ object ControlStream {
     startSubmissionLoop(store, controlTopic, init, checkpoint,
       Trigger.AvailableNow()).awaitTermination()
 
-  /** One micro-batch of the submission loop: decode the batch back to
-    * CCDs and orchestrate each sequentially in timestamp order. */
+  /** One micro-batch of the submission loop: decode the RAW message
+    * values back to CCDs (one parse, no lossy re-serialize of the
+    * projected columns) and orchestrate each sequentially in timestamp
+    * order. */
   private def processBatch(init: Initializer)(batch: DataFrame): Unit = {
-    val ccds = init.decodeCcds(batch.select(col("key"),
-      to_json(struct(
-        col("table"), col("queue"),
-        col("queue_table").as("queue-table"),
-        col("table_alias").as("table-alias"),
-        col("status"), col("status_ts").as("timestamp"))).as("value")))
+    val ccds = init.decodeCcds(batch.select(col("key"), col("value")))
     ccds.sortBy(_.timestamp.getTime).foreach(init.process)
   }
 

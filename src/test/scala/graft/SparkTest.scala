@@ -12,6 +12,9 @@ object SparkTest {
       .config("spark.sql.extensions",
         classOf[graft.engine.functions.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", "4")
+      // session contract, same as GraftSession: events.parquet is
+      // TIMESTAMP(NANOS) and streaming reads need the flag live
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
