@@ -55,10 +55,15 @@ object Transforms {
         val (leaves, interior) = sub.partition(_._1.size == 1)
         // a leaf and an interior node on the same path (e.g. column
         // `cdc.data` next to unprefixed data columns) cannot both be
-        // represented — fail loudly instead of silently dropping data
+        // represented — fail loudly instead of silently dropping data;
+        // likewise TWO leaves on the same full path (e.g. unprefixed `x`
+        // next to `cdc.data.x`) would overwrite one another
         require(leaves.isEmpty || interior.isEmpty,
           s"column path conflict at '$h': leaf column(s) ${leaves.map(_._2)} " +
             s"collide with nested column(s) ${interior.map(_._2)}")
+        require(interior.nonEmpty || leaves.size == 1,
+          s"column path conflict at '$h': columns ${leaves.map(_._2)} " +
+            s"map to the same leaf path")
         if (interior.isEmpty) col(s"`${leaves.head._2}`").as(h)
         else struct(build(interior.map { case (p, src) => (p.tail, src) }): _*).as(h)
       }
@@ -85,7 +90,12 @@ object Transforms {
       Seq(lit(f), col(s"id.`$f`").cast("string")))
     df.select(
       to_json(array(keyElems.toIndexedSeq: _*)).as("key"),
-      to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)).as("value"))
+      // explicit nulls: the value is the WHOLE DML message — a column
+      // captured as NULL must be distinguishable from a column that was
+      // never captured (Spark's to_json default silently omits nulls;
+      // the reference serializes the full map)
+      to_json(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*),
+        Map("ignoreNullFields" -> "false")).as("value"))
   }
 
   /** Log-compaction read: reduce a message log to the latest state per
@@ -101,7 +111,11 @@ object Transforms {
   }
 
   /** Reject rows in terminal states (reference initializer.clj:21-22:
-    * `non-initializable-statuses` = #{active error}). */
+    * `non-initializable-statuses` = #{active error}). A NULL status is
+    * NOT terminal and must be kept — `!isin(...)` alone evaluates to
+    * NULL for it and filter would silently discard the row, inverting
+    * the reference's `(not (contains? terminal nil))` = true. */
   def dropTerminal(statusCol: String, terminal: Set[String])(df: DataFrame): DataFrame =
-    df.filter(!col(statusCol).isin(terminal.toSeq.map(x => x: Any): _*))
+    df.filter(col(statusCol).isNull ||
+      !col(statusCol).isin(terminal.toSeq.map(x => x: Any): _*))
 }

@@ -30,7 +30,12 @@ class TopKAggregator(k: Int)
 
   override def zero: Buf = Buf(Seq.empty)
   override def reduce(buf: Buf, in: (Long, Double)): Buf =
-    if (in._2.isNaN) buf else Buf(trim(buf.items :+ in))
+    if (in._2.isNaN) buf
+    // O(1) fast path for the dominant case at scale: a full buffer whose
+    // worst kept entry beats the candidate is returned untouched — the
+    // per-row re-sort only runs while the buffer is still competitive
+    else if (buf.items.size >= k && better(buf.items.last, in)) buf
+    else Buf(trim(buf.items :+ in))
   override def merge(a: Buf, b: Buf): Buf = Buf(trim(a.items ++ b.items))
   override def finish(buf: Buf): Seq[(Long, Double)] = trim(buf.items)
 

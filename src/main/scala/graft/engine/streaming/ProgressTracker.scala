@@ -1,7 +1,5 @@
 package graft.engine.streaming
 
-import java.util.concurrent.atomic.AtomicLong
-
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
 
@@ -18,14 +16,18 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, Qu
   */
 final class ProgressTracker(total: Long, stepPct: Double = 0.02) {
   private val step = math.max(1L, math.ceil(total * stepPct).toLong)
-  private val seeded = new AtomicLong(0L)
+  // all writes happen under advance's monitor; volatile covers the
+  // lock-free read in `current` (an AtomicLong here would just be a
+  // second, redundant synchronization mechanism)
+  @volatile private var seeded = 0L
   @volatile private var lastReported = -1L
 
   /** Advance by `rows`; Some((seeded, total)) when a report is due —
     * first report at 0, then whenever ≥ step rows passed since the
     * last report (reference core.clj:162-170). */
   def advance(rows: Long): Option[(Long, Long)] = synchronized {
-    val cur = seeded.addAndGet(rows)
+    seeded += rows
+    val cur = seeded
     if (total == 0) None // no reports for empty tables (core_test.clj:226)
     else if (lastReported < 0 || cur - lastReported >= step) {
       lastReported = cur
@@ -33,7 +35,7 @@ final class ProgressTracker(total: Long, stepPct: Double = 0.02) {
     } else None
   }
 
-  def current: Long = seeded.get()
+  def current: Long = seeded
 }
 
 /** Publishes seeding progress from a running stream: one (seeded,
