@@ -95,9 +95,11 @@ object Bench {
       case None => ""
     }
 
-    val line = json(results, failed, sfDir, extra)
-    writeArtifact(line) // final artifact: primary + secondary
-    println(line)       // the driver parses this single stdout line
+    writeArtifact(json(results, failed, sfDir, extra)) // file: primary + secondary
+    // stdout gets the PRIMARY-ONLY line: the driver captures a bounded tail
+    // of stdout, and the ~5 KB primary+secondary line overflowed it in r02
+    // (front-truncated → parsed:null). ~2 KB fits with room to spare.
+    println(json(results, failed, sfDir, ""))
     spark.stop()
   }
 }

@@ -143,7 +143,15 @@ object SimOps {
     * q_i = round((x_i − min) / ((max − min)/255)) ∈ [0, 255], plus the
     * max reconstruction error. Pure map-only projection — scales as a
     * scan; every step is IEEE arithmetic both engines execute
-    * identically (div + round-half-away, no sums). */
+    * identically (div + round-half-away, no sums).
+    *
+    * The quantized codes are verified through two exact integer
+    * digests rather than the raw array — `q_sum` (Σ qᵢ) and the
+    * position-weighted `q_checksum` (Σ qᵢ·i, order-sensitive, so a
+    * permutation of codes can't slip past) — because the differential
+    * gate compares flat scalar columns. The reconstruction error is
+    * emitted as `floor(err·1e6)` (exact on bit-identical doubles; a
+    * cross-engine `round()` on a computed double is not safe). */
   val embedQuantize: Q = (s, d) =>
     Tables.embeddings(s, d)
       .repartition($"vec_id")
@@ -152,11 +160,15 @@ object SimOps {
       .withColumn("scale", (expr("array_max(v)") - $"mn") / 255.0)
       .withColumn("q", expr(
         "transform(v, x -> CASE WHEN scale > 0D " +
-          "THEN cast(round((x - mn) / scale) as int) ELSE 0 END)"))
-      .withColumn("max_err", round(expr(
-        "array_max(transform(v, (x, i) -> " +
-          "abs(x - (mn + element_at(q, i + 1) * scale))))"), 6))
-      .select($"vec_id", $"q", $"max_err")
+          "THEN cast(round((x - mn) / scale) as bigint) ELSE 0L END)"))
+      .withColumn("max_err_micro", expr(
+        "cast(floor(array_max(transform(v, (x, i) -> " +
+          "abs(x - (mn + element_at(q, i + 1) * scale)))) * 1000000D) as bigint)"))
+      .select($"vec_id",
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(zip_with(q, sequence(1L, cast(size(q) as bigint)), " +
+          "(x, i) -> x * i), 0L, (a, x) -> a + x)").as("q_checksum"),
+        $"max_err_micro")
       .orderBy($"vec_id")
 
   /** Batched exact retrieval: top-5 cosine neighbors for EACH of the
@@ -234,11 +246,15 @@ object SimOps {
         | q AS (
         |  SELECT vec_id, v, mn, scale,
         |    list_transform(v, x -> CASE WHEN scale > 0 THEN
-        |      CAST(round((x - mn) / scale) AS INTEGER) ELSE 0 END) AS q
+        |      CAST(round((x - mn) / scale) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS q
         |  FROM n)
-        |SELECT vec_id, q,
-        |  round(list_max(list_transform(range(1, len(v) + 1),
-        |    i -> abs(v[i] - (mn + q[i] * scale)))), 6) AS max_err
+        |SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, x) -> a + x) AS q_sum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, len(q) + 1), i -> q[i] * i)),
+        |    (a, x) -> a + x) AS q_checksum,
+        |  CAST(floor(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(v[i] - (mn + q[i] * scale)))) * 1000000) AS BIGINT) AS max_err_micro
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "embed_group_mean" ->

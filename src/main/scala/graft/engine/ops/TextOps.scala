@@ -267,7 +267,10 @@ object TextOps {
     * mixture rule used when balancing corpus languages/domains).
     * Token counts are exact integers; one broadcast scalar + one IEEE
     * division per group — the fractions feed `sampleBy` (the
-    * `sample_stratified` operator) for the actual draw. */
+    * `sample_stratified` operator) for the actual draw. The fraction is
+    * emitted as exact basis points — `floor(ratio·1e4)` on the
+    * bit-identical IEEE quotient — because a cross-engine `round()` on
+    * a computed double is not hash-safe. */
   val mixWeights: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .repartition($"doc_id")
@@ -276,8 +279,9 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"))
     val mn = per.agg(min($"tokens").as("min_tokens"))
     per.crossJoin(broadcast(mn))
-      .withColumn("sample_frac", round($"min_tokens".cast("double") / $"tokens", 4))
-      .select($"lang", $"n_docs", $"tokens", $"sample_frac")
+      .withColumn("sample_frac_bp", expr(
+        "cast(floor(cast(min_tokens as double) / tokens * 10000D) as bigint)"))
+      .select($"lang", $"n_docs", $"tokens", $"sample_frac_bp")
       .orderBy($"lang")
   }
 
@@ -302,8 +306,8 @@ object TextOps {
         |    sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tokens
         |  FROM documents GROUP BY lang)
         |SELECT lang, n_docs, tokens,
-        |  round(CAST((SELECT min(tokens) FROM per) AS DOUBLE) / tokens, 4)
-        |    AS sample_frac
+        |  CAST(floor(CAST((SELECT min(tokens) FROM per) AS DOUBLE)
+        |    / tokens * 10000) AS BIGINT) AS sample_frac_bp
         |FROM per ORDER BY lang""".stripMargin,
 
     "text_repetition" ->

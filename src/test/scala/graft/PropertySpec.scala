@@ -153,26 +153,33 @@ class PropertySpec extends AnyFunSuite {
   test("int8 quantization error is bounded by half a quantization step") {
     import graft.engine.ops.SimOps
     val sf = "/root/testdata/sf0.001"
+    // (vec_id, q_sum, q_checksum, max_err_micro) — the digest form the
+    // differential gate compares (flat scalars, no array columns)
     val rows = SimOps.embedQuantize(spark, sf).collect()
     assert(rows.length == 500)
-    // recompute each vector's step; round() puts every value within step/2
     val steps = graft.engine.Tables.embeddings(spark, sf)
       .selectExpr("vec_id",
         "(array_max(transform(embedding, x -> cast(x as double)))" +
-          " - array_min(transform(embedding, x -> cast(x as double)))) / 255.0 AS step")
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          " - array_min(transform(embedding, x -> cast(x as double)))) / 255.0 AS step",
+        "size(embedding) AS dim")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
     rows.foreach { r =>
-      val (id, err) = (r.getLong(0), r.getDouble(2))
-      // max_err is reported rounded to 6 dp → allow half that grid
-      assert(err <= steps(id) / 2 + 5.01e-7, s"vec $id err $err > step/2 ${steps(id) / 2}")
-      assert(r.getSeq[Int](1).forall(q => q >= 0 && q <= 255), s"vec $id q out of range")
+      val (id, qSum, qChk) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val err = r.getLong(3) / 1e6
+      val (step, dim) = steps(id)
+      // max_err_micro is floor(err·1e6) → true err < reported + 1e-6
+      assert(err <= step / 2 + 1.01e-6, s"vec $id err $err > step/2 ${step / 2}")
+      // digests must be consistent with q_i ∈ [0, 255]
+      assert(qSum >= 0 && qSum <= 255L * dim, s"vec $id q_sum $qSum out of range")
+      assert(qChk >= qSum && qChk <= 255L * dim * (dim + 1) / 2,
+        s"vec $id q_checksum $qChk inconsistent with q_sum $qSum")
     }
   }
 
   test("mixture weights: rarest language keeps everything, others downsample to its budget") {
     import graft.engine.ops.TextOps
     val rows = TextOps.mixWeights(spark, "/root/testdata/sf0.001").collect()
-      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3) / 10000.0))
     assert(rows.nonEmpty)
     val minTokens = rows.map(_._2).min
     rows.foreach { case (lang, tokens, frac) =>
