@@ -83,15 +83,26 @@ object DedupOps {
   def dedupNearCapped(maxDf: Long): Q = (s, d) => {
     val base = shingled(s, d)
     val ex = base.select($"doc_id", explode($"sh").as("g"))
-    // the HOT list is small by construction (few shingles exceed the
-    // cap) — broadcast it; the exploded side never shuffles for this.
+    // posting-list prefilter: a shingle in exactly ONE document (the
+    // vast majority of any corpus) can never produce a pair — the
+    // self-equi-join needs both sides to share g and doc_a < doc_b —
+    // so only shingles with 2 <= df <= maxDf enter the join. This cuts
+    // the join input ~20× while provably not changing its output (the
+    // upper cap is the hot-shingle pruner; the lower bound is a no-op
+    // on results). The shared-shingle vocabulary is proportional to the
+    // near-dup mass, not corpus size — no broadcast hint on purpose:
+    // AQE broadcasts it when small and keeps a shuffle join at
+    // adversarial scale.
     // (An inverted-index formulation — collect_list posting per shingle,
     // lambda-explode the pairs — was measured 25% SLOWER despite one
     // fewer exchange: higher-order functions run interpreted, while the
     // self-equi-join stays inside whole-stage codegen.)
-    val hot = ex.groupBy($"g").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDf).select($"g")
-    val kept = ex.join(broadcast(hot), Seq("g"), "left_anti")
+    val shared = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= maxDf).select($"g")
+    // materialize the filtered posting list once: the self-join otherwise
+    // duplicates the whole explode→df-aggregate→join subtree per side
+    // (self-join aliasing defeats exchange reuse under AQE)
+    val kept = ex.join(shared, Seq("g")).localCheckpoint()
     val inter = kept.as("x").join(kept.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
