@@ -33,7 +33,7 @@ object KMeans {
 
   final case class Model(centroids: Array[Array[Double]], objective: Double)
 
-  private def unit(c: Array[Double]): Array[Double] = {
+  private[ops] def unit(c: Array[Double]): Array[Double] = {
     val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
     if (n == 0.0) c else c.map(_ / n)
   }
