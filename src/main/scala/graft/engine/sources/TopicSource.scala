@@ -6,9 +6,12 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => rstreaming}
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,14 +53,18 @@ class TopicSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-private[sources] class TopicTable(dir: String) extends Table with SupportsRead {
+private[sources] class TopicTable(dir: String) extends Table
+  with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_topic($dir)"
   override def schema(): StructType = FileTopicStore.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TopicScanBuilder(dir,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TopicWriteBuilder(dir, info.schema())
 }
 
 private[sources] class TopicScanBuilder(dir: String,
@@ -117,7 +124,7 @@ private[sources] class TopicScan(dir: String, required: StructType,
     new TopicReaderFactory(required.fieldNames, pushed)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : streaming.MicroBatchStream =
+      : rstreaming.MicroBatchStream =
     new TopicMicroBatchStream(dir, required.fieldNames, pushed, maxFilesPerTrigger)
 }
 
@@ -133,7 +140,7 @@ private[sources] class TopicScan(dir: String, required: StructType,
   * inside the readers exactly as in batch. */
 private[sources] class TopicMicroBatchStream(dir: String, columns: Array[String],
     pushed: Array[Filter], maxFilesPerTrigger: Option[Int] = None)
-  extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
+  extends rstreaming.MicroBatchStream with rstreaming.SupportsAdmissionControl {
   import com.fasterxml.jackson.databind.ObjectMapper
 
   private val mapper = new ObjectMapper()
@@ -150,37 +157,37 @@ private[sources] class TopicMicroBatchStream(dir: String, columns: Array[String]
     }
   }
 
-  override def initialOffset(): streaming.Offset = TopicStreamOffset(Seq.empty)
-  override def latestOffset(): streaming.Offset = TopicStreamOffset(listFiles())
+  override def initialOffset(): rstreaming.Offset = TopicStreamOffset(Seq.empty)
+  override def latestOffset(): rstreaming.Offset = TopicStreamOffset(listFiles())
 
   /** Admission control (`maxFilesPerTrigger` option — same knob as the
     * store's JSON readStream): a large backlog is admitted N files per
     * micro-batch instead of flooding the first one, the engine analog
     * of the reference's bounded work queue (initializer.clj:87). */
-  override def getDefaultReadLimit: streaming.ReadLimit =
-    maxFilesPerTrigger.map(streaming.ReadLimit.maxFiles)
-      .getOrElse(streaming.ReadLimit.allAvailable())
+  override def getDefaultReadLimit: rstreaming.ReadLimit =
+    maxFilesPerTrigger.map(rstreaming.ReadLimit.maxFiles)
+      .getOrElse(rstreaming.ReadLimit.allAvailable())
 
-  override def latestOffset(start: streaming.Offset,
-      limit: streaming.ReadLimit): streaming.Offset = {
+  override def latestOffset(start: rstreaming.Offset,
+      limit: rstreaming.ReadLimit): rstreaming.Offset = {
     val seen = start.asInstanceOf[TopicStreamOffset].files
     val newFiles = listFiles().filterNot(seen.toSet)
     val admitted = limit match {
-      case m: streaming.ReadMaxFiles => newFiles.take(m.maxFiles)
+      case m: rstreaming.ReadMaxFiles => newFiles.take(m.maxFiles)
       case _ => newFiles
     }
     TopicStreamOffset(seen ++ admitted)
   }
 
-  override def reportLatestOffset(): streaming.Offset =
+  override def reportLatestOffset(): rstreaming.Offset =
     TopicStreamOffset(listFiles())
 
-  override def deserializeOffset(json: String): streaming.Offset =
+  override def deserializeOffset(json: String): rstreaming.Offset =
     TopicStreamOffset(
       mapper.readValue(json, classOf[Array[String]]).toSeq)
 
-  override def planInputPartitions(start: streaming.Offset,
-      end: streaming.Offset): Array[InputPartition] = {
+  override def planInputPartitions(start: rstreaming.Offset,
+      end: rstreaming.Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[TopicStreamOffset].files.toSet
     end.asInstanceOf[TopicStreamOffset].files
       .filterNot(seen)
@@ -191,12 +198,12 @@ private[sources] class TopicMicroBatchStream(dir: String, columns: Array[String]
   override def createReaderFactory(): PartitionReaderFactory =
     new TopicReaderFactory(columns, pushed)
 
-  override def commit(end: streaming.Offset): Unit = ()
+  override def commit(end: rstreaming.Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 private[sources] case class TopicStreamOffset(files: Seq[String])
-  extends streaming.Offset {
+  extends rstreaming.Offset {
   override def json(): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     mapper.writeValueAsString(files.toArray)
@@ -284,4 +291,132 @@ private[sources] class TopicFileReader(file: String, columns: Array[String],
 
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
+}
+
+// --------------------------------------------------------------- write path
+
+/** DataSource V2 batch APPEND to a topic directory (the producer half of
+  * the connector — reference topic_store.clj's `send!`, Kafka-producer
+  * analog):
+  *
+  * {{{
+  *   routed.write.format("graft.engine.sources.TopicSource")
+  *     .mode("append").save(topicDir)   // via FileTopicStore.appendV2
+  * }}}
+  *
+  * Input must be the topic schema; the caller routes each row to its
+  * key's partition and carries the intra-append sequence IN the
+  * `offset` column (the store assigns real offsets — a Kafka producer
+  * likewise never picks offsets, the broker's partition leader does).
+  *
+  * Scale/correctness design, all V2-native:
+  *  - the Write declares [[RequiresDistributionAndOrdering]]: clustered
+  *    by `partition`, sorted by (partition, offset) — SPARK plans the
+  *    exchange and in-task sort, so each topic-partition is owned by
+  *    exactly one task and rows arrive in the caller's sequence. No
+  *    driver-side routing, no RDD zipWithIndex: a 100 TB append is one
+  *    shuffle + streaming writes.
+  *  - per-partition base offsets (max in the existing log) are computed
+  *    once on the driver as a numPartitions-row aggregate; each task
+  *    continues its partitions' sequences locally.
+  *  - task commit protocol: rows stream to a hidden `.staging-*` file
+  *    (invisible to both the Jackson readers and Hadoop listings),
+  *    atomically renamed to `v2-*.json` on task commit, deleted on
+  *    abort — a failed/retried task never leaves visible partial data.
+  */
+private[sources] class TopicWriteBuilder(dir: String, schema: StructType)
+  extends WriteBuilder {
+  override def build(): Write = {
+    require(schema.fieldNames.sameElements(FileTopicStore.schema.fieldNames),
+      s"topic append expects columns ${FileTopicStore.schema.fieldNames.mkString(",")} " +
+        s"(got ${schema.fieldNames.mkString(",")}); use FileTopicStore.appendV2")
+    new TopicWrite(dir)
+  }
+}
+
+private[sources] class TopicWrite(dir: String)
+  extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("partition")))
+
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.identity("partition"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.identity("offset"), SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite = new TopicBatchWrite(dir)
+}
+
+private[sources] class TopicBatchWrite(dir: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // per-partition base offsets: a numPartitions-row aggregate over the
+    // existing log (the broker-metadata lookup), computed ONCE per append
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hasFiles = {
+      val p = Paths.get(dir)
+      Files.isDirectory(p) && {
+        val ls = Files.list(p)
+        try ls.anyMatch(_.toString.endsWith(".json")) finally ls.close()
+      }
+    }
+    val bases: Map[Int, Long] =
+      if (!hasFiles) Map.empty
+      else spark.read.schema(FileTopicStore.schema).json(dir)
+        .groupBy(org.apache.spark.sql.functions.col("partition"))
+        .agg(org.apache.spark.sql.functions.max("offset"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    new TopicWriterFactory(dir, bases, System.currentTimeMillis())
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class TopicWriterFactory(dir: String, bases: Map[Int, Long],
+    nowMillis: Long) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TopicDataWriter(dir, bases, nowMillis)
+}
+
+private[sources] case class TopicWriteDone() extends WriterCommitMessage
+
+private[sources] class TopicDataWriter(dir: String, bases: Map[Int, Long],
+    nowMillis: Long) extends DataWriter[InternalRow] {
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  private val mapper = new ObjectMapper()
+  private val uuid = java.util.UUID.randomUUID().toString
+  private val staging = Paths.get(dir, s".staging-$uuid")
+  private val out = new java.io.BufferedWriter(new java.io.FileWriter(staging.toFile))
+  // ISO-8601 UTC, same shape the Spark JSON writer emits (UTC session)
+  private val ts = java.time.Instant.ofEpochMilli(nowMillis).toString
+  private val counters = scala.collection.mutable.Map.empty[Int, Long]
+
+  /** Input row = (key, value, partition, offset=seq, ts ignored); the
+    * required clustering guarantees this task owns `partition`. */
+  override def write(row: InternalRow): Unit = {
+    val p = row.getInt(2)
+    val i = counters.getOrElse(p, 0L); counters(p) = i + 1
+    val node = mapper.createObjectNode()
+    if (!row.isNullAt(0)) node.put("key", row.getUTF8String(0).toString)
+    if (!row.isNullAt(1)) node.put("value", row.getUTF8String(1).toString)
+    node.put("partition", p)
+    node.put("offset", bases.getOrElse(p, -1L) + 1L + i)
+    node.put("ts", ts)
+    out.write(mapper.writeValueAsString(node))
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    Files.move(staging, Paths.get(dir, s"v2-$uuid.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    TopicWriteDone()
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(staging)
+  }
+
+  override def close(): Unit = ()
 }

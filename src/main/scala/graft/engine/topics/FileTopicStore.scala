@@ -286,6 +286,31 @@ class FileTopicStore(
     spark.read.format(classOf[graft.engine.sources.TopicSource].getName)
       .load(dir(topic).toString)
 
+  /** DataSource V2 append ([[graft.engine.sources.TopicSource]] write
+    * path): same contract as [[append]] — key-hash routing, optional
+    * `seq` intra-append ordering, per-partition offset continuation —
+    * but fully plan-level: the connector's Write declares
+    * `RequiresDistributionAndOrdering` (clustered by partition, sorted
+    * by sequence), so Spark plans the routing exchange + sort and each
+    * task streams its partitions' rows out with task-commit atomicity.
+    * No RDD hop, no driver-side rows. */
+  def appendV2(topic: String, kv: DataFrame): Unit = {
+    check("append", topic)
+    if (!exists(topic)) create(topic)
+    val seqCol =
+      if (kv.columns.contains("seq")) col("seq").cast("long") else lit(0L)
+    kv.select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        partitionOf(col("key")).as("partition"),
+        seqCol.as("offset"), // intra-append sequence; real offsets are
+                             // assigned by the writer (broker-side)
+        lit(null).cast("timestamp").as("ts"))
+      .write.format(classOf[graft.engine.sources.TopicSource].getName)
+      .mode("append")
+      .save(dir(topic).toString)
+  }
+
   def readCompacted(topic: String): DataFrame =
     graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
       spark.read.schema(FileTopicStore.schema).json(dir(topic).toString))

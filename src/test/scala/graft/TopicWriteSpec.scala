@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.topics.FileTopicStore
+
+/** DataSource V2 write path ([[graft.engine.sources.TopicSource]]):
+  * appendV2 must be contract-identical to the RDD-based append() —
+  * key-hash routing, per-partition contiguous offsets continuing the
+  * existing log, seq-ordered intra-append offsets — and interoperate
+  * with every reader and with compaction. */
+class TopicWriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private def newStore(parts: Int = 4): (FileTopicStore, String) = {
+    val root = Files.createTempDirectory("graft-v2-write").toString
+    (new FileTopicStore(spark, root, sleeper = _ => (), numPartitions = parts), root)
+  }
+
+  test("appendV2 round-trips through readAll/readV2 with contiguous per-partition offsets") {
+    val (store, _) = newStore()
+    store.create("t")
+    import spark.implicits._
+    store.appendV2("t", Seq(("a", "1"), ("b", "2"), ("c", "3"), (null, "4"))
+      .toDF("key", "value"))
+    val rows = store.readAll("t").collect()
+    assert(rows.length == 4)
+    // per-partition offsets are 0..n-1 with no gaps
+    rows.groupBy(_.getInt(2)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.sameElements(0L until rs.length))
+    }
+    // null key routes to partition 0
+    assert(rows.filter(_.isNullAt(0)).forall(_.getInt(2) == 0))
+    // V2 read sees byte-identical content
+    val v2 = store.readV2("t").orderBy(col("partition"), col("offset")).collect()
+    assert(v2.map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq ==
+      rows.sortBy(r => (r.getInt(2), r.getLong(3)))
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq)
+  }
+
+  test("appendV2 continues offsets written by the RDD append path, and vice versa") {
+    val (store, _) = newStore()
+    store.create("t")
+    import spark.implicits._
+    store.append("t", Seq(("k1", "a"), ("k2", "b")).toDF("key", "value"))
+    store.appendV2("t", Seq(("k1", "c")).toDF("key", "value"))
+    store.append("t", Seq(("k1", "d")).toDF("key", "value"))
+    // k1's messages are one partition, offsets strictly increasing in
+    // append order regardless of which path wrote them
+    val k1 = store.readAll("t").filter(col("key") === "k1")
+      .orderBy(col("offset")).collect()
+    assert(k1.map(_.getString(1)).toSeq == Seq("a", "c", "d"))
+    assert(k1.map(_.getLong(3)).toSeq == k1.map(_.getLong(3)).toSeq.sorted)
+    assert(k1.map(_.getInt(2)).distinct.length == 1)
+    // compacted read keeps the V2-aware latest state
+    val last = store.readCompacted("t").filter(col("key") === "k1").collect()
+    assert(last.map(_.getString(1)).toSeq == Seq("d"))
+  }
+
+  test("appendV2 honors the seq column: offsets follow the caller's sequence per key") {
+    val (store, _) = newStore(parts = 1)
+    store.create("t")
+    import spark.implicits._
+    // deliberately shuffled input order; seq defines the lifecycle order
+    val kv = Seq(("ccd", "active", 2L), ("ccd", "preparing", 0L), ("ccd", "seeding", 1L))
+      .toDF("key", "value", "seq")
+      .repartition(3) // multiple input partitions: arrival order is NOT seq order
+    store.appendV2("t", kv)
+    val vals = store.readAll("t").orderBy(col("offset")).collect().map(_.getString(1))
+    assert(vals.toSeq == Seq("preparing", "seeding", "active"))
+    // compaction (keyed max-offset) lands on the lifecycle's final state
+    assert(store.readCompacted("t").collect().map(_.getString(1)).toSeq == Seq("active"))
+  }
+
+  test("compaction works on a V2-written topic") {
+    val (store, _) = newStore()
+    store.create("t")
+    import spark.implicits._
+    (1 to 3).foreach { i =>
+      store.appendV2("t", Seq(("k1", s"v$i"), ("k2", s"w$i")).toDF("key", "value"))
+    }
+    store.compact("t")
+    val rows = store.readAll("t").collect()
+    assert(rows.length == 2) // one live message per key
+    assert(rows.map(r => r.getString(0) -> r.getString(1)).toMap ==
+      Map("k1" -> "v3", "k2" -> "w3"))
+  }
+
+  test("no staging files survive a committed append") {
+    val (store, root) = newStore()
+    store.create("t")
+    import spark.implicits._
+    store.appendV2("t", Seq(("a", "1")).toDF("key", "value"))
+    val ls = Files.list(java.nio.file.Paths.get(root, "t"))
+    try {
+      val names = ls.iterator()
+      val bad = scala.jdk.CollectionConverters.IteratorHasAsScala(names).asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".staging")).toList
+      assert(bad.isEmpty, s"staging leftovers: $bad")
+    } finally ls.close()
+  }
+}
