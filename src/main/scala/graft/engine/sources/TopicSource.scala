@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => rstreaming}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => wstreaming}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,7 +60,7 @@ private[sources] class TopicTable(dir: String) extends Table
   override def schema(): StructType = FileTopicStore.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TopicScanBuilder(dir,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
@@ -345,6 +346,55 @@ private[sources] class TopicWrite(dir: String)
     Expressions.sort(Expressions.identity("offset"), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite = new TopicBatchWrite(dir)
+
+  override def toStreaming: wstreaming.StreamingWrite = new TopicStreamingWrite(dir)
+}
+
+/** Streaming producer (sink half of the micro-batch tail): each epoch's
+  * tasks stream their topic-partitions' rows to staging files made
+  * visible on task commit — at-least-once, like the store's append
+  * contract (an epoch replay rewrites the SAME offsets, so keyed
+  * compaction converges). Offsets stay unique and per-partition
+  * monotone WITHOUT any cross-epoch coordination:
+  * `base + (epochId << 32) + localIdx`, where `base` (the log's max
+  * offset at query start) is computed once on the driver — epoch ids
+  * only grow, including across checkpoint restarts. Non-contiguous by
+  * design; consumers (compaction, ordered reads) need only the order,
+  * exactly like Kafka consumers must not assume offset density. */
+private[sources] class TopicStreamingWrite(dir: String)
+  extends wstreaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): wstreaming.StreamingDataWriterFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hasFiles = {
+      val p = Paths.get(dir)
+      Files.isDirectory(p) && {
+        val ls = Files.list(p)
+        try ls.anyMatch(_.toString.endsWith(".json")) finally ls.close()
+      }
+    }
+    val base: Long =
+      if (!hasFiles) 0L
+      else spark.read.schema(FileTopicStore.schema).json(dir)
+        .agg(org.apache.spark.sql.functions.max("offset"))
+        .collect().headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0) + 1L))
+        .getOrElse(0L)
+    new TopicStreamingWriterFactory(dir, base)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class TopicStreamingWriterFactory(dir: String, base: Long)
+  extends wstreaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    // per-epoch offset block: every partition starts at the same
+    // epoch-scoped floor; task-local indices make offsets unique because
+    // the required clustering gives each topic-partition one owner task
+    val epochBase = base + (epochId << 32)
+    new TopicDataWriter(dir, _ => epochBase - 1L, System.currentTimeMillis())
+  }
 }
 
 private[sources] class TopicBatchWrite(dir: String) extends BatchWrite {
@@ -374,12 +424,12 @@ private[sources] class TopicBatchWrite(dir: String) extends BatchWrite {
 private[sources] class TopicWriterFactory(dir: String, bases: Map[Int, Long],
     nowMillis: Long) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TopicDataWriter(dir, bases, nowMillis)
+    new TopicDataWriter(dir, p => bases.getOrElse(p, -1L), nowMillis)
 }
 
 private[sources] case class TopicWriteDone() extends WriterCommitMessage
 
-private[sources] class TopicDataWriter(dir: String, bases: Map[Int, Long],
+private[sources] class TopicDataWriter(dir: String, baseOf: Int => Long,
     nowMillis: Long) extends DataWriter[InternalRow] {
   import com.fasterxml.jackson.databind.ObjectMapper
 
@@ -400,7 +450,7 @@ private[sources] class TopicDataWriter(dir: String, bases: Map[Int, Long],
     if (!row.isNullAt(0)) node.put("key", row.getUTF8String(0).toString)
     if (!row.isNullAt(1)) node.put("value", row.getUTF8String(1).toString)
     node.put("partition", p)
-    node.put("offset", bases.getOrElse(p, -1L) + 1L + i)
+    node.put("offset", baseOf(p) + 1L + i)
     node.put("ts", ts)
     out.write(mapper.writeValueAsString(node))
     out.newLine()

@@ -297,18 +297,40 @@ class FileTopicStore(
   def appendV2(topic: String, kv: DataFrame): Unit = {
     check("append", topic)
     if (!exists(topic)) create(topic)
-    val seqCol =
-      if (kv.columns.contains("seq")) col("seq").cast("long") else lit(0L)
-    kv.select(
-        col("key").cast("string").as("key"),
-        col("value").cast("string").as("value"),
-        partitionOf(col("key")).as("partition"),
-        seqCol.as("offset"), // intra-append sequence; real offsets are
-                             // assigned by the writer (broker-side)
-        lit(null).cast("timestamp").as("ts"))
+    routed(kv)
       .write.format(classOf[graft.engine.sources.TopicSource].getName)
       .mode("append")
       .save(dir(topic).toString)
+  }
+
+  /** Route a (key, value[, seq]) frame into the connector's write
+    * schema: key-hash topic-partition + intra-append sequence in the
+    * `offset` column (real offsets are assigned by the writer,
+    * broker-side). */
+  private def routed(kv: DataFrame): DataFrame = {
+    val seqCol =
+      if (kv.columns.contains("seq")) col("seq").cast("long") else lit(0L)
+    kv.select(
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      partitionOf(col("key")).as("partition"),
+      seqCol.as("offset"),
+      lit(null).cast("timestamp").as("ts"))
+  }
+
+  /** Streaming producer: run a streaming (key, value) frame into the
+    * topic through the connector's STREAMING_WRITE path — the
+    * `writeStream → topic` half of the V2 connector, replacing
+    * foreachBatch+append for simple keyed sinks. At-least-once; offsets
+    * are per-partition monotone across epochs (epoch-block scheme, see
+    * TopicStreamingWrite). */
+  def writeStreamV2(topic: String, kv: DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    if (!exists(topic)) create(topic)
+    routed(kv)
+      .writeStream.format(classOf[graft.engine.sources.TopicSource].getName)
+      .option("checkpointLocation", checkpoint)
+      .start(dir(topic).toString)
   }
 
   def readCompacted(topic: String): DataFrame =

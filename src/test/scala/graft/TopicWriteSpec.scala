@@ -88,6 +88,32 @@ class TopicWriteSpec extends AnyFunSuite {
       Map("k1" -> "v3", "k2" -> "w3"))
   }
 
+  test("streaming write: epochs produce per-key monotone offsets, compaction converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (store, _) = newStore()
+    store.create("t")
+    // seed via batch first: streaming offsets must sort after these
+    import spark.implicits._
+    store.appendV2("t", Seq(("k1", "batch0")).toDF("key", "value"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = store.writeStreamV2("t", in.toDF().toDF("key", "value"),
+      Files.createTempDirectory("graft-v2-ckpt").toString)
+    try {
+      in.addData(("k1", "e0"), ("k2", "x0"))
+      q.processAllAvailable()
+      in.addData(("k1", "e1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val k1 = store.readAll("t").filter(col("key") === "k1")
+      .orderBy(col("offset")).collect()
+    assert(k1.map(_.getString(1)).toSeq == Seq("batch0", "e0", "e1"),
+      "offset order must follow produce order across batch + epochs")
+    // keyed compaction lands on the last epoch's state
+    val last = store.readCompacted("t").filter(col("key") === "k1").collect()
+    assert(last.map(_.getString(1)).toSeq == Seq("e1"))
+  }
+
   test("no staging files survive a committed append") {
     val (store, root) = newStore()
     store.create("t")
