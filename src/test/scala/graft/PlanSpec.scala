@@ -63,6 +63,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("round-3 composed queries keep their scale shapes") {
+    import graft.engine.ops.PipelineOps
+    // pipeline_clean: narrow doc_id joins only — no loop joins anywhere
+    val pc = plan(PipelineOps.pipelineClean(spark, sf))
+    assert(!pc.contains("BroadcastNestedLoopJoin") && !pc.contains("CartesianProduct"))
+    // trained-IVF: candidate probing is a broadcast HASH join on cid (the
+    // only nested-loop is the sanctioned 1-row query-vector cross join,
+    // same shape as sim_topk/sim_ivf)
+    val ik = plan(PipelineOps.simIvfKmeans(spark, sf))
+    assert(ik.contains("BroadcastHashJoin"), "probe join must be a hash join on cid")
+    assert(!ik.contains("CartesianProduct"))
+    // typed top-k UDAF: partial aggregation before the shuffle (O(k)
+    // buffers ship, not the corpus)
+    val tk = plan(PipelineOps.aggTopkCustom(spark, sf))
+    assert(tk.contains("ObjectHashAggregate") || tk.contains("SortAggregate"),
+      "typed Aggregator plans an object aggregate")
+    assert(tk.toLowerCase.contains("partial_topkaggregator"),
+      "partial (map-side) top-k aggregation present")
+  }
+
   test("dedup family never plans a nested-loop join (quadratic at scale)") {
     // dedup_embed formerly paired via an all-pairs theta join →
     // BroadcastNestedLoopJoin; its IVF-candidate equi-join (and every
