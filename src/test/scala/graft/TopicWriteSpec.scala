@@ -114,6 +114,31 @@ class TopicWriteSpec extends AnyFunSuite {
     assert(last.map(_.getString(1)).toSeq == Seq("e1"))
   }
 
+  test("V2 topic-to-topic relay: stream-read source, transform, stream-write sink") {
+    // the full connector loop (Kafka-Streams shape): micro-batch tail of
+    // topic A (file-set offsets) → transform → STREAMING_WRITE into topic B
+    val (store, root) = newStore()
+    store.create("a")
+    store.create("b")
+    import spark.implicits._
+    store.appendV2("a", Seq(("k1", "1"), ("k2", "2")).toDF("key", "value"))
+    val in = spark.readStream
+      .format(classOf[graft.engine.sources.TopicSource].getName)
+      .load(java.nio.file.Paths.get(root, "a").toString)
+      .select(col("key"), concat(lit("relayed:"), col("value")).as("value"))
+    val q = store.writeStreamV2("b", in,
+      Files.createTempDirectory("graft-relay-ckpt").toString)
+    try {
+      q.processAllAvailable()
+      store.appendV2("a", Seq(("k1", "3")).toDF("key", "value"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = store.readCompacted("b").filter(col("key").isNotNull).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("k1" -> "relayed:3", "k2" -> "relayed:2"),
+      "relay must deliver every message exactly once per key with last-state wins")
+  }
+
   test("no staging files survive a committed append") {
     val (store, root) = newStore()
     store.create("t")
