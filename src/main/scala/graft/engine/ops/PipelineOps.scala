@@ -41,21 +41,30 @@ object PipelineOps {
     * exact integers or floor-scaled basis points (SURVEY §7.3c): no
     * cross-engine float hazards. */
   val pipelineClean: Q = (s, d) => {
+    // tokenize ONCE and materialize: both the signal branch and the
+    // bigram branch consume `toks`, and without the checkpoint each
+    // join input re-scans the corpus and re-runs the regexp chain
+    // (projection collapse would also re-inline tokens() into every
+    // stopword filter below)
     val docs = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", $"lang", $"text", tokens($"text").as("toks"))
+      .localCheckpoint()
     // map-only per-doc signals + the dup flag (one shuffle on the
     // normalized body; min-doc_id survivorship like dedup_exact)
     val sig = docs
-      .withColumn("toks", tokens($"text"))
       .withColumn("alpha_raw",
         length(regexp_replace($"text", "[^a-zA-Z]", "")).cast("double")
           / nullif(length($"text"), lit(0)))
       .withColumn("punct_raw",
         length(regexp_replace($"text", "[^.,;:!?]", "")).cast("double")
           / nullif(length($"text"), lit(0)))
-      .withColumn("quality",
+      // empty / whitespace-only text → null ratios → quality must be
+      // 0 (drop), not null (a null would skip the < MinQuality gate
+      // and silently KEEP contentless documents)
+      .withColumn("quality", coalesce(
         floor((lit(0.5) * $"alpha_raw" + lit(0.3) * (lit(1.0) - $"punct_raw")
           + lit(0.2) * least(lit(1.0), size($"toks").cast("double") / lit(100.0)))
-          * lit(10000.0)).cast("long"))
+          * lit(10000.0)).cast("long"), lit(0L)))
       .withColumn("hits_en", expr("size(filter(toks, t -> t IN ('the','and','is','of','to')))"))
       .withColumn("hits_de", expr("size(filter(toks, t -> t IN ('der','die','das','und','ist')))"))
       .withColumn("hits_fr", expr("size(filter(toks, t -> t IN ('le','la','les','et','est')))"))
@@ -71,7 +80,6 @@ object PipelineOps {
     // repetition signal: bigram explode → (doc, gram) count → per-doc
     // max/sum, all map-side-combined; floor basis points (exact)
     val rep = docs
-      .withColumn("toks", tokens($"text"))
       .select($"doc_id", explode(expr(
         "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
@@ -193,8 +201,8 @@ object PipelineOps {
     "pipeline_clean" ->
       s"""WITH sig AS (
          |  SELECT doc_id, lang,
-         |    CAST(floor((0.5 * alpha_raw + 0.3 * (1.0 - punct_raw)
-         |      + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)) * 10000.0) AS BIGINT) AS quality,
+         |    COALESCE(CAST(floor((0.5 * alpha_raw + 0.3 * (1.0 - punct_raw)
+         |      + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)) * 10000.0) AS BIGINT), 0) AS quality,
          |    CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
          |         WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
          |         WHEN hits_fr >= hits_es THEN 'fr'

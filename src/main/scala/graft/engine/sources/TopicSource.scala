@@ -347,40 +347,64 @@ private[sources] class TopicWrite(dir: String)
 
   override def toBatch: BatchWrite = new TopicBatchWrite(dir)
 
-  override def toStreaming: wstreaming.StreamingWrite = new TopicStreamingWrite(dir)
+  // one StreamingWrite per query: Spark re-wraps it in a fresh
+  // MicroBatchWrite each epoch, so any per-query state (the offset
+  // base) must live here, not be recomputed per factory call
+  private lazy val streamingWrite = new TopicStreamingWrite(dir)
+  override def toStreaming: wstreaming.StreamingWrite = streamingWrite
+}
+
+/** One aggregate pass over an existing topic log: the per-partition /
+  * global max offsets every write path continues from (the
+  * broker-metadata lookup). Shared by the batch write, the streaming
+  * write, and nothing else — [[FileTopicStore]]'s richer stats scan
+  * also needs dirty-ratio counts and stays separate. */
+private[sources] object TopicLog {
+  def nonEmpty(dir: String): Boolean = {
+    val p = Paths.get(dir)
+    Files.isDirectory(p) && {
+      val ls = Files.list(p)
+      try ls.anyMatch(_.toString.endsWith(".json")) finally ls.close()
+    }
+  }
+
+  def partitionBases(dir: String): Map[Int, Long] = {
+    if (!nonEmpty(dir)) Map.empty
+    else org.apache.spark.sql.SparkSession.active
+      .read.schema(FileTopicStore.schema).json(dir)
+      .groupBy(org.apache.spark.sql.functions.col("partition"))
+      .agg(org.apache.spark.sql.functions.max("offset"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  /** First free offset across all partitions (0 for an empty log). */
+  def nextOffset(dir: String): Long =
+    partitionBases(dir).values.maxOption.map(_ + 1L).getOrElse(0L)
 }
 
 /** Streaming producer (sink half of the micro-batch tail): each epoch's
   * tasks stream their topic-partitions' rows to staging files made
   * visible on task commit — at-least-once, like the store's append
-  * contract (an epoch replay rewrites the SAME offsets, so keyed
-  * compaction converges). Offsets stay unique and per-partition
-  * monotone WITHOUT any cross-epoch coordination:
-  * `base + (epochId << 32) + localIdx`, where `base` (the log's max
-  * offset at query start) is computed once on the driver — epoch ids
-  * only grow, including across checkpoint restarts. Non-contiguous by
-  * design; consumers (compaction, ordered reads) need only the order,
-  * exactly like Kafka consumers must not assume offset density. */
+  * contract. Offsets stay unique and per-partition monotone WITHOUT any
+  * cross-epoch coordination: `base + (epochId << 32) + localIdx`, where
+  * `base` (the log's max offset at query start) is computed ONCE per
+  * query run, lazily on the first epoch — epoch ids only grow, including
+  * across checkpoint restarts. Within a run an epoch replay rewrites the
+  * SAME offsets; after a crash-restart the recomputed base shifts a
+  * replayed epoch's offsets upward, so redelivered rows appear as
+  * fresher duplicates — convergent under max-offset keyed compaction
+  * (the same at-least-once contract Kafka producers without
+  * idempotence give you). Non-contiguous by design; consumers
+  * (compaction, ordered reads) need only the order, exactly like Kafka
+  * consumers must not assume offset density. Capacity: 2^31 epochs per
+  * run and 2^32 rows per epoch×partition; the writer fails fast past
+  * the block width instead of colliding into the next epoch's block. */
 private[sources] class TopicStreamingWrite(dir: String)
   extends wstreaming.StreamingWrite {
+  private lazy val base: Long = TopicLog.nextOffset(dir)
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): wstreaming.StreamingDataWriterFactory = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val hasFiles = {
-      val p = Paths.get(dir)
-      Files.isDirectory(p) && {
-        val ls = Files.list(p)
-        try ls.anyMatch(_.toString.endsWith(".json")) finally ls.close()
-      }
-    }
-    val base: Long =
-      if (!hasFiles) 0L
-      else spark.read.schema(FileTopicStore.schema).json(dir)
-        .agg(org.apache.spark.sql.functions.max("offset"))
-        .collect().headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0) + 1L))
-        .getOrElse(0L)
+      info: PhysicalWriteInfo): wstreaming.StreamingDataWriterFactory =
     new TopicStreamingWriterFactory(dir, base)
-  }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -389,11 +413,14 @@ private[sources] class TopicStreamingWriterFactory(dir: String, base: Long)
   extends wstreaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
+    require(epochId >= 0 && epochId < (1L << 31),
+      s"epoch $epochId exceeds the offset scheme's 2^31-epoch capacity")
     // per-epoch offset block: every partition starts at the same
     // epoch-scoped floor; task-local indices make offsets unique because
     // the required clustering gives each topic-partition one owner task
     val epochBase = base + (epochId << 32)
-    new TopicDataWriter(dir, _ => epochBase - 1L, System.currentTimeMillis())
+    new TopicDataWriter(dir, _ => epochBase - 1L, System.currentTimeMillis(),
+      maxPerPartition = 1L << 32)
   }
 }
 
@@ -401,21 +428,7 @@ private[sources] class TopicBatchWrite(dir: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // per-partition base offsets: a numPartitions-row aggregate over the
     // existing log (the broker-metadata lookup), computed ONCE per append
-    val spark = org.apache.spark.sql.SparkSession.active
-    val hasFiles = {
-      val p = Paths.get(dir)
-      Files.isDirectory(p) && {
-        val ls = Files.list(p)
-        try ls.anyMatch(_.toString.endsWith(".json")) finally ls.close()
-      }
-    }
-    val bases: Map[Int, Long] =
-      if (!hasFiles) Map.empty
-      else spark.read.schema(FileTopicStore.schema).json(dir)
-        .groupBy(org.apache.spark.sql.functions.col("partition"))
-        .agg(org.apache.spark.sql.functions.max("offset"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    new TopicWriterFactory(dir, bases, System.currentTimeMillis())
+    new TopicWriterFactory(dir, TopicLog.partitionBases(dir), System.currentTimeMillis())
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -430,13 +443,17 @@ private[sources] class TopicWriterFactory(dir: String, bases: Map[Int, Long],
 private[sources] case class TopicWriteDone() extends WriterCommitMessage
 
 private[sources] class TopicDataWriter(dir: String, baseOf: Int => Long,
-    nowMillis: Long) extends DataWriter[InternalRow] {
+    nowMillis: Long, maxPerPartition: Long = Long.MaxValue)
+  extends DataWriter[InternalRow] {
   import com.fasterxml.jackson.databind.ObjectMapper
 
   private val mapper = new ObjectMapper()
   private val uuid = java.util.UUID.randomUUID().toString
   private val staging = Paths.get(dir, s".staging-$uuid")
-  private val out = new java.io.BufferedWriter(new java.io.FileWriter(staging.toFile))
+  // UTF-8 explicitly: every reader (Files.lines, spark.read.json)
+  // decodes UTF-8 regardless of the JVM's default charset
+  private val out = Files.newBufferedWriter(staging,
+    java.nio.charset.StandardCharsets.UTF_8)
   // ISO-8601 UTC, same shape the Spark JSON writer emits (UTC session)
   private val ts = java.time.Instant.ofEpochMilli(nowMillis).toString
   private val counters = scala.collection.mutable.Map.empty[Int, Long]
@@ -446,6 +463,9 @@ private[sources] class TopicDataWriter(dir: String, baseOf: Int => Long,
   override def write(row: InternalRow): Unit = {
     val p = row.getInt(2)
     val i = counters.getOrElse(p, 0L); counters(p) = i + 1
+    if (i >= maxPerPartition) throw new IllegalStateException(
+      s"topic-partition $p exceeded $maxPerPartition rows in one epoch; " +
+        "offsets would collide with the next epoch's block")
     val node = mapper.createObjectNode()
     if (!row.isNullAt(0)) node.put("key", row.getUTF8String(0).toString)
     if (!row.isNullAt(1)) node.put("value", row.getUTF8String(1).toString)

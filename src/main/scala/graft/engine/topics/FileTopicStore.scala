@@ -301,6 +301,14 @@ class FileTopicStore(
       .write.format(classOf[graft.engine.sources.TopicSource].getName)
       .mode("append")
       .save(dir(topic).toString)
+    // same self-compaction invariant as append(); evaluated post-write
+    // (the V2 path has no pre-append stats scan to piggyback on)
+    dirtyRatio.foreach { threshold =>
+      val stats = topicStats(topic)
+      if (!dirtyRatioExempt.contains(topic) && stats.keyedTotal > 0 &&
+        (stats.keyedTotal - stats.keyedLive).toDouble / stats.keyedTotal >= threshold)
+        compact(topic)
+    }
   }
 
   /** Route a (key, value[, seq]) frame into the connector's write
@@ -326,6 +334,7 @@ class FileTopicStore(
     * TopicStreamingWrite). */
   def writeStreamV2(topic: String, kv: DataFrame,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    check("append", topic)
     if (!exists(topic)) create(topic)
     routed(kv)
       .writeStream.format(classOf[graft.engine.sources.TopicSource].getName)

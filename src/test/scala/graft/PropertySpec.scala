@@ -157,22 +157,33 @@ class PropertySpec extends AnyFunSuite {
     // differential gate compares (flat scalars, no array columns)
     val rows = SimOps.embedQuantize(spark, sf).collect()
     assert(rows.length == 500)
-    val steps = graft.engine.Tables.embeddings(spark, sf)
+    // recompute the codes with the query's own formula: the digest
+    // columns alone can't prove q_i ∈ [0, 255] (an out-of-range code
+    // pair can cancel inside a sum), so tie the digests back to
+    // element-wise-checked codes
+    val recomputed = graft.engine.Tables.embeddings(spark, sf)
       .selectExpr("vec_id",
-        "(array_max(transform(embedding, x -> cast(x as double)))" +
-          " - array_min(transform(embedding, x -> cast(x as double)))) / 255.0 AS step",
-        "size(embedding) AS dim")
-      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+        "transform(embedding, x -> cast(x as double)) AS v")
+      .selectExpr("vec_id", "array_min(v) AS mn",
+        "(array_max(v) - array_min(v)) / 255.0 AS scale", "v")
+      .selectExpr("vec_id", "(array_max(v) - array_min(v)) / 255.0 AS step",
+        "transform(v, x -> CASE WHEN scale > 0D " +
+          "THEN cast(round((x - mn) / scale) as bigint) ELSE 0L END) AS q")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Long](2)))
+      .toMap
     rows.foreach { r =>
       val (id, qSum, qChk) = (r.getLong(0), r.getLong(1), r.getLong(2))
       val err = r.getLong(3) / 1e6
-      val (step, dim) = steps(id)
+      val (step, q) = recomputed(id)
       // max_err_micro is floor(err·1e6) → true err < reported + 1e-6
       assert(err <= step / 2 + 1.01e-6, s"vec $id err $err > step/2 ${step / 2}")
-      // digests must be consistent with q_i ∈ [0, 255]
-      assert(qSum >= 0 && qSum <= 255L * dim, s"vec $id q_sum $qSum out of range")
-      assert(qChk >= qSum && qChk <= 255L * dim * (dim + 1) / 2,
-        s"vec $id q_checksum $qChk inconsistent with q_sum $qSum")
+      // every code in the int8 range, element-wise
+      assert(q.forall(c => c >= 0L && c <= 255L), s"vec $id codes out of [0,255]")
+      // and the emitted digests are exactly the digests of those codes
+      assert(qSum == q.sum, s"vec $id q_sum $qSum != ${q.sum}")
+      assert(qChk == q.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum,
+        s"vec $id q_checksum mismatch")
     }
   }
 
