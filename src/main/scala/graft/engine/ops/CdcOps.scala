@@ -130,7 +130,29 @@ object CdcOps {
       .drop("ts")
   }
 
+  /** Changelog materialization — apply a CDC stream to produce current
+    * table state, the consumer-side twin of the reference's compaction
+    * (which keeps the last message per key but leaves tombstones as
+    * values): last-writer-wins per key in (ts, event_id) order, and a
+    * trailing DELETE ('error' here) removes the row entirely. Scales as
+    * one partitioned window (key-partitioned, never global); at 100 TB
+    * this is the standard snapshot-maintenance shuffle on the
+    * replication key. */
+  val cdcApply: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" =!= "error")
+      .select($"user_id", $"event_id".as("last_event"),
+        $"ts".cast("timestamp").cast("long").as("state_ts"),
+        $"value".as("state_value"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc_apply" -> cdcApply,
     "cdc_seed_key" -> cdcSeedKey,
     "cdc_dml_msg" -> cdcDmlMsg,
     "cdc_progress" -> cdcProgress,
@@ -142,6 +164,14 @@ object CdcOps {
     * deterministic-field-order compact JSON (Spark: select order;
     * DuckDB: struct_pack order). */
   val oracles: Map[String, String] = Map(
+    "cdc_apply" ->
+      """SELECT user_id, event_id AS last_event,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS state_ts, value AS state_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
     "cdc_dml_msg" ->
       """WITH sv AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -157,7 +157,45 @@ object PipelineOps {
       .limit(5)
   }
 
+  /** Sequence-packing budget (tokens per training sequence). */
+  val PackBudget = 512L
+
+  /** Concat-and-chunk sequence packing — the step that turns a cleaned
+    * corpus into fixed-length training sequences: documents are laid
+    * end-to-end in doc_id order and cut every [[PackBudget]] tokens;
+    * each doc reports the sequence it starts in, its offset there, and
+    * how many sequences it spans. The global token prefix-sum is
+    * computed DISTRIBUTED (repartitionByRange + per-partition window +
+    * a #partitions-sized broadcast offset map — the cdc_progress
+    * pattern), never a single-task `Window.orderBy`: at 100 TB the
+    * cumsum is the whole job, and this shape keeps it one range
+    * shuffle. All integer arithmetic — no cross-engine hazards. */
+  val packSequences: Q = (s, d) => {
+    val toked = Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+      .repartitionByRange($"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin the sampled range boundaries (see cdc_progress)
+    val sizes = toked.groupBy($"pid").agg(sum($"n_toks").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sizes.map(_._1) // pid -> tokens before this partition
+      .zip(sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toked
+      .withColumn("cum_before",
+        coalesce(sum($"n_toks").over(w), lit(0L))
+          + element_at(typedLit(offsets), $"pid"))
+      .withColumn("seq_id", expr(s"cum_before DIV $PackBudget"))
+      .withColumn("seq_off", $"cum_before" % PackBudget)
+      .withColumn("n_seqs", when($"n_toks" === 0L, lit(0L)).otherwise(
+        expr(s"(cum_before + n_toks - 1) DIV $PackBudget - cum_before DIV $PackBudget + 1")))
+      .select($"doc_id", $"n_toks", $"seq_id", $"seq_off", $"n_seqs")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pack_sequences" -> packSequences,
     "pipeline_clean" -> pipelineClean,
     "agg_topk_custom" -> aggTopkCustom,
     "sim_ivf_kmeans" -> simIvfKmeans,
@@ -198,6 +236,24 @@ object PipelineOps {
        | cu$i AS (${duckUnit(s"c$i")})""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         | c AS (
+         |  SELECT doc_id, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_toks,
+         |  cum_before // $PackBudget AS seq_id,
+         |  cum_before % $PackBudget AS seq_off,
+         |  CASE WHEN n_toks = 0 THEN 0
+         |       ELSE (cum_before + n_toks - 1) // $PackBudget
+         |            - cum_before // $PackBudget + 1 END AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "pipeline_clean" ->
       s"""WITH sig AS (
          |  SELECT doc_id, lang,

@@ -192,7 +192,49 @@ object Relational3 {
       .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"price_diff")
   }
 
+  /** Equi-width numeric histogram (the profiling primitive): 20 bins
+    * between the global min/max of `events.value`. Two passes — a
+    * broadcast scalar (min, max) then a map-only binning + count
+    * aggregate — no shuffle of the data rows, so it scans at 100 TB.
+    * Cross-engine: bin = floor((v−mn)/width) is IEEE arithmetic on
+    * bit-identical doubles evaluated in the same op order in both
+    * engines; `least(19, …)` folds the v=max edge into the last bin. */
+  val aggHistogram: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(min($"value").as("mn"), max($"value").as("mx"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(lit(19L), floor(($"value" - $"mn") / (($"mx" - $"mn") / 20.0)))
+          .cast("int"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+      .orderBy($"bin")
+  }
+
+  /** Incremental-view-maintenance algebra under the differential gate:
+    * the orders aggregate is computed as BASE (orderdate < cut,
+    * pre-aggregated) merged with DELTA (orderdate >= cut) by re-
+    * aggregating the partials — sum-of-counts, sum-of-sums — while the
+    * oracle recomputes the FULL aggregate from scratch. Equality proves
+    * the merge is lossless, which is the property that lets a 100 TB
+    * materialized aggregate absorb a day's delta without a full rescan.
+    * Decimal partials: exact associative merge, no float fold hazard. */
+  val aggIncremental: Q = (s, d) => {
+    val cut = lit("1998-01-01").cast("timestamp")
+    def partial(f: DataFrame): DataFrame = f
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("pn"), sum($"o_totalprice".cast(dec)).as("ps"))
+    val o = Tables.orders(s, d)
+    partial(o.filter($"o_orderdate" < cut))
+      .unionByName(partial(o.filter($"o_orderdate" >= cut)))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"pn").as("n_orders"),
+        sum($"ps").cast(dec).cast("double").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_histogram" -> aggHistogram,
+    "agg_incremental" -> aggIncremental,
     "join_band_auto" -> joinBandAuto,
     "join_range_bucket" -> joinRangeBucket,
     "win_lead" -> winLead,
@@ -209,6 +251,17 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_histogram" ->
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        |SELECT CAST(least(19, floor((value - mn) / ((mx - mn) / 20.0))) AS INTEGER) AS bin,
+        |  count(1) AS n
+        |FROM events, b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "agg_incremental" ->
+      """SELECT o_orderpriority, count(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
     "join_band_auto" ->
       """SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
         |  round(abs(l.l_extendedprice - p.p_retailprice), 4) AS price_diff
