@@ -84,6 +84,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // abs(x−y) <= c interval joins → bucketed equi-joins (see
     // graft.engine.plans.BandJoinRule): plan-level, no call-site changes
     ext.injectOptimizerRule(_ => graft.engine.plans.BandJoinRule)
+    // physical planning for the native as-of join operator
+    ext.injectPlannerStrategy(_ => graft.engine.plans.AsOfJoinStrategy)
   }
 }
 

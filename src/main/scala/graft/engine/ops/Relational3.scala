@@ -232,7 +232,28 @@ object Relational3 {
       .orderBy($"o_orderpriority")
   }
 
+  /** The native as-of join ([[graft.engine.plans.AsOfJoinExec]] — the
+    * custom LogicalPlan + Strategy + SparkPlan extension path) on the
+    * same semantics and oracle as the composed `join_asof`: latest
+    * order at or before each event's time per user. The composition
+    * materializes every in-window (event, order) pair before `max_by`
+    * collapses them; the operator streams one merge pass with one
+    * buffered row of state. Both time columns are TIMESTAMP_NTZ, so
+    * the merge compares one physical type with no cast. */
+  val joinAsofNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"user_id", $"ts".as("ets"))
+    val o = Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    graft.engine.plans.AsOfJoin.frames(ev, o,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ets", rightTime = "o_orderdate", rightTie = "o_orderkey")
+      .select($"event_id", $"o_orderkey", $"o_orderdate")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_native" -> joinAsofNative,
     "agg_histogram" -> aggHistogram,
     "agg_incremental" -> aggIncremental,
     "join_band_auto" -> joinBandAuto,
@@ -251,6 +272,15 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_asof_native" ->
+      """SELECT event_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "agg_histogram" ->
       """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
         |SELECT CAST(least(19, floor((value - mn) / ((mx - mn) / 20.0))) AS INTEGER) AS bin,

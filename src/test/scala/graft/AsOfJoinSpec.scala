@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.plans.AsOfJoin
+import graft.engine.ops.{Relational, Relational3}
+
+/** The native as-of join operator (custom LogicalPlan + Strategy +
+  * SparkPlan): differential equality against the composed query,
+  * physical-plan shape, and the SQL null/window edge semantics the
+  * merge loop implements by hand. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native as-of equals the composed range-join + max_by form") {
+    val native = Relational3.joinAsofNative(spark, sf).collect()
+    val composed = Relational.joinAsof(spark, sf).collect()
+    assert(native.length == composed.length)
+    assert(native.map(_.toString).sameElements(composed.map(_.toString)))
+  }
+
+  test("the plan is AsOfJoinExec fed by one exchange+sort per side") {
+    val p = Relational3.joinAsofNative(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), "custom physical operator missing")
+    assert(!p.contains("SortAggregate") && !p.contains("HashAggregate"),
+      "native path must not re-aggregate pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("null keys never match; null times neither match nor are matched") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(10L), Option(100L)), // normal match
+      (2L, None, Option(100L)),        // null key: dropped
+      (3L, Option(10L), None),         // null time: dropped
+      (4L, Option(11L), Option(100L))  // key matches only null-time right row: dropped
+    ).toDF("lid", "k", "lt")
+    val right = Seq(
+      (Option(10L), Option(50L), 7L),  // in-window for lid=1
+      (Option(10L), Option(60L), 8L),  // later in-window: wins
+      (Option(10L), Option(200L), 9L), // out of window
+      (Option(11L), None, 10L),        // null right time: never a candidate
+      (None, Option(1L), 11L)          // null right key: never a candidate
+    ).toDF("rk", "rt", "tie")
+    val out = AsOfJoin.frames(left, right, "k", "rk", "lt", "rt", "tie")
+      .select($"lid", $"tie").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 8L)))
+  }
+
+  test("candidates reset across key runs; ties break to the greater tie column") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, 100L), (2L, 1L, 100L), // same key, same time: same match
+      (3L, 2L, 100L),                 // next key: must NOT inherit key 1's candidate
+      (4L, 3L, 5L)                    // before every right row for key 3
+    ).toDF("lid", "k", "lt")
+    val right = Seq(
+      (1L, 90L, 1L), (1L, 90L, 2L),   // equal times: tie 2 wins
+      (3L, 50L, 3L)                   // key 2 has no rows; key 3 out of window
+    ).toDF("rk", "rt", "tie")
+    val out = AsOfJoin.frames(left, right, "k", "rk", "lt", "rt", "tie")
+      .select($"lid", $"tie").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L)))
+  }
+}
