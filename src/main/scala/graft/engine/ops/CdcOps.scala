@@ -151,7 +151,27 @@ object CdcOps {
       .orderBy($"user_id")
   }
 
+  /** SCD-type-2 history from a changelog: every state a key passed
+    * through becomes a validity interval — `valid_from` = its change
+    * time, `valid_to` = the next change's time (null while current).
+    * The standard "time-travel" dimension build downstream of CDC;
+    * one key-partitioned window (lead), integer epoch output, fully
+    * parallel at any scale. */
+  val cdcScd2: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts".cast("timestamp").cast("long").as("valid_from"), $"ts")
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"event_id", $"event_type",
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc_scd2" -> cdcScd2,
     "cdc_apply" -> cdcApply,
     "cdc_seed_key" -> cdcSeedKey,
     "cdc_dml_msg" -> cdcDmlMsg,
@@ -164,6 +184,16 @@ object CdcOps {
     * deterministic-field-order compact JSON (Spark: select order;
     * DuckDB: struct_pack order). */
   val oracles: Map[String, String] = Map(
+    "cdc_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+        |  lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
     "cdc_apply" ->
       """SELECT user_id, event_id AS last_event,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS state_ts, value AS state_value

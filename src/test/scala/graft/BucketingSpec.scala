@@ -1,39 +1,54 @@
 package graft
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{Bucketing, Tables}
+import graft.engine.Tables
 
-/** Bucketed layout ⇒ shuffle-free co-located joins: both sides written
-  * bucketed by the join key must join with zero Exchange operators in
-  * the physical plan (the amortized-layout strategy for repeated
-  * fact-table joins at scale). */
+/** Bucketing — the co-located-join story SURVEY §2 promises at 100 TB:
+  * two tables bucketed (and sorted) on the join key join with ZERO
+  * exchanges, because the bucketed scan's output partitioning already
+  * satisfies the join's required distribution. At cluster scale this
+  * is the difference between re-shuffling 100 TB per join and reading
+  * co-located buckets. */
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.session
-  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
 
-  test("join of identically-bucketed tables plans no shuffle") {
-    val sf = "/root/testdata/sf0.001"
-    // disable broadcast so the join would otherwise need a shuffle
+  test("equi-join of co-bucketed tables plans no Exchange at all") {
+    val dir = Files.createTempDirectory("graft-bucketed").toString
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Bucketing.writeBucketed(
-        Tables.orders(spark, sf), "graft_orders_b", 4, Seq("o_custkey"))
-      Bucketing.writeBucketed(
-        Tables.customer(spark, sf), "graft_customer_b", 4, Seq("c_custkey"))
-      val joined = Bucketing.bucketedJoin(spark,
-        "graft_orders_b", "graft_customer_b", $"o_custkey" === $"c_custkey")
+      Tables.orders(spark, sf)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$dir/b_orders").saveAsTable("b_orders")
+      Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$dir/b_customer").saveAsTable("b_customer")
+
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
       assert(!plan.contains("Exchange"),
-        s"bucketed join must not shuffle, plan:\n$plan")
-      // and it is still correct
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), "scan must use the bucket layout")
+
+      // and it computes the same thing as the shuffled join
       val expected = Tables.orders(spark, sf)
-        .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey").count()
+        .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")).count()
       assert(joined.count() == expected)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
-      spark.sql("DROP TABLE IF EXISTS graft_customer_b")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
 }
