@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   *  - objective: Σ max-dot as a scaled-BIGINT sum — exact, so
   *    "non-decreasing" is a hard spec assertion, not a tolerance
   *
-  * Each iteration materializes the assignment ONCE (localCheckpoint)
-  * and runs two cheap actions over it (k·dim cell aggregate + the
-  * exact objective sum) — the k-dot-product projection, the dominant
-  * cost, is never recomputed. At 100 TB that is the standard k-means
+  * Each iteration is ONE Spark job: the k-dot assignment projection
+  * streams into a single (cid, pos) cell aggregate that carries both
+  * the mean sums and the exact objective (folded onto the pos=0
+  * cells), so the dominant projection runs exactly once with no
+  * materialization barrier. At 100 TB that is the standard k-means
   * shape: broadcast centroids, map-side partial aggregation, driver
   * holds only k·dim doubles.
   */
@@ -56,29 +57,29 @@ object KMeans {
         s"(cast(round(graft_dot(v, ${arrLit(c)}) * 1000000D) as bigint)" +
           s" + 4000000000L) * $k + ${k - 1 - j}"
       }
-      val assigned = vecs
+      // ONE job per iteration: the k-dot assignment projection feeds a
+      // single (cid, pos) cell aggregate that carries BOTH the exact
+      // scaled-BIGINT mean sums AND the exact objective (folded onto
+      // the pos=0 cells so each row contributes it once) — no
+      // materialization barrier, no second action
+      val cells = vecs
         .withColumn("enc", expr(s"array_max(array(${encs.mkString(",")}))"))
         .withColumn("cid", lit(k - 1) - ($"enc" % k).cast("int"))
-        // materialize: both the cell aggregate and the objective read
-        // this, and the k-dot assignment must not run twice
-        .localCheckpoint()
-      // exact update: scaled-BIGINT sums per (cid, pos)
-      val cells = assigned
-        .select($"cid", posexplode(expr(
+        .withColumn("objpart",
+          (($"enc" - ($"enc" % k)) / k - 4000000000L).cast("long"))
+        .select($"cid", $"objpart", posexplode(expr(
           "transform(v, x -> cast(round(x * 1000000000D) as bigint))")))
         .groupBy($"cid", $"pos")
-        .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+        .agg(sum($"col").as("s"), count(lit(1)).as("n"),
+          sum(when($"pos" === 0, $"objpart")).as("op"))
         .collect()
-      val dim = centroids.head.length
       val next = centroids.map(_.clone())
       cells.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) =
           r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e9)
       }
       // exact objective: Σ max-dot (scaled), monotone under Lloyd's
-      val obj = assigned
-        .agg(sum((($"enc" - ($"enc" % k)) / k - 4000000000L).cast("long")))
-        .first().getLong(0) / 1e6
+      val obj = cells.filter(_.getInt(1) == 0).map(_.getLong(4)).sum / 1e6
       centroids = next
       objective = obj
       it += 1
