@@ -252,7 +252,23 @@ object Relational3 {
       .orderBy($"event_id")
   }
 
+  /** Exact distinct count via bitmap aggregation — the scale path for
+    * dense-ish integer keys: map each key to (bucket = key/64,
+    * bit = 1<<(key%64)), OR the bits per bucket (map-side combined,
+    * 64 keys collapse into one long before the shuffle), then popcount.
+    * Versus `count(distinct)`, the shuffle carries one long per
+    * 64-key bucket instead of every distinct raw value — the
+    * roaring-bitmap rollup trick. Oracle is the plain COUNT(DISTINCT):
+    * equality proves the bitmap path exact, not approximate. */
+  val aggBitmapDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(expr("o_custkey DIV 64").as("bucket"),
+        expr("shiftleft(1L, cast(o_custkey % 64 as int))").as("bit"))
+      .groupBy($"bucket").agg(bit_or($"bit").as("bm"))
+      .agg(sum(bit_count($"bm")).cast("long").as("n_distinct"))
+
   val queries: Map[String, Q] = Map(
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "join_asof_native" -> joinAsofNative,
     "agg_histogram" -> aggHistogram,
     "agg_incremental" -> aggIncremental,
@@ -272,6 +288,9 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      "SELECT count(DISTINCT o_custkey) AS n_distinct FROM orders",
+
     "join_asof_native" ->
       """SELECT event_id, o_orderkey, o_orderdate FROM (
         |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
