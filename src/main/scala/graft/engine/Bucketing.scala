@@ -18,12 +18,14 @@ object Bucketing {
       df: DataFrame,
       table: String,
       buckets: Int,
-      keys: Seq[String]): Unit =
-    df.write
+      keys: Seq[String],
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two identically-bucketed catalog tables on their bucket
     * keys. When bucket counts match, Catalyst proves co-partitioning

@@ -203,8 +203,12 @@ object Relational3 {
     val ev = Tables.events(s, d)
     val bounds = ev.agg(min($"value").as("mn"), max($"value").as("mx"))
     ev.crossJoin(broadcast(bounds))
+      // degenerate range (mx == mn, e.g. a single distinct value) puts
+      // everything in bin 0 instead of dividing by a zero width
       .withColumn("bin",
-        least(lit(19L), floor(($"value" - $"mn") / (($"mx" - $"mn") / 20.0)))
+        when($"mx" === $"mn", lit(0L))
+          .otherwise(least(lit(19L),
+            floor(($"value" - $"mn") / (($"mx" - $"mn") / 20.0))))
           .cast("int"))
       .groupBy($"bin").agg(count(lit(1)).as("n"))
       .orderBy($"bin")
@@ -227,8 +231,11 @@ object Relational3 {
     partial(o.filter($"o_orderdate" < cut))
       .unionByName(partial(o.filter($"o_orderdate" >= cut)))
       .groupBy($"o_orderpriority")
+      // no narrowing re-cast on the merged sum: sum(DECIMAL(18,2))
+      // widens to (28,2) and must stay wide — at scale a group's total
+      // can exceed DECIMAL(18,2)
       .agg(sum($"pn").as("n_orders"),
-        sum($"ps").cast(dec).cast("double").as("sum_price"))
+        sum($"ps").cast("double").as("sum_price"))
       .orderBy($"o_orderpriority")
   }
 
@@ -302,7 +309,9 @@ object Relational3 {
 
     "agg_histogram" ->
       """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
-        |SELECT CAST(least(19, floor((value - mn) / ((mx - mn) / 20.0))) AS INTEGER) AS bin,
+        |SELECT CAST(CASE WHEN mx = mn THEN 0
+        |  ELSE least(19, floor((value - mn) / ((mx - mn) / 20.0)))
+        |  END AS INTEGER) AS bin,
         |  count(1) AS n
         |FROM events, b GROUP BY 1 ORDER BY bin""".stripMargin,
 

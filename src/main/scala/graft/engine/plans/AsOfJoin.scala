@@ -3,7 +3,7 @@ package graft.engine.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -53,7 +53,15 @@ object AsOfJoin {
              leftTime: String, rightTime: String,
              rightTie: String): org.apache.spark.sql.DataFrame = {
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // self-join / shared-lineage safety: if any right attribute id also
+    // appears on the left, re-alias the whole right side with fresh ids
+    // HERE — the analyzer's DeduplicateRelations would renew the child's
+    // ids without rewriting this node's key/time/tie expressions
+    val rp =
+      if (rp0.outputSet.exists(lp.outputSet.contains))
+        Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+      else rp0
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
@@ -141,16 +149,19 @@ case class AsOfJoinExec(
                 else {
                   val cmp = keyOrd.compare(rk, lk)
                   if (cmp < 0) advanceRight() // stale key: discard
-                  else if (cmp == 0 && {
+                  else if (cmp > 0) advancing = false
+                  else {
                     val rt = rTime.eval(rHead)
-                    rt != null && timeOrd.lteq(rt, lt)
-                  }) {
-                    // in-window row for this key: rows are (time, tie)-
-                    // ascending, so the last one kept is the match
-                    cand = rHead.copy()
-                    candKey = lk.copy()
-                    advanceRight()
-                  } else advancing = false
+                    if (rt == null) advanceRight() // NULLS FIRST in the
+                    // sort, never a candidate: skip, don't stall the run
+                    else if (timeOrd.lteq(rt, lt)) {
+                      // in-window row for this key: rows are (time, tie)-
+                      // ascending, so the last one kept is the match
+                      cand = rHead.copy()
+                      candKey = lk.copy()
+                      advanceRight()
+                    } else advancing = false
+                  }
                 }
               }
               if (cand != null && keyOrd.compare(candKey, lk) == 0)

@@ -43,6 +43,22 @@ import graft.engine.topics.FileTopicStore
   * byte-equality with the `spark.read.json` path and asserts the
   * pushdown reaches the scan.
   */
+object TopicSource {
+  /** Write option carrying pre-scanned per-partition base offsets
+    * ("p:off,p:off"), so a caller that already aggregated the log this
+    * append (e.g. for dirty-ratio stats) saves the write path's scan. */
+  val BasesOption = "graft.bases"
+
+  def encodeBases(b: Map[Int, Long]): String =
+    b.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",")
+
+  def decodeBases(s: String): Map[Int, Long] =
+    if (s.isEmpty) Map.empty
+    else s.split(',').map { kv =>
+      val Array(p, o) = kv.split(':'); p.toInt -> o.toLong
+    }.toMap
+}
+
 class TopicSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FileTopicStore.schema
@@ -65,7 +81,8 @@ private[sources] class TopicTable(dir: String) extends Table
     new TopicScanBuilder(dir,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new TopicWriteBuilder(dir, info.schema())
+    new TopicWriteBuilder(dir, info.schema(),
+      Option(info.options.get(TopicSource.BasesOption)))
 }
 
 private[sources] class TopicScanBuilder(dir: String,
@@ -325,17 +342,17 @@ private[sources] class TopicFileReader(file: String, columns: Array[String],
   *    atomically renamed to `v2-*.json` on task commit, deleted on
   *    abort — a failed/retried task never leaves visible partial data.
   */
-private[sources] class TopicWriteBuilder(dir: String, schema: StructType)
-  extends WriteBuilder {
+private[sources] class TopicWriteBuilder(dir: String, schema: StructType,
+    bases: Option[String]) extends WriteBuilder {
   override def build(): Write = {
     require(schema.fieldNames.sameElements(FileTopicStore.schema.fieldNames),
       s"topic append expects columns ${FileTopicStore.schema.fieldNames.mkString(",")} " +
         s"(got ${schema.fieldNames.mkString(",")}); use FileTopicStore.appendV2")
-    new TopicWrite(dir)
+    new TopicWrite(dir, bases)
   }
 }
 
-private[sources] class TopicWrite(dir: String)
+private[sources] class TopicWrite(dir: String, bases: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -345,7 +362,7 @@ private[sources] class TopicWrite(dir: String)
     Expressions.sort(Expressions.identity("partition"), SortDirection.ASCENDING),
     Expressions.sort(Expressions.identity("offset"), SortDirection.ASCENDING))
 
-  override def toBatch: BatchWrite = new TopicBatchWrite(dir)
+  override def toBatch: BatchWrite = new TopicBatchWrite(dir, bases)
 
   // one StreamingWrite per query: Spark re-wraps it in a fresh
   // MicroBatchWrite each epoch, so any per-query state (the offset
@@ -424,11 +441,16 @@ private[sources] class TopicStreamingWriterFactory(dir: String, base: Long)
   }
 }
 
-private[sources] class TopicBatchWrite(dir: String) extends BatchWrite {
+private[sources] class TopicBatchWrite(dir: String, bases: Option[String])
+  extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // per-partition base offsets: a numPartitions-row aggregate over the
-    // existing log (the broker-metadata lookup), computed ONCE per append
-    new TopicWriterFactory(dir, TopicLog.partitionBases(dir), System.currentTimeMillis())
+    // existing log (the broker-metadata lookup), computed ONCE per
+    // append — or passed in by a caller that already scanned the log
+    // this append (FileTopicStore.appendV2's dirty-ratio stats pass)
+    val b = bases.map(TopicSource.decodeBases)
+      .getOrElse(TopicLog.partitionBases(dir))
+    new TopicWriterFactory(dir, b, System.currentTimeMillis())
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

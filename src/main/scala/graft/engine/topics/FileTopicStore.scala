@@ -297,14 +297,19 @@ class FileTopicStore(
   def appendV2(topic: String, kv: DataFrame): Unit = {
     check("append", topic)
     if (!exists(topic)) create(topic)
+    // ONE log scan per append, exactly like append(): the stats pass
+    // yields both the write path's base offsets (forwarded through the
+    // connector option, skipping its own scan) and the pre-append
+    // dirty-ratio inputs
+    val stats = topicStats(topic)
     routed(kv)
       .write.format(classOf[graft.engine.sources.TopicSource].getName)
+      .option(graft.engine.sources.TopicSource.BasesOption,
+        graft.engine.sources.TopicSource.encodeBases(stats.bases))
       .mode("append")
       .save(dir(topic).toString)
-    // same self-compaction invariant as append(); evaluated post-write
-    // (the V2 path has no pre-append stats scan to piggyback on)
+    // same self-compaction invariant as append() (pre-append stats)
     dirtyRatio.foreach { threshold =>
-      val stats = topicStats(topic)
       if (!dirtyRatioExempt.contains(topic) && stats.keyedTotal > 0 &&
         (stats.keyedTotal - stats.keyedLive).toDouble / stats.keyedTotal >= threshold)
         compact(topic)

@@ -36,18 +36,35 @@ class AsOfJoinSpec extends AnyFunSuite {
       (1L, Option(10L), Option(100L)), // normal match
       (2L, None, Option(100L)),        // null key: dropped
       (3L, Option(10L), None),         // null time: dropped
-      (4L, Option(11L), Option(100L))  // key matches only null-time right row: dropped
+      (4L, Option(11L), Option(100L)), // key matches only null-time right row: dropped
+      (5L, Option(12L), Option(100L))  // null-time row must not stall the key run
     ).toDF("lid", "k", "lt")
     val right = Seq(
       (Option(10L), Option(50L), 7L),  // in-window for lid=1
       (Option(10L), Option(60L), 8L),  // later in-window: wins
       (Option(10L), Option(200L), 9L), // out of window
       (Option(11L), None, 10L),        // null right time: never a candidate
-      (None, Option(1L), 11L)          // null right key: never a candidate
+      (None, Option(1L), 11L),         // null right key: never a candidate
+      (Option(12L), None, 12L),        // NULLS FIRST: sorts ahead of the real row
+      (Option(12L), Option(40L), 13L)  // in-window; must be reached past the null
     ).toDF("rk", "rt", "tie")
     val out = AsOfJoin.frames(left, right, "k", "rk", "lt", "rt", "tie")
-      .select($"lid", $"tie").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(out.toSeq == Seq((1L, 8L)))
+      .select($"lid", $"tie").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 8L), (5L, 13L)))
+  }
+
+  test("self as-of join (shared lineage) re-aliases the right side cleanly") {
+    import spark.implicits._
+    val t = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L))
+      .toDF("id", "k", "t2")
+    // each row matched to its own latest state at-or-before its time:
+    // with identical left/right, that is the row itself
+    val rows = AsOfJoin.frames(t, t, "k", "k", "t2", "t2", "id")
+      .toDF("lid", "lk", "lt2", "rid", "rk", "rt2")
+      .select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
   test("candidates reset across key runs; ties break to the greater tie column") {

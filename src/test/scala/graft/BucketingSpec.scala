@@ -22,17 +22,16 @@ class BucketingSpec extends AnyFunSuite {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Tables.orders(spark, sf)
-        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$dir/b_orders").saveAsTable("b_orders")
-      Tables.customer(spark, sf)
-        .select(col("c_custkey"), col("c_mktsegment"))
-        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$dir/b_customer").saveAsTable("b_customer")
+      graft.engine.Bucketing.writeBucketed(
+        Tables.orders(spark, sf),
+        "b_orders", 8, Seq("o_custkey"), Some(s"$dir/b_orders"))
+      graft.engine.Bucketing.writeBucketed(
+        Tables.customer(spark, sf)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        "b_customer", 8, Seq("c_custkey"), Some(s"$dir/b_customer"))
 
-      val joined = spark.table("b_orders")
-        .join(spark.table("b_customer"),
-          col("o_custkey") === col("c_custkey"))
+      val joined = graft.engine.Bucketing.bucketedJoin(spark,
+        "b_orders", "b_customer", col("o_custkey") === col("c_custkey"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
       assert(!plan.contains("Exchange"),
