@@ -114,6 +114,41 @@ class TopicWriteSpec extends AnyFunSuite {
     assert(last.map(_.getString(1)).toSeq == Seq("e1"))
   }
 
+  test("streaming write restart: recomputed base keeps offsets monotone; compaction converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (store, _) = newStore()
+    store.create("t")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val in1 = MemoryStream[(String, String)]
+    val q1 = store.writeStreamV2("t", in1.toDF().toDF("key", "value"), ckpt)
+    try {
+      in1.addData(("k1", "run1-e0"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // second run, SAME checkpoint: a fresh StreamingWrite instance
+    // recomputes its base from the log including run 1's writes, so
+    // run 2's offsets must sort strictly after run 1's
+    val in2 = MemoryStream[(String, String)]
+    // the checkpoint already committed through run 1's offset, so the
+    // fresh MemoryStream's first block occupies an already-processed
+    // slot — burn it, then produce the real run-2 data
+    in2.addData(("k1", "replay-slot"))
+    val q2 = store.writeStreamV2("t", in2.toDF().toDF("key", "value"), ckpt)
+    try {
+      in2.addData(("k1", "run2-e0"), ("k2", "other"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val k1 = store.readAll("t").filter(col("key") === "k1")
+      .orderBy(col("offset")).collect().map(_.getString(1))
+    assert(k1.toSeq == Seq("run1-e0", "run2-e0"),
+      "offsets across a checkpoint restart must preserve produce order")
+    assert(store.readCompacted("t").filter(col("key") === "k1")
+      .collect().map(_.getString(1)).toSeq == Seq("run2-e0"),
+      "keyed compaction must land on the post-restart state")
+  }
+
   test("V2 topic-to-topic relay: stream-read source, transform, stream-write sink") {
     // the full connector loop (Kafka-Streams shape): micro-batch tail of
     // topic A (file-set offsets) → transform → STREAMING_WRITE into topic B
