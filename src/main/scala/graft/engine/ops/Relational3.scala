@@ -274,9 +274,28 @@ object Relational3 {
       .groupBy($"bucket").agg(bit_or($"bit").as("bm"))
       .agg(sum(bit_count($"bm")).cast("long").as("n_distinct"))
 
+  /** Left-outer flavor of the native as-of join: events with no order
+    * at-or-before their time survive with a null-padded right side
+    * (none exist in the synthetic data — the unmatched path is
+    * spec-covered with synthetic frames; the gate still locks the
+    * matched semantics and the nullable output schema). */
+  val joinAsofOuter: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"user_id", $"ts".as("ets"))
+    val o = Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    graft.engine.plans.AsOfJoin.frames(ev, o,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ets", rightTime = "o_orderdate", rightTie = "o_orderkey",
+      outer = true)
+      .select($"event_id", $"o_orderkey", $"o_orderdate")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "join_asof_native" -> joinAsofNative,
+    "join_asof_outer" -> joinAsofOuter,
     "agg_histogram" -> aggHistogram,
     "agg_incremental" -> aggIncremental,
     "join_band_auto" -> joinBandAuto,
@@ -305,6 +324,16 @@ object Relational3 {
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e
         |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "join_asof_outer" ->
+      """SELECT event_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC NULLS LAST,
+        |               o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "agg_histogram" ->

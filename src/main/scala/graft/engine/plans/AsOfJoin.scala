@@ -33,9 +33,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression, rightTie: Expression)
-  extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    leftTime: Expression, rightTime: Expression, rightTie: Expression,
+    outer: Boolean = false) extends BinaryNode {
+  // left-outer as-of keeps unmatched left rows with a null-padded right
+  // side, so the right attributes must surface as nullable
+  override def output: Seq[Attribute] = left.output ++
+    (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -51,7 +54,8 @@ object AsOfJoin {
              right: org.apache.spark.sql.DataFrame,
              leftKey: String, rightKey: String,
              leftTime: String, rightTime: String,
-             rightTie: String): org.apache.spark.sql.DataFrame = {
+             rightTie: String,
+             outer: Boolean = false): org.apache.spark.sql.DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     // self-join / shared-lineage safety: if any right attribute id also
@@ -71,7 +75,7 @@ object AsOfJoin {
       s"as-of time columns must share a type (${lt.dataType} vs ${rt.dataType})")
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession,
       AsOfJoin(lp, rp, Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-        lt, rt, attr(rp, rightTie)))
+        lt, rt, attr(rp, rightTie), outer))
   }
 }
 
@@ -79,8 +83,8 @@ object AsOfJoin {
   * `injectPlannerStrategy` in GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer) :: Nil
     case _ => Nil
   }
 }
@@ -88,10 +92,11 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression, rightTie: Expression)
-  extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression, rightTie: Expression,
+    outer: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = left.output ++
+    (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
   // co-partition both sides on the key (Spark inserts the exchanges,
   // with AQE coalescing/skew handling as for any sort-merge join)
@@ -123,7 +128,11 @@ case class AsOfJoinExec(
       val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
         .asInstanceOf[Ordering[Any]]
       val joined = new JoinedRow
-      val result = UnsafeProjection.create(output, lOut ++ rOut)
+      // bind against nullable right attrs in outer mode, or the bound
+      // references elide null checks and read 0s from the null padding
+      val result = UnsafeProjection.create(output,
+        lOut ++ (if (outer) rOut.map(_.withNullability(true)) else rOut))
+      val nullRight = new GenericInternalRow(rOut.length)
 
       new Iterator[InternalRow] {
         // single-row merge state: the lookahead right row and the best
@@ -166,6 +175,11 @@ case class AsOfJoinExec(
               }
               if (cand != null && keyOrd.compare(candKey, lk) == 0)
                 return result(joined(l, cand))
+              else if (outer) return result(joined(l, nullRight))
+            } else if (outer) {
+              // null-key / null-time left rows can't match, but a
+              // left-outer as-of still keeps them
+              return result(joined(l, nullRight))
             }
           }
           null

@@ -54,6 +54,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 8L), (5L, 13L)))
   }
 
+  test("left-outer as-of keeps unmatched, null-key and null-time left rows null-padded") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(10L), Option(100L)), // matched
+      (2L, Option(10L), Option(10L)),  // before every right row: unmatched
+      (3L, Option(99L), Option(100L)), // key with no right rows: unmatched
+      (4L, None, Option(100L)),        // null key: kept, null-padded
+      (5L, Option(10L), None)          // null time: kept, null-padded
+    ).toDF("lid", "k", "lt")
+    val right = Seq((Option(10L), Option(50L), 7L)).toDF("rk", "rt", "tie")
+    val out = AsOfJoin.frames(left, right, "k", "rk", "lt", "rt", "tie",
+      outer = true)
+      .select($"lid", $"tie").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(1L -> Some(7L), 2L -> None, 3L -> None,
+      4L -> None, 5L -> None))
+  }
+
   test("self as-of join (shared lineage) re-aliases the right side cleanly") {
     import spark.implicits._
     val t = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L))
