@@ -170,9 +170,15 @@ object PipelineOps {
     * pattern), never a single-task `Window.orderBy`: at 100 TB the
     * cumsum is the whole job, and this shape keeps it one range
     * shuffle. All integer arithmetic — no cross-engine hazards. */
-  val packSequences: Q = (s, d) => {
-    val toked = Tables.documents(s, d)
-      .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+  val packSequences: Q = (s, d) =>
+    packLayout(Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks")))
+
+  /** The distributed layout pass shared by [[packSequences]] (whole
+    * corpus) and [[pipelinePack]] (post-clean survivors): input is any
+    * (doc_id, n_toks) frame. */
+  private def packLayout(docCounts: DataFrame): DataFrame = {
+    val toked = docCounts
       .repartitionByRange($"doc_id")
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // pin the sampled range boundaries (see cdc_progress)
@@ -194,8 +200,21 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** The composed end-to-end shape a real corpus pipeline runs: clean
+    * verdicts gate which documents exist at all, and ONLY the kept
+    * docs are packed into training sequences — clean ∘ pack as one
+    * differential-gated query. Same distributed layout pass, fed by
+    * the survivor set (narrow doc_id semi-join). */
+  val pipelinePack: Q = (s, d) => {
+    val kept = pipelineClean(s, d).filter($"kept").select($"doc_id")
+    packLayout(Tables.documents(s, d)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks")))
+  }
+
   val queries: Map[String, Q] = Map(
     "pack_sequences" -> packSequences,
+    "pipeline_pack" -> pipelinePack,
     "pipeline_clean" -> pipelineClean,
     "agg_topk_custom" -> aggTopkCustom,
     "sim_ivf_kmeans" -> simIvfKmeans,
@@ -235,27 +254,26 @@ object PipelineOps {
        |    ON n.cid = p.cid),
        | cu$i AS (${duckUnit(s"c$i")})""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "pack_sequences" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks
-         |  FROM documents),
-         | c AS (
-         |  SELECT doc_id, n_toks,
-         |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM t)
-         |SELECT doc_id, n_toks,
-         |  cum_before // $PackBudget AS seq_id,
-         |  cum_before % $PackBudget AS seq_off,
-         |  CASE WHEN n_toks = 0 THEN 0
-         |       ELSE (cum_before + n_toks - 1) // $PackBudget
-         |            - cum_before // $PackBudget + 1 END AS n_seqs
-         |FROM c ORDER BY doc_id""".stripMargin,
+  /** The cumsum + chunk layout over a `t(doc_id, n_toks)` CTE — shared
+    * by the pack_sequences and pipeline_pack oracles. */
+  private val packSql: String =
+    s""" c AS (
+       |  SELECT doc_id, n_toks,
+       |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, n_toks,
+       |  cum_before // $PackBudget AS seq_id,
+       |  cum_before % $PackBudget AS seq_off,
+       |  CASE WHEN n_toks = 0 THEN 0
+       |       ELSE (cum_before + n_toks - 1) // $PackBudget
+       |            - cum_before // $PackBudget + 1 END AS n_seqs
+       |FROM c ORDER BY doc_id""".stripMargin
 
-    "pipeline_clean" ->
-      s"""WITH sig AS (
+  /** The clean-verdict CTE chain (sig, rep, v) shared by the
+    * pipeline_clean and pipeline_pack oracles. */
+  private val cleanSql: String =
+    s"""sig AS (
          |  SELECT doc_id, lang,
          |    COALESCE(CAST(floor((0.5 * alpha_raw + 0.3 * (1.0 - punct_raw)
          |      + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)) * 10000.0) AS BIGINT), 0) AS quality,
@@ -298,7 +316,26 @@ object PipelineOps {
          |         WHEN s.pred_lang <> s.lang THEN 'lang'
          |         WHEN COALESCE(r.rep_bp, 0) > $MaxRepBp THEN 'repetition'
          |    END AS reason
-         |  FROM sig s LEFT JOIN rep r ON r.doc_id = s.doc_id)
+         |  FROM sig s LEFT JOIN rep r ON r.doc_id = s.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |$packSql""".stripMargin,
+
+    "pipeline_pack" ->
+      s"""WITH $cleanSql,
+         | t AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+         |  FROM documents d JOIN v ON v.doc_id = d.doc_id AND v.reason IS NULL),
+         |$packSql""".stripMargin,
+
+    "pipeline_clean" ->
+      s"""WITH $cleanSql
          |SELECT doc_id, quality, pred_lang, rep_bp,
          |  reason IS NULL AS kept, reason
          |FROM v ORDER BY doc_id""".stripMargin,

@@ -33,6 +33,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_pack packs exactly the kept documents, contiguously") {
+    val kept = PipelineOps.pipelineClean(spark, sf)
+      .filter($("kept")).select($("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val packed = PipelineOps.pipelinePack(spark, sf).collect()
+    assert(packed.map(_.getLong(0)).toSet == kept,
+      "packed set must equal the clean-verdict survivors")
+    // contiguity over the SURVIVOR ordering (same invariant as
+    // pack_sequences, on the filtered corpus)
+    val b = PipelineOps.PackBudget
+    val starts = packed.map(r => r.getLong(2) * b + r.getLong(3))
+    val ends = packed.map(_.getLong(1)).scanLeft(0L)(_ + _)
+    assert(starts.sameElements(ends.init))
+  }
+
   test("agg_topk_custom matches the sort-based window twin") {
     import org.apache.spark.sql.expressions.Window
     val agg = PipelineOps.aggTopkCustom(spark, sf)
