@@ -247,14 +247,20 @@ object Relational3 {
     * collapses them; the operator streams one merge pass with one
     * buffered row of state. Both time columns are TIMESTAMP_NTZ, so
     * the merge compares one physical type with no cast. */
-  val joinAsofNative: Q = (s, d) => {
+  val joinAsofNative: Q = nativeAsof(outer = false)
+
+  /** Shared body for the native as-of queries — inner and left-outer
+    * differ ONLY in the operator flag, so the projections and join
+    * columns cannot drift apart. */
+  private def nativeAsof(outer: Boolean): Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select($"event_id", $"user_id", $"ts".as("ets"))
     val o = Tables.orders(s, d)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate")
     graft.engine.plans.AsOfJoin.frames(ev, o,
       leftKey = "user_id", rightKey = "o_custkey",
-      leftTime = "ets", rightTime = "o_orderdate", rightTie = "o_orderkey")
+      leftTime = "ets", rightTime = "o_orderdate", rightTie = "o_orderkey",
+      outer = outer)
       .select($"event_id", $"o_orderkey", $"o_orderdate")
       .orderBy($"event_id")
   }
@@ -279,18 +285,7 @@ object Relational3 {
     * (none exist in the synthetic data — the unmatched path is
     * spec-covered with synthetic frames; the gate still locks the
     * matched semantics and the nullable output schema). */
-  val joinAsofOuter: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-      .select($"event_id", $"user_id", $"ts".as("ets"))
-    val o = Tables.orders(s, d)
-      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
-    graft.engine.plans.AsOfJoin.frames(ev, o,
-      leftKey = "user_id", rightKey = "o_custkey",
-      leftTime = "ets", rightTime = "o_orderdate", rightTie = "o_orderkey",
-      outer = true)
-      .select($"event_id", $"o_orderkey", $"o_orderdate")
-      .orderBy($"event_id")
-  }
+  val joinAsofOuter: Q = nativeAsof(outer = true)
 
   val queries: Map[String, Q] = Map(
     "agg_bitmap_distinct" -> aggBitmapDistinct,

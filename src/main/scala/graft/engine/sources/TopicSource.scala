@@ -376,7 +376,7 @@ private[sources] class TopicWrite(dir: String, bases: Option[String] = None)
   * broker-metadata lookup). Shared by the batch write, the streaming
   * write, and nothing else — [[FileTopicStore]]'s richer stats scan
   * also needs dirty-ratio counts and stays separate. */
-private[sources] object TopicLog {
+private[engine] object TopicLog {
   def nonEmpty(dir: String): Boolean = {
     val p = Paths.get(dir)
     Files.isDirectory(p) && {

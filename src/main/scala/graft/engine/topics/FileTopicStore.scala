@@ -200,15 +200,20 @@ class FileTopicStore(
     // dirty ratio = superseded keyed messages / keyed messages, from the
     // stats of the pre-append scan above (a production store keeps
     // running per-segment counters instead of scanning at all)
+    maybeCompact(topic, stats)
+  }
+
+  private case class TopicStats(
+      bases: Map[Int, Long], keyedTotal: Long, keyedLive: Long)
+
+  /** The one dirty-ratio compaction policy, shared by both append
+    * paths so they cannot diverge. */
+  private def maybeCompact(topic: String, stats: TopicStats): Unit =
     dirtyRatio.foreach { threshold =>
       if (!dirtyRatioExempt.contains(topic) && stats.keyedTotal > 0 &&
         (stats.keyedTotal - stats.keyedLive).toDouble / stats.keyedTotal >= threshold)
         compact(topic)
     }
-  }
-
-  private case class TopicStats(
-      bases: Map[Int, Long], keyedTotal: Long, keyedLive: Long)
 
   /** One aggregate pass over the log: per-partition max offsets (the
     * append bases) + keyed total/distinct counts (the dirty-ratio
@@ -297,23 +302,24 @@ class FileTopicStore(
   def appendV2(topic: String, kv: DataFrame): Unit = {
     check("append", topic)
     if (!exists(topic)) create(topic)
-    // ONE log scan per append, exactly like append(): the stats pass
-    // yields both the write path's base offsets (forwarded through the
-    // connector option, skipping its own scan) and the pre-append
-    // dirty-ratio inputs
-    val stats = topicStats(topic)
+    // ONE log scan per append, exactly like append(): with a dirty
+    // ratio configured, the stats pass yields both the write path's
+    // base offsets (forwarded through the connector option, skipping
+    // its own scan) and the pre-append dirty-ratio inputs; without
+    // one, the cheap max-only bases scan suffices — no discarded
+    // countDistinct over the whole log
+    val stats =
+      if (dirtyRatio.isDefined) Some(topicStats(topic)) else None
+    val bases = stats.map(_.bases).getOrElse(
+      graft.engine.sources.TopicLog.partitionBases(dir(topic).toString))
     routed(kv)
       .write.format(classOf[graft.engine.sources.TopicSource].getName)
       .option(graft.engine.sources.TopicSource.BasesOption,
-        graft.engine.sources.TopicSource.encodeBases(stats.bases))
+        graft.engine.sources.TopicSource.encodeBases(bases))
       .mode("append")
       .save(dir(topic).toString)
     // same self-compaction invariant as append() (pre-append stats)
-    dirtyRatio.foreach { threshold =>
-      if (!dirtyRatioExempt.contains(topic) && stats.keyedTotal > 0 &&
-        (stats.keyedTotal - stats.keyedLive).toDouble / stats.keyedTotal >= threshold)
-        compact(topic)
-    }
+    stats.foreach(maybeCompact(topic, _))
   }
 
   /** Route a (key, value[, seq]) frame into the connector's write
