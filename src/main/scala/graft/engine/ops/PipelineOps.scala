@@ -40,15 +40,21 @@ object PipelineOps {
     * fixed order so the reason column is deterministic. All signals are
     * exact integers or floor-scaled basis points (SURVEY §7.3c): no
     * cross-engine float hazards. */
-  val pipelineClean: Q = (s, d) => {
-    // tokenize ONCE and materialize: both the signal branch and the
-    // bigram branch consume `toks`, and without the checkpoint each
-    // join input re-scans the corpus and re-runs the regexp chain
-    // (projection collapse would also re-inline tokens() into every
-    // stopword filter below)
-    val docs = Tables.documents(s, d).repartition($"doc_id")
+  val pipelineClean: Q = (s, d) =>
+    cleanVerdict(tokedDocs(s, d)).orderBy($"doc_id")
+
+  /** Tokenize ONCE and materialize: every pipeline consumer (signal
+    * branch, bigram branch, the pack stage) reads `toks` from this
+    * checkpoint — without it each subtree re-scans the corpus and
+    * re-runs the regexp chain (and projection collapse would re-inline
+    * tokens() into every stopword filter). */
+  private def tokedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition($"doc_id")
       .select($"doc_id", $"lang", $"text", tokens($"text").as("toks"))
       .localCheckpoint()
+
+  /** Per-doc verdicts over a tokenized corpus frame (unordered). */
+  private def cleanVerdict(docs: DataFrame): DataFrame = {
     // map-only per-doc signals + the dup flag (one shuffle on the
     // normalized body; min-doc_id survivorship like dedup_exact)
     val sig = docs
@@ -97,7 +103,6 @@ object PipelineOps {
           .when($"rep_bp" > MaxRepBp, lit("repetition")))
       .withColumn("kept", $"reason".isNull)
       .select($"doc_id", $"quality", $"pred_lang", $"rep_bp", $"kept", $"reason")
-      .orderBy($"doc_id")
   }
 
   /** The typed `Aggregator[IN, BUF, OUT]` surface (SURVEY §2.C) under
@@ -206,10 +211,13 @@ object PipelineOps {
     * differential-gated query. Same distributed layout pass, fed by
     * the survivor set (narrow doc_id semi-join). */
   val pipelinePack: Q = (s, d) => {
-    val kept = pipelineClean(s, d).filter($"kept").select($"doc_id")
-    packLayout(Tables.documents(s, d)
+    // ONE tokenized checkpoint feeds both the verdict and the pack
+    // stage — the survivors' token counts are read, not recomputed
+    val docs = tokedDocs(s, d)
+    val kept = cleanVerdict(docs).filter($"kept").select($"doc_id")
+    packLayout(docs
       .join(kept, Seq("doc_id"), "left_semi")
-      .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks")))
+      .select($"doc_id", size($"toks").cast("long").as("n_toks")))
   }
 
   val queries: Map[String, Q] = Map(
