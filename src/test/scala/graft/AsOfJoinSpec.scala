@@ -73,6 +73,30 @@ class AsOfJoinSpec extends AnyFunSuite {
       4L -> None, 5L -> None))
   }
 
+  test("native as-of enriches a stream inside foreachBatch (micro-batch temporal join)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((10L, 50L, 7L), (10L, 60L, 8L)).toDF("rk", "rt", "tie")
+      .localCheckpoint()
+    val in = MemoryStream[(Long, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = in.toDF().toDF("lid", "k", "lt").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= AsOfJoin.frames(batch, dim, "k", "rk", "lt", "rt", "tie")
+          .select($"lid", $"tie").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    try {
+      in.addData((1L, 10L, 55L), (2L, 10L, 100L), (3L, 99L, 100L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.sortBy(_._1).toSeq == Seq((1L, 7L), (2L, 8L)),
+      "per-batch as-of enrichment must pick each event's latest prior state")
+  }
+
   test("self as-of join (shared lineage) re-aliases the right side cleanly") {
     import spark.implicits._
     val t = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L))
