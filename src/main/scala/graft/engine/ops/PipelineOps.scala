@@ -267,15 +267,15 @@ object PipelineOps {
   private val packSql: String =
     s""" c AS (
        |  SELECT doc_id, n_toks,
-       |    COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
        |  FROM t)
        |SELECT doc_id, n_toks,
-       |  cum_before // $PackBudget AS seq_id,
-       |  cum_before % $PackBudget AS seq_off,
-       |  CASE WHEN n_toks = 0 THEN 0
+       |  CAST(cum_before // $PackBudget AS BIGINT) AS seq_id,
+       |  CAST(cum_before % $PackBudget AS BIGINT) AS seq_off,
+       |  CAST(CASE WHEN n_toks = 0 THEN 0
        |       ELSE (cum_before + n_toks - 1) // $PackBudget
-       |            - cum_before // $PackBudget + 1 END AS n_seqs
+       |            - cum_before // $PackBudget + 1 END AS BIGINT) AS n_seqs
        |FROM c ORDER BY doc_id""".stripMargin
 
   /** The clean-verdict CTE chain (sig, rep, v) shared by the

@@ -303,7 +303,7 @@ object TextOps {
     "mix_weights" ->
       """WITH per AS (
         |  SELECT lang, count(1) AS n_docs,
-        |    sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tokens
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS tokens
         |  FROM documents GROUP BY lang)
         |SELECT lang, n_docs, tokens,
         |  CAST(floor(CAST((SELECT min(tokens) FROM per) AS DOUBLE)

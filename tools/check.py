@@ -68,7 +68,18 @@ def compare(got, exp):
         if not gn.equals(en):
             return False, f"col {c}: null pattern differs"
         g, e = g[~gn], e[~gn]
-        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(e.dtype, np.floating):
+        # The driver's hash is dtype-kind-sensitive: an int column on one
+        # side vs float on the other (e.g. DuckDB HUGEINT from an uncast
+        # integer SUM -> pandas float64) hash-mismatches even when every
+        # value is numerically equal. Mirror that strictness here.
+        g_int = np.issubdtype(g.dtype, np.integer)
+        e_int = np.issubdtype(e.dtype, np.integer)
+        g_flt = np.issubdtype(g.dtype, np.floating)
+        e_flt = np.issubdtype(e.dtype, np.floating)
+        if (g_int and e_flt) or (g_flt and e_int):
+            return False, (f"col {c}: dtype kind differs: spark={g.dtype} "
+                           f"duckdb={e.dtype} (uncast HUGEINT sum in oracle?)")
+        if g_flt or e_flt:
             ga, ea = g.astype(float).values, e.astype(float).values
             if not np.array_equal(ga, ea):
                 d = np.nanmax(np.abs(ga - ea)) if len(ga) else 0
