@@ -56,6 +56,29 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"$extra}"""
   }
 
+  /** Stdout variant of [[json]] under a hard character budget. Queries are
+    * emitted slowest-first (those are the ones a perf reviewer needs) until
+    * the budget is spent; the remainder is a count under `"elided"`.
+    */
+  private def stdoutJson(results: Map[String, Double], failed: List[String],
+                         sfDir: String, budget: Int = 1400): String = {
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.sum
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
+    val tailFixed = "},\"elided\":NNN}".length
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    var used = head.length + tailFixed
+    var elided = 0
+    for ((k, v) <- results.toSeq.sortBy(-_._2)) {
+      val p = "\"" + k + "\":" + fmt(v)
+      if (used + p.length + 1 <= budget) { parts += p; used += p.length + 1 }
+      else elided += 1
+    }
+    head + parts.mkString(",") + s"""},"elided":$elided}"""
+  }
+
   private def writeArtifact(line: String): Unit =
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8),
@@ -96,10 +119,12 @@ object Bench {
     }
 
     writeArtifact(json(results, failed, sfDir, extra)) // file: primary + secondary
-    // stdout gets the PRIMARY-ONLY line: the driver captures a bounded tail
-    // of stdout, and the ~5 KB primary+secondary line overflowed it in r02
-    // (front-truncated → parsed:null). ~2 KB fits with room to spare.
-    println(json(results, failed, sfDir, ""))
+    // stdout gets a BUDGETED line: the driver captures a bounded tail of
+    // stdout, and even the primary-only line overflowed it in r03 once the
+    // inventory hit 111 queries (front-truncated → parsed:null). Emit the
+    // slowest queries until a ~1.4 KB budget is spent, count the rest under
+    // "elided", and point at bench_out.json for the complete per-query map.
+    println(stdoutJson(results, failed, sfDir))
     spark.stop()
   }
 }
