@@ -156,9 +156,13 @@ object PipelineOps {
     assigned.filter($"vec_id" =!= 0)
       .join(broadcast(probes), $"cid" === $"probe_cid")
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(expr("graft_dot(v, qv)") / ($"nrm" * $"qn"), 4))
-      .select($"vec_id", $"cos")
-      .orderBy($"cos".desc, $"vec_id")
+      // floor-scaled BIGINT, not round(,4): floor is exact on
+      // bit-identical doubles, while round can split a half-ulp
+      // boundary across engines (see embed_quantize / mix_weights)
+      .withColumn("cos_e4",
+        floor(expr("graft_dot(v, qv)") / ($"nrm" * $"qn") * 1e4).cast("long"))
+      .select($"vec_id", $"cos_e4")
+      .orderBy($"cos_e4".desc, $"vec_id")
       .limit(5)
   }
 
@@ -379,12 +383,13 @@ object PipelineOps {
          |                 ${K - 1} - (encs[${K - 1}] % $K)]) AS pcid
          |  FROM enc WHERE vec_id = 0)
          |SELECT e.vec_id,
-         |  round(${duckDotV("e.v", "q.v")} / (e.nrm * q.nrm), 4) AS cos
+         |  CAST(floor(${duckDotV("e.v", "q.v")} / (e.nrm * q.nrm) * 10000)
+         |       AS BIGINT) AS cos_e4
          |FROM vecs e
          |JOIN asg ON asg.vec_id = e.vec_id
          |JOIN probes ON probes.pcid = asg.cid,
          |(SELECT v, nrm FROM vecs WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0
-         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+         |ORDER BY cos_e4 DESC, e.vec_id LIMIT 5""".stripMargin,
   )
 }

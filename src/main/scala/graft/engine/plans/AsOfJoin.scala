@@ -34,7 +34,34 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression, rightTie: Expression,
-    outer: Boolean = false) extends BinaryNode {
+    outer: Boolean = false,
+    direction: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length,
+    s"as-of key arity mismatch (${leftKeys.length} vs ${rightKeys.length})")
+  // mismatched key types would bypass analyzer coercion: HashPartitioning
+  // hashes int 5 and long 5 differently (keys land in different
+  // partitions) and the interpreted ordering, built from leftKeys types
+  // only, would compare mismatched UnsafeRow layouts — silently wrong
+  // output. Fail construction instead; callers cast first.
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of key columns must share a type (${l.dataType} vs ${r.dataType})")
+  }
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time columns must share a type " +
+      s"(${leftTime.dataType} vs ${rightTime.dataType})")
+  require(AsOfJoin.Directions.contains(direction),
+    s"as-of direction must be one of ${AsOfJoin.Directions.mkString("/")}")
+  require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
+  // forward/nearest and tolerance need time DIFFERENCES, not just an
+  // ordering, so the time column must be integral-backed (timestamps and
+  // dates are long/int internally; tolerance is in those internal units —
+  // MICROSECONDS for timestamps, DAYS for dates)
+  if (direction != "backward" || tolerance.isDefined)
+    require(AsOfJoin.integralBacked(leftTime.dataType),
+      s"as-of direction=$direction/tolerance needs an integral-backed " +
+        s"time column, got ${leftTime.dataType}")
   // left-outer as-of keeps unmatched left rows with a null-padded right
   // side, so the right attributes must surface as nullable
   override def output: Seq[Attribute] = left.output ++
@@ -45,17 +72,38 @@ case class AsOfJoin(
 }
 
 object AsOfJoin {
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
+
+  /** Types whose internal (InternalRow) representation is an integral —
+    * these support time differences, so tolerance/forward/nearest work.
+    * Timestamps eval to Long micros, dates to Int days. */
+  def integralBacked(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
   /** DataFrame-level entry: as-of join `left` to `right` on
-    * `leftKey = rightKey`, matching the greatest `(rightTime,
-    * rightTie) <= leftTime` per left row. Columns are resolved against
-    * the analyzed child plans up front, so the node enters the
-    * analyzer already resolved. */
+    * `leftKey = rightKey`. Per left row, `direction` picks the match
+    * among equal-key right rows: `"backward"` (default) the greatest
+    * `(rightTime, rightTie) <= leftTime`; `"forward"` the least
+    * `(rightTime, rightTie) >= leftTime`; `"nearest"` whichever of the
+    * two is closer in time (ties prefer backward). `tolerance` (in the
+    * time column's internal units — micros for timestamps, days for
+    * dates) drops matches farther than that from the left time.
+    * Columns are resolved against the analyzed child plans up front,
+    * so the node enters the analyzer already resolved. */
   def frames(left: org.apache.spark.sql.DataFrame,
              right: org.apache.spark.sql.DataFrame,
              leftKey: String, rightKey: String,
              leftTime: String, rightTime: String,
              rightTie: String,
-             outer: Boolean = false): org.apache.spark.sql.DataFrame = {
+             outer: Boolean = false,
+             direction: String = "backward",
+             tolerance: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     // self-join / shared-lineage safety: if any right attribute id also
@@ -66,16 +114,21 @@ object AsOfJoin {
       if (rp0.outputSet.exists(lp.outputSet.contains))
         Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
       else rp0
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in ${p.output.map(_.name).mkString(",")}"))
-    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
-    require(lt.dataType == rt.dataType,
-      s"as-of time columns must share a type (${lt.dataType} vs ${rt.dataType})")
+    // resolve the way the session's analyzer would (case-insensitive
+    // unless spark.sql.caseSensitive) instead of a bare name == compare
+    val resolver = left.sparkSession.sessionState.analyzer.resolver
+    def attr(p: LogicalPlan, n: String): Attribute = {
+      val hits = p.output.filter(a => resolver(a.name, n))
+      if (hits.isEmpty) throw new IllegalArgumentException(
+        s"column $n not in ${p.output.map(_.name).mkString(",")}")
+      if (hits.length > 1) throw new IllegalArgumentException(
+        s"column $n is ambiguous in ${p.output.map(_.name).mkString(",")}")
+      hits.head
+    }
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession,
       AsOfJoin(lp, rp, Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-        lt, rt, attr(rp, rightTie), outer))
+        attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTie),
+        outer, direction, tolerance))
   }
 }
 
@@ -83,8 +136,10 @@ object AsOfJoin {
   * `injectPlannerStrategy` in GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie, outer) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer) :: Nil
+    case a: AsOfJoin =>
+      AsOfJoinExec(planLater(a.left), planLater(a.right),
+        a.leftKeys, a.rightKeys, a.leftTime, a.rightTime, a.rightTie,
+        a.outer, a.direction, a.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -93,13 +148,18 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression, rightTie: Expression,
-    outer: Boolean = false) extends BinaryExecNode {
+    outer: Boolean = false,
+    direction: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++
     (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
-  // co-partition both sides on the key (Spark inserts the exchanges,
-  // with AQE coalescing/skew handling as for any sort-merge join)
+  // co-partition both sides on the key. Spark inserts the exchanges and
+  // AQE still plans/coalesces them, but NOT skew splitting:
+  // OptimizeSkewedJoin only rewrites SortMergeJoinExec/
+  // ShuffledHashJoinExec, so a hot key here is a single-task cliff —
+  // salt the key upstream for skewed inputs (see join_asof_salted)
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -133,13 +193,28 @@ case class AsOfJoinExec(
       val result = UnsafeProjection.create(output,
         lOut ++ (if (outer) rOut.map(_.withNullability(true)) else rOut))
       val nullRight = new GenericInternalRow(rOut.length)
+      // backward/nearest CONSUME equal-time rows into the candidate;
+      // forward must stop AT the first row >= leftTime (it is the match)
+      val consumeEqual = direction != "forward"
+      // node construction guarantees integral-backed time whenever a
+      // difference is needed (forward/nearest/tolerance)
+      def tl(v: Any): Long = v match {
+        case l: java.lang.Long    => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case s: java.lang.Short   => s.longValue
+        case b: java.lang.Byte    => b.longValue
+        case other => throw new IllegalStateException(
+          s"non-integral as-of time value: $other")
+      }
+      def tolOk(dist: => Long): Boolean = tolerance.forall(dist <= _)
 
       new Iterator[InternalRow] {
         // single-row merge state: the lookahead right row and the best
-        // (latest) candidate seen for the current key run
+        // (latest <= leftTime) candidate seen for the current key run
         private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
         private var cand: InternalRow = null
         private var candKey: UnsafeRow = null
+        private var candTime: Any = null
         private var pending: InternalRow = null
 
         private def advanceRight(): Unit =
@@ -163,18 +238,50 @@ case class AsOfJoinExec(
                     val rt = rTime.eval(rHead)
                     if (rt == null) advanceRight() // NULLS FIRST in the
                     // sort, never a candidate: skip, don't stall the run
-                    else if (timeOrd.lteq(rt, lt)) {
-                      // in-window row for this key: rows are (time, tie)-
-                      // ascending, so the last one kept is the match
-                      cand = rHead.copy()
-                      candKey = lk.copy()
+                    else if (if (consumeEqual) timeOrd.lteq(rt, lt)
+                             else timeOrd.lt(rt, lt)) {
+                      // behind-window row for this key: rows are (time,
+                      // tie)-ascending, so the last one kept is the
+                      // backward match. Forward mode only discards —
+                      // later left rows have later times, so a row
+                      // behind THIS left time is behind all of them.
+                      if (consumeEqual) {
+                        cand = rHead.copy()
+                        candKey = lk.copy()
+                        candTime = rt
+                      }
                       advanceRight()
                     } else advancing = false
                   }
                 }
               }
-              if (cand != null && keyOrd.compare(candKey, lk) == 0)
-                return result(joined(l, cand))
+              // backward candidate: last consumed row of this key run
+              val backOk = cand != null && keyOrd.compare(candKey, lk) == 0 &&
+                tolOk(tl(lt) - tl(candTime))
+              // forward candidate: rHead, iff it stopped the advance on
+              // this key (then its time is the least one >= / > leftTime)
+              lazy val fwdTime: Any =
+                if (rHead != null && {
+                  val rk = rKey(rHead)
+                  !rk.anyNull && keyOrd.compare(rk, lk) == 0
+                }) rTime.eval(rHead) else null
+              val matched: InternalRow = direction match {
+                case "backward" => if (backOk) cand else null
+                case "forward" =>
+                  if (fwdTime != null && tolOk(tl(fwdTime) - tl(lt))) rHead
+                  else null
+                case "nearest" =>
+                  // equal-time rows were consumed into cand, so any
+                  // forward head is STRICTLY later: ties prefer backward
+                  val fwdOk = fwdTime != null && tolOk(tl(fwdTime) - tl(lt))
+                  if (backOk && fwdOk)
+                    if (tl(lt) - tl(candTime) <= tl(fwdTime) - tl(lt)) cand
+                    else rHead
+                  else if (backOk) cand
+                  else if (fwdOk) rHead
+                  else null
+              }
+              if (matched != null) return result(joined(l, matched))
               else if (outer) return result(joined(l, nullRight))
             } else if (outer) {
               // null-key / null-time left rows can't match, but a

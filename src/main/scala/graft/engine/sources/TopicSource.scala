@@ -348,6 +348,14 @@ private[sources] class TopicWriteBuilder(dir: String, schema: StructType,
     require(schema.fieldNames.sameElements(FileTopicStore.schema.fieldNames),
       s"topic append expects columns ${FileTopicStore.schema.fieldNames.mkString(",")} " +
         s"(got ${schema.fieldNames.mkString(",")}); use FileTopicStore.appendV2")
+    // types too, not just names: a LongType partition column would reach
+    // TopicDataWriter's row.getInt as 4 of 8 UnsafeRow bytes — silent
+    // misrouting/garbage offsets instead of a planning-time error
+    schema.fields.zip(FileTopicStore.schema.fields).foreach { case (got, want) =>
+      require(got.dataType == want.dataType,
+        s"topic append column ${want.name} must be ${want.dataType} " +
+          s"(got ${got.dataType}); use FileTopicStore.appendV2")
+    }
     new TopicWrite(dir, bases)
   }
 }

@@ -110,6 +110,108 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("forward direction picks the least (time, tie) >= leftTime") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 55L),  // between 50 and 60: forward -> 60
+      (2L, 10L, 60L),  // equal time: forward includes it -> 60
+      (3L, 10L, 61L),  // after every right row: unmatched
+      (4L, 10L, 10L)   // before every right row: forward -> 50
+    ).toDF("lid", "k", "lt")
+    val right = Seq(
+      (10L, 50L, 7L), (10L, 60L, 8L), (10L, 60L, 9L) // tie: least tie wins
+    ).toDF("rk", "rt", "tie")
+    val out = AsOfJoin.frames(left, right, "k", "rk", "lt", "rt", "tie",
+      direction = "forward")
+      .select($"lid", $"tie").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 8L), (2L, 8L), (4L, 7L)))
+  }
+
+  test("nearest direction picks the closer side; equal distance prefers backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 54L),  // 4 behind vs 6 ahead: backward 50
+      (2L, 10L, 57L),  // 7 behind vs 3 ahead: forward 60
+      (3L, 10L, 55L),  // equidistant: backward 50
+      (4L, 10L, 40L),  // only forward exists: 50
+      (5L, 10L, 70L)   // only backward exists: 60
+    ).toDF("lid", "k", "lt")
+    val right = Seq((10L, 50L, 7L), (10L, 60L, 8L)).toDF("rk", "rt", "tie")
+    val out = AsOfJoin.frames(left, right, "k", "rk", "lt", "rt", "tie",
+      direction = "nearest")
+      .select($"lid", $"tie").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq ==
+      Seq((1L, 7L), (2L, 8L), (3L, 7L), (4L, 7L), (5L, 8L)))
+  }
+
+  test("tolerance drops matches farther than the bound, in every direction") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 55L), (2L, 10L, 90L)).toDF("lid", "k", "lt")
+    val right = Seq((10L, 50L, 7L), (10L, 60L, 8L)).toDF("rk", "rt", "tie")
+    def run(dir: String, tol: Long) =
+      AsOfJoin.frames(left, right, "k", "rk", "lt", "rt", "tie",
+        direction = dir, tolerance = Some(tol))
+        .select($"lid", $"tie").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run("backward", 10L) == Seq((1L, 7L)))  // 90-60=30 > 10 dropped
+    assert(run("backward", 30L) == Seq((1L, 7L), (2L, 8L)))
+    assert(run("forward", 4L) == Seq.empty)         // 60-55=5 > 4 dropped
+    assert(run("forward", 5L) == Seq((1L, 8L)))
+    assert(run("nearest", 4L) == Seq.empty)
+    assert(run("nearest", 30L) == Seq((1L, 7L), (2L, 8L)))
+  }
+
+  test("outer + forward/nearest keeps unmatched left rows null-padded") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 70L), (2L, 99L, 70L)).toDF("lid", "k", "lt")
+    val right = Seq((10L, 50L, 7L)).toDF("rk", "rt", "tie")
+    val out = AsOfJoin.frames(left, right, "k", "rk", "lt", "rt", "tie",
+      outer = true, direction = "forward")
+      .select($"lid", $"tie").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(1L -> None, 2L -> None))
+  }
+
+  test("construction rejects mismatched key types, bad directions, non-integral tolerance times") {
+    import spark.implicits._
+    val l = Seq((1, 10L)).toDF("k", "lt")           // k: INT
+    val r = Seq((1L, 5L, 1L)).toDF("rk", "rt", "tie") // rk: BIGINT
+    intercept[IllegalArgumentException] {
+      AsOfJoin.frames(l, r, "k", "rk", "lt", "rt", "tie")
+    }
+    val l2 = Seq((1L, 10L)).toDF("k", "lt")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.frames(l2, r, "k", "rk", "lt", "rt", "tie",
+        direction = "sideways")
+    }
+    val ls = Seq((1L, "a")).toDF("k", "lt")
+    val rs = Seq((1L, "a", 1L)).toDF("rk", "rt", "tie")
+    // string time is fine backward (ordering only)…
+    AsOfJoin.frames(ls, rs, "k", "rk", "lt", "rt", "tie").collect()
+    // …but differences are undefined: tolerance and forward must reject
+    intercept[IllegalArgumentException] {
+      AsOfJoin.frames(ls, rs, "k", "rk", "lt", "rt", "tie",
+        tolerance = Some(1L))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.frames(ls, rs, "k", "rk", "lt", "rt", "tie",
+        direction = "forward")
+    }
+  }
+
+  test("column resolution is case-insensitive like the analyzer's") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 55L)).toDF("lid", "User_ID", "lt")
+    val right = Seq((10L, 50L, 7L)).toDF("rk", "rt", "tie")
+    val out = AsOfJoin.frames(left, right, "user_id", "RK", "LT", "rt", "tie")
+      .select($"lid", $"tie").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 7L)))
+  }
+
   test("candidates reset across key runs; ties break to the greater tie column") {
     import spark.implicits._
     val left = Seq(
