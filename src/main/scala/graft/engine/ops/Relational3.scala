@@ -252,7 +252,16 @@ object Relational3 {
   /** Shared body for the native as-of queries — inner and left-outer
     * differ ONLY in the operator flag, so the projections and join
     * columns cannot drift apart. */
-  private def nativeAsof(outer: Boolean): Q = (s, d) => {
+  private def nativeAsof(outer: Boolean): Q =
+    nativeAsofOpts(outer = outer)
+
+  /** Fully-parameterized native as-of body shared by every direction /
+    * tolerance variant over the same (events, orders) pairing. The time
+    * columns are TIMESTAMP_NTZ, whose internal representation is Long
+    * MICROSECONDS — tolerance is expressed in those units. */
+  private def nativeAsofOpts(outer: Boolean = false,
+                             direction: String = "backward",
+                             tolerance: Option[Long] = None): Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select($"event_id", $"user_id", $"ts".as("ets"))
     val o = Tables.orders(s, d)
@@ -260,10 +269,55 @@ object Relational3 {
     graft.engine.plans.AsOfJoin.frames(ev, o,
       leftKey = "user_id", rightKey = "o_custkey",
       leftTime = "ets", rightTime = "o_orderdate", rightTie = "o_orderkey",
-      outer = outer)
+      outer = outer, direction = direction, tolerance = tolerance)
       .select($"event_id", $"o_orderkey", $"o_orderdate")
       .orderBy($"event_id")
   }
+
+  /** Click/purchase split of the event stream shared by the direction /
+    * tolerance as-of variants — a SELF as-of (same table both sides),
+    * which also exercises the operator's shared-lineage re-aliasing.
+    * Orders can't serve here: every order predates every event, so
+    * forward/tolerance variants would be vacuous against them. */
+  private def eventSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d)
+    (ev.filter($"event_type" === "click")
+       .select($"event_id", $"user_id", $"ts".as("ets")),
+     ev.filter($"event_type" === "purchase")
+       .select($"event_id".as("p_event_id"), $"user_id".as("p_user"),
+         $"ts".as("p_ts")))
+  }
+
+  private def eventAsof(direction: String, tolerance: Option[Long]): Q =
+    (s, d) => {
+      val (c, p) = eventSides(s, d)
+      graft.engine.plans.AsOfJoin.frames(c, p,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "ets", rightTime = "p_ts", rightTie = "p_event_id",
+        direction = direction, tolerance = tolerance)
+        .select($"event_id", $"p_event_id", $"p_ts")
+        .orderBy($"event_id")
+    }
+
+  /** Forward as-of: each click matched to the user's EARLIEST purchase
+    * at-or-after it — the "time-to-conversion" lookup. Same
+    * one-merge-pass operator, mirrored advance rule; clicks after a
+    * user's last purchase drop out (inner). */
+  val joinAsofForward: Q = eventAsof("forward", None)
+
+  /** Nearest as-of: the time-closer of the backward and forward
+    * purchase candidates, ties preferring backward — sensor-alignment
+    * semantics (match each reading to the closest calibration record). */
+  val joinAsofNearest: Q = eventAsof("nearest", None)
+
+  /** One day in microseconds (TIMESTAMP_NTZ's internal unit) — the
+    * tolerance bound for [[joinAsofTolerance]] and the oracle literal. */
+  private val TolMicros1d: Long = 24L * 3600 * 1000000L
+
+  /** Bounded-staleness as-of: backward match only if the latest prior
+    * purchase is within one day — the freshness guard a feature-store
+    * lookup needs (a month-old state row is worse than no match). */
+  val joinAsofTolerance: Q = eventAsof("backward", Some(TolMicros1d))
 
   /** Exact distinct count via bitmap aggregation — the scale path for
     * dense-ish integer keys: map each key to (bucket = key/64,
@@ -291,6 +345,9 @@ object Relational3 {
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "join_asof_native" -> joinAsofNative,
     "join_asof_outer" -> joinAsofOuter,
+    "join_asof_forward" -> joinAsofForward,
+    "join_asof_nearest" -> joinAsofNearest,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "agg_histogram" -> aggHistogram,
     "agg_incremental" -> aggIncremental,
     "join_band_auto" -> joinBandAuto,
@@ -329,6 +386,67 @@ object Relational3 {
         |               o.o_orderkey DESC NULLS LAST) AS rn
         |  FROM events e
         |  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        | p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts
+        |       FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, p_event_id, p_ts FROM (
+        |  SELECT c.event_id, p.p_event_id, p.p_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.p_ts ASC, p.p_event_id ASC) AS rn
+        |  FROM c JOIN p ON c.user_id = p.user_id AND p.p_ts >= c.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // per-side candidate first (greatest <= ts / least > ts, each with
+    // its own tie order), THEN the closer side wins, ties to backward —
+    // exactly the operator's selection rule. Distances compare in
+    // integer epoch-microseconds, the operator's internal time unit.
+    "join_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        | p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts
+        |       FROM events WHERE event_type = 'purchase'),
+        | b AS (
+        |  SELECT * FROM (
+        |    SELECT c.event_id, p.p_event_id, p.p_ts,
+        |      epoch_us(c.ts) - epoch_us(p.p_ts) AS dist,
+        |      row_number() OVER (PARTITION BY c.event_id
+        |        ORDER BY p.p_ts DESC, p.p_event_id DESC) AS rn
+        |    FROM c JOIN p ON c.user_id = p.user_id AND p.p_ts <= c.ts
+        |  ) WHERE rn = 1),
+        | f AS (
+        |  SELECT * FROM (
+        |    SELECT c.event_id, p.p_event_id, p.p_ts,
+        |      epoch_us(p.p_ts) - epoch_us(c.ts) AS dist,
+        |      row_number() OVER (PARTITION BY c.event_id
+        |        ORDER BY p.p_ts ASC, p.p_event_id ASC) AS rn
+        |    FROM c JOIN p ON c.user_id = p.user_id AND p.p_ts > c.ts
+        |  ) WHERE rn = 1)
+        |SELECT c.event_id,
+        |  CASE WHEN b.dist IS NOT NULL AND (f.dist IS NULL OR b.dist <= f.dist)
+        |       THEN b.p_event_id ELSE f.p_event_id END AS p_event_id,
+        |  CASE WHEN b.dist IS NOT NULL AND (f.dist IS NULL OR b.dist <= f.dist)
+        |       THEN b.p_ts ELSE f.p_ts END AS p_ts
+        |FROM c
+        |LEFT JOIN b ON b.event_id = c.event_id
+        |LEFT JOIN f ON f.event_id = c.event_id
+        |WHERE b.dist IS NOT NULL OR f.dist IS NOT NULL
+        |ORDER BY c.event_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        | p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts
+        |       FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, p_event_id, p_ts FROM (
+        |  SELECT c.event_id, p.p_event_id, p.p_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.p_ts DESC, p.p_event_id DESC) AS rn
+        |  FROM c JOIN p ON c.user_id = p.user_id AND p.p_ts <= c.ts
+        |    AND epoch_us(c.ts) - epoch_us(p.p_ts) <= 86400000000
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "agg_histogram" ->
