@@ -293,6 +293,70 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Connected components by LARGE-STAR/SMALL-STAR alternation (the
+    * Kiveris et al. MapReduce formulation) over the same MinHash pair
+    * edges — and the same oracle — as [[dedupClusters]]. Where label
+    * propagation needs one round per hop of the component DIAMETER,
+    * star contraction converges in O(log² n) rounds regardless of
+    * shape: a 10 000-hop chain (a pathological near-dup "tunnel" at
+    * 100 TB) is ~10 rounds instead of 10 000. Each phase is one
+    * grouped min + one narrow equi-join on doc ids; the fixpoint check
+    * is a set-equality probe per round (two exceptAll jobs over the
+    * edge list — at production scale, trade it for a fixed
+    * round budget or a count-stability heuristic).
+    *
+    * Phase rules (edges kept symmetric between phases, no self-loops):
+    *  - large-star: u links every LARGER neighbor to m(u) =
+    *    min(N(u) ∪ u) — each undirected edge is processed by its
+    *    smaller endpoint, so nothing is lost;
+    *  - small-star: u links every neighbor ≤ u, and itself, to the
+    *    least of them.
+    * At the joint fixpoint the graph is a disjoint set of stars
+    * centered on each component's minimum, so the answer is read
+    * directly off the edge list: every (u, v<u) edge IS
+    * (member, canonical). */
+  val dedupClustersStar: Q = (s, d) => {
+    val pairs = dedupMinhash(s, d).select($"doc_a", $"doc_b").localCheckpoint()
+    starContract(pairs)
+      .select($"doc".as("doc_id"), $"label".as("canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** The reusable star-contraction core: undirected edge pairs
+    * (col1, col2) → (doc, label) rows for every non-canonical member.
+    * `maxRounds` is a safety cap; the alternation fixpoints in
+    * O(log² n) rounds. */
+  def starContract(pairs: DataFrame, maxRounds: Int = 12): DataFrame = {
+    var edges = pairs.toDF("u", "v")
+      .unionByName(pairs.select(pairs.columns(1), pairs.columns(0))
+        .toDF("u", "v"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      // large-star: m = min over the FULL neighborhood (and u itself)
+      val minsL = edges.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      val ls = edges.filter($"v" > $"u").join(minsL, "u")
+        .select($"v".as("u"), $"m".as("v")).filter($"u" =!= $"v")
+      val lsSym = ls.unionByName(ls.select($"v".as("u"), $"u".as("v")))
+        .distinct()
+      // small-star over the large-star result: only neighbors ≤ u
+      val esm = lsSym.filter($"v" < $"u")
+      val minsS = esm.groupBy($"u").agg(min($"v").as("m"))
+      val ss = esm.join(minsS, "u").select($"v".as("u"), $"m".as("v"))
+        .unionByName(minsS.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+      val next = ss.unionByName(ss.select($"v".as("u"), $"u".as("v")))
+        .distinct().localCheckpoint()
+      done = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
+      rounds += 1
+    }
+    edges.filter($"v" < $"u").select($"u".as("doc"), $"v".as("label"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥ 10
     * distinct 3-gram shingles with the eval set (doc_id < 20 stands in
     * for the held-out benchmark) — the n-gram-overlap contamination
@@ -321,6 +385,7 @@ object DedupOps {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,
     "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_star" -> dedupClustersStar,
   )
 
   private def duckCharHash(arg: String): String =
@@ -336,7 +401,7 @@ object DedupOps {
       |        FROM documents)
       |  WHERE len(toks) >= 3)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "dedup_contamination" ->
       s"""WITH $duckShingled,
          | ev AS (SELECT DISTINCT unnest(sh) AS g FROM docs WHERE doc_id < 20),
@@ -473,4 +538,9 @@ object DedupOps {
          |SELECT vec_a, vec_b, round(dot / nn, 4) AS cos
          |FROM p WHERE round(dot / nn, 4) >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
   )
+
+  // the star-contraction variant computes the SAME clusters a
+  // different way — one oracle, two implementations under test
+  val oracles: Map[String, String] =
+    oracles0 + ("dedup_clusters_star" -> oracles0("dedup_clusters"))
 }

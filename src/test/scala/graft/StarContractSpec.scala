@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.ops.DedupOps
+
+/** Large-star/small-star connected components: equality with the
+  * label-propagation implementation on the real corpus graph, plus the
+  * shapes label propagation is WORST at (long chains — one round per
+  * hop there, O(log² n) rounds here). */
+class StarContractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def labels(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    DedupOps.starContract(pairs.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a 64-node chain collapses to one component rooted at its min") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = labels(chain)
+    assert(got == (1L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("disjoint components keep separate canonical minima") {
+    // two triangles + an isolated edge + a star
+    val pairs = Seq((5L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 12L), (12L, 11L), (11L, 10L),
+      (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L))
+    val got = labels(pairs)
+    assert(got == Map(4L -> 3L, 5L -> 3L, 11L -> 10L, 12L -> 10L,
+      21L -> 20L, 31L -> 30L, 32L -> 30L, 33L -> 30L))
+  }
+
+  test("star contraction equals label propagation on the corpus graph") {
+    val star = DedupOps.queries("dedup_clusters_star")(spark, sf).collect()
+    val prop = DedupOps.queries("dedup_clusters")(spark, sf).collect()
+    assert(star.map(_.toString).toSeq == prop.map(_.toString).toSeq)
+  }
+
+  test("a duplicated-edge multigraph input does not break the fixpoint") {
+    val got = labels(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    assert(got == Map(2L -> 1L, 3L -> 1L))
+  }
+}
