@@ -65,7 +65,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rows = PipelineOps.simIvfKmeans(spark, sf).collect()
     assert(rows.length == 5)
     assert(rows.forall(_.getLong(0) != 0L), "query vector excluded")
-    val cosines = rows.map(_.getDouble(1))
+    val cosines = rows.map(_.getLong(1)) // floor-scaled cos·1e4 digest
     assert(cosines.sameElements(cosines.sorted.reverse), "descending cosine order")
   }
 
