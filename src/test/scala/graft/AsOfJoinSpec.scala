@@ -110,6 +110,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("direction/tolerance variants keep the exchange+sort-per-side plan shape") {
+    for (q <- Seq("join_asof_forward", "join_asof_nearest", "join_asof_tolerance")) {
+      val p = Relational3.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin"), s"$q: custom physical operator missing")
+      assert(!p.contains("SortAggregate") && !p.contains("HashAggregate"),
+        s"$q: native path must not re-aggregate pairs")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: pair blow-up plan")
+    }
+  }
+
   test("forward direction picks the least (time, tie) >= leftTime") {
     import spark.implicits._
     val left = Seq(
