@@ -171,6 +171,47 @@ object SimOps {
         $"max_err_micro")
       .orderBy($"vec_id")
 
+  /** Product quantization (the IVF-PQ compression path: 64 float32
+    * dims → 8 two-bit codes = 2 bytes/vector): the vector is split
+    * into 8 contiguous 8-dim subspaces; each subvector is assigned to
+    * the nearest of 4 per-subspace centroids by squared L2; the 8
+    * codes pack into one BIGINT (code_m in bits 2m..2m+1) — an
+    * order-sensitive complete digest, so the cross-engine compare
+    * needs no array columns. Centroids are the first 4 vectors'
+    * subvectors (deterministic "training", same convention as
+    * [[simIvf]]; k-means per subspace in production), collected once
+    * at plan build — 4 rows, control-plane-sized — and inlined as
+    * constant-folded literals, so the assignment is a MAP-ONLY
+    * projection: one scan, no join, no shuffle — the shape that
+    * encodes 100 TB of embeddings in one pass.
+    *
+    * Determinism: subvector distances fold left in element order on
+    * bit-identical doubles in both engines; the argmin rides the
+    * sortable-BIGINT encoding floor(dist·1e6)·4 + k (floor, not
+    * round — one definition, exact on identical bits; ties break to
+    * the smaller centroid id). */
+  val embedPq: Q = (s, d) => {
+    val cents: Array[Array[Double]] = Tables.embeddings(s, d)
+      .filter($"vec_id" < 4).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def subLit(k: Int, m: Int): String =
+      "array(" + (0 until 8).map(i => s"${cents(k)(m * 8 + i)}D").mkString(",") + ")"
+    val packed = (0 until 8).map { m =>
+      val encs = (0 until 4).map { k =>
+        s"cast(floor(aggregate(zip_with(slice(v, ${m * 8 + 1}, 8), ${subLit(k, m)}, " +
+          s"(x, c) -> (x - c) * (x - c)), 0.0D, (a, e) -> a + e) * 1000000D) " +
+          s"as bigint) * 4 + $k"
+      }
+      s"(least(${encs.mkString(",")}) % 4) * ${1L << (2 * m)}L"
+    }.mkString(" + ")
+    Tables.embeddings(s, d)
+      .repartition($"vec_id") // single-file scan → spread across cores
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .select($"vec_id", expr(packed).as("pq_code"))
+      .orderBy($"vec_id")
+  }
+
   /** Batched exact retrieval: top-5 cosine neighbors for EACH of the
     * first 10 query vectors in one corpus pass — the batch-ANN shape
     * (broadcast the query block, one scan, per-query bounded top-k).
@@ -199,6 +240,7 @@ object SimOps {
     "sim_batch_topk" -> simBatchTopk,
     "embed_group_mean" -> embedGroupMean,
     "embed_quantize" -> embedQuantize,
+    "embed_pq" -> embedPq,
   )
 
   private val duckDot =
@@ -223,6 +265,27 @@ object SimOps {
       |    (a, b) -> a + b) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        | cent AS (SELECT vec_id AS k, v AS cv FROM v WHERE vec_id < 4),
+        | sub AS (
+        |  SELECT v.vec_id, m.m, c.k,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |      i -> (v.v[m.m * 8 + i] - c.cv[m.m * 8 + i])
+        |           * (v.v[m.m * 8 + i] - c.cv[m.m * 8 + i]))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM v, (SELECT unnest(range(0, 8)) AS m) m, cent c),
+        | enc AS (
+        |  SELECT vec_id, m,
+        |    min(CAST(floor(dist * 1000000) AS BIGINT) * 4 + k) AS e
+        |  FROM sub GROUP BY vec_id, m)
+        |SELECT vec_id,
+        |  CAST(sum((e % 4) * (CAST(1 AS BIGINT) << CAST(2 * m AS INTEGER)))
+        |       AS BIGINT) AS pq_code
+        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "sim_batch_topk" ->
       s"""WITH $duckVecs,
          | scored AS (
