@@ -190,26 +190,75 @@ object SimOps {
     * sortable-BIGINT encoding floor(dist·1e6)·4 + k (floor, not
     * round — one definition, exact on identical bits; ties break to
     * the smaller centroid id). */
-  val embedPq: Q = (s, d) => {
-    val cents: Array[Array[Double]] = Tables.embeddings(s, d)
+  /** The first-4-vectors PQ "codebook" (4 rows, control-plane-sized),
+    * collected once at plan build. */
+  private def pqCents(s: SparkSession, d: String): Array[Array[Double]] =
+    Tables.embeddings(s, d)
       .filter($"vec_id" < 4).orderBy($"vec_id")
       .select($"embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    def subLit(k: Int, m: Int): String =
+
+  /** SQL for subspace m's code (BIGINT 0..3) of vector column `v`:
+    * nearest-centroid argmin via the floor(dist·1e6)·4 + k sortable
+    * encoding (ties → smaller centroid id). */
+  private def pqCodeSql(cents: Array[Array[Double]])(m: Int): String = {
+    def subLit(k: Int): String =
       "array(" + (0 until 8).map(i => s"${cents(k)(m * 8 + i)}D").mkString(",") + ")"
-    val packed = (0 until 8).map { m =>
-      val encs = (0 until 4).map { k =>
-        s"cast(floor(aggregate(zip_with(slice(v, ${m * 8 + 1}, 8), ${subLit(k, m)}, " +
-          s"(x, c) -> (x - c) * (x - c)), 0.0D, (a, e) -> a + e) * 1000000D) " +
-          s"as bigint) * 4 + $k"
-      }
-      s"(least(${encs.mkString(",")}) % 4) * ${1L << (2 * m)}L"
-    }.mkString(" + ")
+    val encs = (0 until 4).map { k =>
+      s"cast(floor(aggregate(zip_with(slice(v, ${m * 8 + 1}, 8), ${subLit(k)}, " +
+        s"(x, c) -> (x - c) * (x - c)), 0.0D, (a, e) -> a + e) * 1000000D) " +
+        s"as bigint) * 4 + $k"
+    }
+    s"(least(${encs.mkString(",")}) % 4)"
+  }
+
+  val embedPq: Q = (s, d) => {
+    val code = pqCodeSql(pqCents(s, d)) _
+    val packed = (0 until 8)
+      .map(m => s"${code(m)} * ${1L << (2 * m)}L").mkString(" + ")
     Tables.embeddings(s, d)
       .repartition($"vec_id") // single-file scan → spread across cores
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .select($"vec_id", expr(packed).as("pq_code"))
       .orderBy($"vec_id")
+  }
+
+  /** PQ retrieval by asymmetric distance computation (ADC): the query
+    * vector is NOT quantized — per subspace, its squared distance to
+    * each of the 4 centroids is precomputed into a 8×4 lookup table
+    * (driver-side, from the same collected codebook; left-fold element
+    * order matches both engines), and every corpus vector's
+    * approximate distance is the 8-term LUT sum selected by its codes.
+    * Still a map-only scan + global top-5: the PQ index answers
+    * queries without touching a single float of the corpus — at
+    * 100 TB the scan reads 2-byte codes, not 256-byte vectors.
+    * Distances are emitted as floor(dist·1e6) BIGINTs; the oracle
+    * rebuilds codes and LUT in SQL and folds the 8 terms in subspace
+    * order (list(t ORDER BY m)), matching Spark's literal addition
+    * chain bit for bit. */
+  val simPqAdc: Q = (s, d) => {
+    val cents = pqCents(s, d)
+    val code = pqCodeSql(cents) _
+    val qv: Array[Double] = Tables.embeddings(s, d)
+      .filter($"vec_id" === 0).select($"embedding").collect()
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val lut = Array.tabulate(8, 4) { (m, k) =>
+      (0 until 8).foldLeft(0.0) { (a, i) =>
+        val dd = qv(m * 8 + i) - cents(k)(m * 8 + i); a + dd * dd
+      }
+    }
+    val dist = (0 until 8).map { m =>
+      s"element_at(array(${(0 until 4).map(k => s"${lut(m)(k)}D").mkString(",")}), " +
+        s"cast(${code(m)} as int) + 1)"
+    }.mkString(" + ")
+    Tables.embeddings(s, d)
+      .repartition($"vec_id")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        expr(s"cast(floor(($dist) * 1000000D) as bigint)").as("adist_e6"))
+      .orderBy($"adist_e6".asc, $"vec_id")
+      .limit(5)
   }
 
   /** Batched exact retrieval: top-5 cosine neighbors for EACH of the
@@ -241,6 +290,7 @@ object SimOps {
     "embed_group_mean" -> embedGroupMean,
     "embed_quantize" -> embedQuantize,
     "embed_pq" -> embedPq,
+    "sim_pq_adc" -> simPqAdc,
   )
 
   private val duckDot =
@@ -285,6 +335,41 @@ object SimOps {
         |  CAST(sum((e % 4) * (CAST(1 AS BIGINT) << CAST(2 * m AS INTEGER)))
         |       AS BIGINT) AS pq_code
         |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "sim_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        | cent AS (SELECT vec_id AS k, v AS cv FROM v WHERE vec_id < 4),
+        | q AS (SELECT v FROM v WHERE vec_id = 0),
+        | sub AS (
+        |  SELECT v.vec_id, m.m, c.k,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |      i -> (v.v[m.m * 8 + i] - c.cv[m.m * 8 + i])
+        |           * (v.v[m.m * 8 + i] - c.cv[m.m * 8 + i]))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM v, (SELECT unnest(range(0, 8)) AS m) m, cent c),
+        | enc AS (
+        |  SELECT vec_id, m,
+        |    min(CAST(floor(dist * 1000000) AS BIGINT) * 4 + k) AS e
+        |  FROM sub GROUP BY vec_id, m),
+        | code AS (SELECT vec_id, m, e % 4 AS c FROM enc),
+        | lut AS (
+        |  SELECT m.m, c.k,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |      i -> (q.v[m.m * 8 + i] - c.cv[m.m * 8 + i])
+        |           * (q.v[m.m * 8 + i] - c.cv[m.m * 8 + i]))),
+        |      (a, b) -> a + b) AS t
+        |  FROM (SELECT unnest(range(0, 8)) AS m) m, cent c, q),
+        | ad AS (
+        |  SELECT code.vec_id,
+        |    list_reduce(list_prepend(0.0, list(lut.t ORDER BY code.m)),
+        |      (a, b) -> a + b) AS dist
+        |  FROM code JOIN lut ON lut.m = code.m AND lut.k = code.c
+        |  GROUP BY code.vec_id)
+        |SELECT vec_id, CAST(floor(dist * 1000000) AS BIGINT) AS adist_e6
+        |FROM ad WHERE vec_id <> 0
+        |ORDER BY adist_e6, vec_id LIMIT 5""".stripMargin,
 
     "sim_batch_topk" ->
       s"""WITH $duckVecs,
