@@ -126,7 +126,41 @@ object StreamOps {
       .orderBy($"user_id")
   }
 
+  /** Conversion funnel (the windowFunnel shape): per user, the deepest
+    * stage reached of click → view → purchase where each stage's FIRST
+    * qualifying event lies within 1 hour of the previous stage's
+    * matched time. Three keyed conditional aggregations chained by
+    * equi-joins on the user key — every stage is a standard
+    * shuffle-on-key grouped min, so the funnel scales like any keyed
+    * agg (no per-user event-list collection, no global sort). Stage
+    * times are emitted as nullable epoch-second BIGINTs; user_id is
+    * the unique sort key. */
+  val streamFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+    def stage(of: String, prev: DataFrame, prevCol: String, out: String) =
+      ev.filter($"event_type" === of).join(prev, "user_id")
+        .filter($"ts" >= col(prevCol)
+          && $"ts" <= col(prevCol) + expr("INTERVAL 1 HOUR"))
+        .groupBy($"user_id").agg(min($"ts").as(out))
+    val t1 = ev.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val t2 = stage("view", t1, "t1", "t2")
+    val t3 = stage("purchase", t2, "t2", "t3")
+    ev.select($"user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select($"user_id",
+        when($"t3".isNotNull, 3).when($"t2".isNotNull, 2)
+          .when($"t1".isNotNull, 1).otherwise(0).as("depth"),
+        $"t1".cast("timestamp").cast("long").as("t1s"),
+        $"t2".cast("timestamp").cast("long").as("t2s"),
+        $"t3".cast("timestamp").cast("long").as("t3s"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_funnel" -> streamFunnel,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -137,6 +171,35 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        | t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'view'
+        |    AND e.ts >= t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 HOUR
+        |  GROUP BY e.user_id),
+        | t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts >= t2.t2 AND e.ts <= t2.t2 + INTERVAL 1 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |       WHEN t2.t2 IS NOT NULL THEN 2
+        |       WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |  CAST(floor(epoch(t1.t1)) AS BIGINT) AS t1s,
+        |  CAST(floor(epoch(t2.t2)) AS BIGINT) AS t2s,
+        |  CAST(floor(epoch(t3.t3)) AS BIGINT) AS t3s
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN t1 ON t1.user_id = u.user_id
+        |LEFT JOIN t2 ON t2.user_id = u.user_id
+        |LEFT JOIN t3 ON t3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS w_start,
         |  event_type, count(1) AS n,
