@@ -41,6 +41,20 @@ object VectorOps {
     s
   }
 
+  /** Left-fold squared L2 distance: Σ (a(i)−b(i))² in index order
+    * (IEEE order matches
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)`).
+    * Same equal-length contract as [[dot]]. */
+  def l2(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    s
+  }
+
   /** 31-base polynomial rolling hash over code points, mod 1e9+7 —
     * matches `aggregate(split(s, ''), 0L, (h, c) -> (h*31 + ascii(c)) % p)`
     * and the DuckDB list_reduce twin. */
@@ -64,6 +78,8 @@ object VectorOps {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_polyhash",
       exprs => PolyHash(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_l2",
+      exprs => L2Distance(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -81,6 +97,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_l2"),
+      new ExpressionInfo(classOf[L2Distance].getName, "graft_l2"),
+      (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
     // abs(x−y) <= c interval joins → bucketed equi-joins (see
     // graft.engine.plans.BandJoinRule): plan-level, no call-site changes
     ext.injectOptimizerRule(_ => graft.engine.plans.BandJoinRule)
@@ -105,6 +124,25 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd squared L2 distance over two array<double> columns. */
+case class L2Distance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.engine.functions.VectorOps.l2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Distance =
     copy(left = newLeft, right = newRight)
 }
 

@@ -200,19 +200,23 @@ object SimOps {
 
   /** SQL for subspace m's code (BIGINT 0..3) of vector column `v`:
     * nearest-centroid argmin via the floor(dist·1e6)·4 + k sortable
-    * encoding (ties → smaller centroid id). */
+    * encoding (ties → smaller centroid id). Distances ride the native
+    * codegen'd `graft_l2` (same left-fold IEEE order as the
+    * declarative `aggregate(zip_with(...))` the oracle mirrors) — the
+    * interpreted-lambda form costs ~10× the arithmetic at corpus
+    * scale (see VectorExprs). */
   private def pqCodeSql(cents: Array[Array[Double]])(m: Int): String = {
     def subLit(k: Int): String =
       "array(" + (0 until 8).map(i => s"${cents(k)(m * 8 + i)}D").mkString(",") + ")"
     val encs = (0 until 4).map { k =>
-      s"cast(floor(aggregate(zip_with(slice(v, ${m * 8 + 1}, 8), ${subLit(k)}, " +
-        s"(x, c) -> (x - c) * (x - c)), 0.0D, (a, e) -> a + e) * 1000000D) " +
+      s"cast(floor(graft_l2(slice(v, ${m * 8 + 1}, 8), ${subLit(k)}) * 1000000D) " +
         s"as bigint) * 4 + $k"
     }
     s"(least(${encs.mkString(",")}) % 4)"
   }
 
   val embedPq: Q = (s, d) => {
+    graft.engine.functions.VectorOps.register(s)
     val code = pqCodeSql(pqCents(s, d)) _
     val packed = (0 until 8)
       .map(m => s"${code(m)} * ${1L << (2 * m)}L").mkString(" + ")
@@ -237,6 +241,7 @@ object SimOps {
     * order (list(t ORDER BY m)), matching Spark's literal addition
     * chain bit for bit. */
   val simPqAdc: Q = (s, d) => {
+    graft.engine.functions.VectorOps.register(s)
     val cents = pqCents(s, d)
     val code = pqCodeSql(cents) _
     val qv: Array[Double] = Tables.embeddings(s, d)

@@ -82,6 +82,12 @@ class PropertySpec extends AnyFunSuite {
         "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b)"))
     // exact equality — same IEEE fold order is the contract
     assert(df.filter($"native" =!= $"declarative").count() == 0)
+    val l2 = df
+      .withColumn("native_l2", expr("graft_l2(va, vb)"))
+      .withColumn("declarative_l2", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0.0 as double), (a, b) -> a + b)"))
+    assert(l2.filter($"native_l2" =!= $"declarative_l2").count() == 0)
   }
 
   test("approx_count_distinct within 5% of exact (SURVEY §7.3g)") {
