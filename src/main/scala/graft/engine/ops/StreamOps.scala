@@ -129,33 +129,33 @@ object StreamOps {
   /** Conversion funnel (the windowFunnel shape): per user, the deepest
     * stage reached of click → view → purchase where each stage's FIRST
     * qualifying event lies within 1 hour of the previous stage's
-    * matched time. Three keyed conditional aggregations chained by
-    * equi-joins on the user key — every stage is a standard
-    * shuffle-on-key grouped min, so the funnel scales like any keyed
-    * agg (no per-user event-list collection, no global sort). Stage
-    * times are emitted as nullable epoch-second BIGINTs; user_id is
-    * the unique sort key. */
+    * matched time. ONE hash shuffle total: the three chained stage
+    * minima are whole-partition window aggregates over the same
+    * user partitioning (no orderBy → no sort; Catalyst stacks the
+    * dependent Windows on one Exchange), and the final per-user
+    * dedup reuses that partitioning, so no second shuffle. Never a
+    * per-user event-list collection. Stage times are emitted as
+    * nullable epoch-second BIGINTs; user_id is the unique sort key. */
   val streamFunnel: Q = (s, d) => {
-    val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
-    def stage(of: String, prev: DataFrame, prevCol: String, out: String) =
-      ev.filter($"event_type" === of).join(prev, "user_id")
-        .filter($"ts" >= col(prevCol)
-          && $"ts" <= col(prevCol) + expr("INTERVAL 1 HOUR"))
-        .groupBy($"user_id").agg(min($"ts").as(out))
-    val t1 = ev.filter($"event_type" === "click")
-      .groupBy($"user_id").agg(min($"ts").as("t1"))
-    val t2 = stage("view", t1, "t1", "t2")
-    val t3 = stage("purchase", t2, "t2", "t3")
-    ev.select($"user_id").distinct()
-      .join(t1, Seq("user_id"), "left")
-      .join(t2, Seq("user_id"), "left")
-      .join(t3, Seq("user_id"), "left")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+    val hour = expr("INTERVAL 1 HOUR")
+    Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      .withColumn("t1",
+        min(when($"event_type" === "click", $"ts")).over(w))
+      .withColumn("t2",
+        min(when($"event_type" === "view"
+          && $"ts" >= $"t1" && $"ts" <= $"t1" + hour, $"ts")).over(w))
+      .withColumn("t3",
+        min(when($"event_type" === "purchase"
+          && $"ts" >= $"t2" && $"ts" <= $"t2" + hour, $"ts")).over(w))
       .select($"user_id",
         when($"t3".isNotNull, 3).when($"t2".isNotNull, 2)
           .when($"t1".isNotNull, 1).otherwise(0).as("depth"),
         $"t1".cast("timestamp").cast("long").as("t1s"),
         $"t2".cast("timestamp").cast("long").as("t2s"),
         $"t3".cast("timestamp").cast("long").as("t3s"))
+      .dropDuplicates("user_id")
       .orderBy($"user_id")
   }
 
