@@ -103,7 +103,21 @@ object AsOfJoin {
              rightTie: String,
              outer: Boolean = false,
              direction: String = "backward",
-             tolerance: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+             tolerance: Option[Long] = None): org.apache.spark.sql.DataFrame =
+    framesMulti(left, right, Seq(leftKey -> rightKey), leftTime, rightTime,
+      rightTie, outer, direction, tolerance)
+
+  /** Composite-key variant of [[frames]]: `keys` pairs each left key
+    * column with its right counterpart; the hash co-partitioning and
+    * the merge's key ordering span all of them. */
+  def framesMulti(left: org.apache.spark.sql.DataFrame,
+                  right: org.apache.spark.sql.DataFrame,
+                  keys: Seq[(String, String)],
+                  leftTime: String, rightTime: String,
+                  rightTie: String,
+                  outer: Boolean = false,
+                  direction: String = "backward",
+                  tolerance: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     // self-join / shared-lineage safety: if any right attribute id also
@@ -126,7 +140,9 @@ object AsOfJoin {
       hits.head
     }
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession,
-      AsOfJoin(lp, rp, Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
+      AsOfJoin(lp, rp,
+        keys.map { case (lk, _) => attr(lp, lk) },
+        keys.map { case (_, rk) => attr(rp, rk) },
         attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTie),
         outer, direction, tolerance))
   }

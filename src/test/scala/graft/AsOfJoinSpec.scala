@@ -213,6 +213,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("composite-key as-of partitions and matches on ALL key columns") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "a", 100L), // matches (10,"a") history
+      (2L, 10L, "b", 100L), // same id, different subkey: own history
+      (3L, 10L, "c", 100L)  // no right rows for (10,"c"): dropped
+    ).toDF("lid", "k1", "k2", "lt")
+    val right = Seq(
+      (10L, "a", 50L, 7L), (10L, "a", 60L, 8L),
+      (10L, "b", 55L, 9L),
+      (11L, "c", 55L, 10L) // k1 differs: must not leak into lid=3
+    ).toDF("rk1", "rk2", "rt", "tie")
+    val out = AsOfJoin.framesMulti(left, right,
+      Seq("k1" -> "rk1", "k2" -> "rk2"), "lt", "rt", "tie")
+      .select($"lid", $"tie").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 8L), (2L, 9L)))
+  }
+
   test("column resolution is case-insensitive like the analyzer's") {
     import spark.implicits._
     val left = Seq((1L, 10L, 55L)).toDF("lid", "User_ID", "lt")
