@@ -83,6 +83,18 @@ class PlanSpec extends AnyFunSuite {
       "partial (map-side) top-k aggregation present")
   }
 
+  test("stream_funnel is one data shuffle: stacked windows + partition-reusing dedup") {
+    val p = plan(graft.engine.ops.StreamOps.streamFunnel(spark, sf))
+    // exchanges: ONE hash partitioning on user_id for the windows +
+    // dedup, plus the final presentation range sort — never a shuffle
+    // per funnel stage
+    val exchanges = "Exchange (?:hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n$p")
+    assert("Window".r.findAllIn(p).size >= 3, "three stacked stage windows")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "funnel stages must not be joins")
+  }
+
   test("dedup family never plans a nested-loop join (quadratic at scale)") {
     // dedup_embed formerly paired via an all-pairs theta join →
     // BroadcastNestedLoopJoin; its IVF-candidate equi-join (and every
