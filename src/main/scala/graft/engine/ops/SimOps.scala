@@ -69,6 +69,24 @@ object SimOps {
       .limit(10)
   }
 
+  /** Range (radius) similarity search: ALL neighbors of vec 0 with
+    * cosine ≥ 0.25 — the fixed-threshold twin of [[simTopk]] (top-k
+    * bounds result count; range bounds distance). Same map-only
+    * broadcast-query pass; the threshold compares on floor-scaled
+    * basis points (floor of bit-identical doubles is exact, SURVEY
+    * §7.3f2) so the cut is cross-engine stable. */
+  val simRange: Q = (s, d) => {
+    val ve = vecs(s, d)
+    val q = ve.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
+    ve.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_fp",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e4).cast("long"))
+      .filter($"cos_fp" >= 2500)
+      .select($"vec_id", $"cos_fp")
+      .orderBy($"cos_fp".desc, $"vec_id")
+  }
+
   /** LSH-bucketed top-5: probe the query's 4-bit hyperplane bucket,
     * rank the bucket's candidates by exact cosine. */
   val simLsh: Q = (s, d) => {
@@ -289,6 +307,7 @@ object SimOps {
 
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
+    "sim_range" -> simRange,
     "sim_lsh" -> simLsh,
     "sim_ivf" -> simIvf,
     "sim_batch_topk" -> simBatchTopk,
@@ -426,6 +445,16 @@ object SimOps {
          |FROM vecs e, (SELECT v, nrm FROM vecs WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "sim_range" ->
+      s"""WITH $duckVecs
+         |SELECT * FROM (
+         |  SELECT e.vec_id,
+         |    CAST(floor($duckDot / (e.nrm * q.nrm) * 10000) AS BIGINT) AS cos_fp
+         |  FROM vecs e, (SELECT v, nrm FROM vecs WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0)
+         |WHERE cos_fp >= 2500
+         |ORDER BY cos_fp DESC, vec_id""".stripMargin,
 
     "sim_lsh" ->
       s"""WITH $duckVecs,
