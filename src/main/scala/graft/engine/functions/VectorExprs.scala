@@ -80,6 +80,32 @@ object VectorOps {
       exprs => PolyHash(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_l2",
       exprs => L2Distance(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => VectorOps.bloomAgg(exprs), "built-in")
+    registry.createOrReplaceTempFunction("graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Spark's internal runtime-filter bloom aggregate (the engine
+    * behind AQE's InjectRuntimeFilter), surfaced as a callable
+    * function: `graft_bloom_agg(xxhash64(key)[, estItems, numBits])`
+    * → binary sketch consumed by `graft_might_contain(bloom,
+    * xxhash64(key))`. Exposing it lets a query hand-place the
+    * semi-join reduction (build a bloom over a selective dim's keys,
+    * prune the fact scan before its shuffle) where the cost-based
+    * injection declines — the big-join pre-filter pattern at 100 TB. */
+  def bloomAgg(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    exprs match {
+      case Seq(c) =>
+        new BloomFilterAggregate(c, Literal(1000000L), Literal(8388608L), 0, 0)
+      case Seq(c, n, b) => new BloomFilterAggregate(c, n, b, 0, 0)
+      case _ => throw new IllegalArgumentException(
+        "graft_bloom_agg(hash[, estItems, numBits])")
+    }
   }
 }
 
@@ -100,6 +126,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_l2"),
       new ExpressionInfo(classOf[L2Distance].getName, "graft_l2"),
       (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => VectorOps.bloomAgg(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
     // abs(x−y) <= c interval joins → bucketed equi-joins (see
     // graft.engine.plans.BandJoinRule): plan-level, no call-site changes
     ext.injectOptimizerRule(_ => graft.engine.plans.BandJoinRule)

@@ -207,6 +207,35 @@ object Relational4 {
       .select($"n_edges", $"n_triangles")
   }
 
+  /** Bloom-filter semi-join reduction: the probe (fact) side is
+    * pre-filtered with a bloom sketch of the selective dim's keys
+    * BEFORE the join — Spark's own runtime-filter machinery
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, surfaced as
+    * `graft_bloom_agg` / `graft_might_contain`) placed by hand where
+    * the cost-based injection declines. At 100 TB this is the pattern
+    * that keeps a fact-table shuffle proportional to the matching
+    * rows, not the table: the bloom rides a scalar subquery (one
+    * broadcastable binary blob), false positives are removed by the
+    * exact join, false negatives are impossible — so the result is
+    * provably the plain join's. The filter sits syntactically on the
+    * probe side because subquery predicates are not pushed through
+    * joins. */
+  val joinBloom: Q = (s, d) => {
+    graft.engine.functions.VectorOps.register(s)
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_bl")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_bl")
+    s.sql(
+      """WITH dim AS (SELECT c_custkey, c_name FROM graft_customer_bl
+        |             WHERE c_acctbal < 0 AND c_mktsegment = 'AUTOMOBILE')
+        |SELECT o.o_orderkey, o.o_custkey, d.c_name, o.o_totalprice
+        |FROM (SELECT * FROM graft_orders_bl
+        |      WHERE graft_might_contain(
+        |        (SELECT graft_bloom_agg(xxhash64(c_custkey)) FROM dim),
+        |        xxhash64(o_custkey))) o
+        |JOIN dim d ON o.o_custkey = d.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
   /** Deterministic per-group mode: the most common order priority per
     * market segment, ties broken lexicographically (built-in mode()
     * has engine-defined ties — the explicit count + ranked-window
@@ -233,6 +262,7 @@ object Relational4 {
     "text_pii" -> textPii,
     "graph_triangles" -> graphTriangles,
     "agg_mode" -> aggMode,
+    "join_bloom" -> joinBloom,
   )
 
   val oracles: Map[String, String] = Map(
@@ -305,6 +335,16 @@ object Relational4 {
         |  (SELECT count(1) FROM e e1
         |    JOIN e e2 ON e2.u = e1.v
         |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    // the bloom only prunes (no false negatives; false positives die
+    // in the exact join), so the oracle is the PLAIN join — equality
+    // proves the reduction is lossless
+    "join_bloom" ->
+      """WITH dim AS (SELECT c_custkey, c_name FROM customer
+        |             WHERE c_acctbal < 0 AND c_mktsegment = 'AUTOMOBILE')
+        |SELECT o.o_orderkey, o.o_custkey, d.c_name, o.o_totalprice
+        |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "agg_mode" ->
       """WITH counts AS (

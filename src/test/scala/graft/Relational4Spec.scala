@@ -113,6 +113,29 @@ class Relational4Spec extends AnyFunSuite {
       "closure probe must be a broadcast hash join (wedges never shuffle)")
   }
 
+  test("join_bloom prunes the probe scan with a bloom might_contain " +
+    "and loses no rows vs the plain join") {
+    import spark.implicits._
+    val df = Relational4.joinBloom(spark, sf)
+    val p = plan(df)
+    assert(p.contains("might_contain"), "bloom predicate present in the plan")
+    // the bloom filter must sit on the probe side, before the join:
+    // the first might_contain occurrence appears under a Filter whose
+    // input is the orders scan, not the join output
+    val joinIdx = p.indexOf("HashJoin")
+    val bloomIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      "filter is below (printed after) the join operator in the tree")
+    val plain = engine.Tables.orders(spark, sf)
+      .join(engine.Tables.customer(spark, sf)
+          .filter($"c_acctbal" < 0 && $"c_mktsegment" === "AUTOMOBILE"),
+        $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_custkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+    assert(df.collect().toSeq == plain.collect().toSeq,
+      "bloom prefilter is lossless (false positives die in the join)")
+  }
+
   test("agg_mode picks the highest-count priority with lexicographic ties") {
     val rows = Relational4.aggMode(spark, sf).collect()
     val counts = engine.Tables.orders(spark, sf)
