@@ -207,6 +207,29 @@ object Relational4 {
       .select($"n_edges", $"n_triangles")
   }
 
+  /** Deterministic stratified sampling by key hash: per-stratum
+    * fractions (A 10% / N 20% / R 10%) drawn by multiplicative hash
+    * of the row key instead of an engine RNG — unlike
+    * `sample_stratified` (seeded `sampleBy`, engine-specific stream →
+    * no-oracle), the draw is bit-reproducible across engines, runs,
+    * and partitionings, so it CAN be differentially gated — and a row
+    * keeps its in/out fate as the corpus grows (the property that
+    * makes experiment re-runs comparable). Map-only. */
+  val sampleHash: Q = (s, d) => {
+    val bucket = expr(
+      "((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 % 1000")
+    Tables.lineitem(s, d)
+      .withColumn("bucket", bucket)
+      .filter(
+        ($"l_returnflag" === "A" && $"bucket" < 100) ||
+        ($"l_returnflag" === "N" && $"bucket" < 200) ||
+        ($"l_returnflag" === "R" && $"bucket" < 100))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"l_quantity".cast(dec)).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Bloom-filter semi-join reduction: the probe (fact) side is
     * pre-filtered with a bloom sketch of the selective dim's keys
     * BEFORE the join — Spark's own runtime-filter machinery
@@ -263,6 +286,7 @@ object Relational4 {
     "graph_triangles" -> graphTriangles,
     "agg_mode" -> aggMode,
     "join_bloom" -> joinBloom,
+    "sample_hash" -> sampleHash,
   )
 
   val oracles: Map[String, String] = Map(
@@ -335,6 +359,19 @@ object Relational4 {
         |  (SELECT count(1) FROM e e1
         |    JOIN e e2 ON e2.u = e1.v
         |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    "sample_hash" ->
+      """WITH s AS (SELECT l_returnflag, l_quantity,
+        |  ((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 % 1000
+        |    AS bucket
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(1) AS n_sampled,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM s
+        |WHERE (l_returnflag = 'A' AND bucket < 100)
+        |   OR (l_returnflag = 'N' AND bucket < 200)
+        |   OR (l_returnflag = 'R' AND bucket < 100)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     // the bloom only prunes (no false negatives; false positives die
     // in the exact join), so the oracle is the PLAIN join — equality

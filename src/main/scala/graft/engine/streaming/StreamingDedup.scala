@@ -1,0 +1,40 @@
+package graft.engine.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+
+/** Streaming deduplication — the LIVE twin of the batch `stream_dedup`
+  * query (graft.engine.ops.StreamOps.streamDedup: first event per
+  * (user, type) in (ts, event_id) order).
+  *
+  * Two variants with an explicit state/semantics trade:
+  *
+  *  - [[firstArrivals]]: `dropDuplicates` on the stream — EXACT global
+  *    first-arrival semantics, state grows with the key domain and is
+  *    never evicted. Right when the key space is bounded (users ×
+  *    types here); at 100 TB of unbounded keys it is the variant that
+  *    OOMs, which is why Spark added the bounded form.
+  *  - [[firstArrivalsBounded]]: `dropDuplicatesWithinWatermark` —
+  *    state for a key is dropped once the watermark passes its event
+  *    time + the lateness bound, so memory is O(keys active within
+  *    the watermark window). The guarantee weakens to "no duplicates
+  *    WITHIN the bound": a duplicate arriving after its key's state
+  *    was evicted is re-emitted as new. The spec pins both semantics
+  *    against the batch query.
+  */
+object StreamingDedup {
+  final case class Ev(
+      user_id: Long, event_type: String, ts: Timestamp, event_id: Long)
+
+  /** Exact global dedup: first arrival per (user, type), state never
+    * evicted. */
+  def firstArrivals(events: Dataset[Ev]): Dataset[Ev] =
+    events.dropDuplicates("user_id", "event_type")
+
+  /** Watermark-bounded dedup: duplicates suppressed only within
+    * `lateness` of the first arrival's event time. */
+  def firstArrivalsBounded(events: Dataset[Ev], lateness: String): Dataset[Ev] =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+}
