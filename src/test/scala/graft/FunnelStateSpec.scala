@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.engine.streaming.FunnelState
+import graft.engine.streaming.FunnelState.Ev
+
+/** transformWithState funnel machine on a LIVE stream (RocksDB state
+  * store, as the API requires), fed the driver testdata across a
+  * micro-batch boundary, checked against the batch `stream_funnel`
+  * window query over the same rows. */
+class FunnelStateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+
+  test("live funnel state machine matches the batch window query") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.engine.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .as[Ev].collect()
+      .sortBy(e => (FunnelState.micros(e.ts), e.event_id))
+    val (b1, b2) = events.splitAt(events.length / 2)
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Ev]
+      val q = FunnelState.funnel(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("funnel_live").start()
+      try {
+        input.addData(b1.toIndexedSeq); q.processAllAvailable()
+        input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+
+    // Update mode re-emits per touched batch; stage slots are
+    // write-once so the deepest emit per user is the final state
+    val live = spark.sql(
+      "SELECT user_id, depth, t1s, t2s, t3s FROM funnel_live").collect()
+      .map { r => r.getLong(0) ->
+        (r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)) }
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).max }
+    val batch = graft.engine.ops.StreamOps.streamFunnel(spark, sf).collect()
+      .map { r => r.getLong(0) ->
+        (r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)) }.toMap
+    assert(live.keySet == batch.keySet, "same user set")
+    val diff = live.collect { case (u, v) if batch(u) != v => u -> (v, batch(u)) }
+    assert(diff.isEmpty, s"funnel mismatch: ${diff.take(5)}")
+  }
+}
