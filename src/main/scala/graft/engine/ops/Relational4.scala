@@ -207,6 +207,62 @@ object Relational4 {
       .select($"n_edges", $"n_triangles")
   }
 
+  /** Full-outer join of two keyed aggregates (per-customer order
+    * stats vs per-user event stats): both unmatched sides survive
+    * null-padded; the coalesced key is the non-null unique sort key.
+    * Shuffles on the shared key — both aggregates and the join reuse
+    * one hash partitioning. */
+  val joinFull: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .groupBy($"o_custkey".as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ev = Tables.events(s, d)
+      .groupBy($"user_id".as("k"))
+      .agg(count(lit(1)).as("n_events"))
+    ord.join(ev, Seq("k"), "full_outer")
+      .select($"k", $"n_orders", $"n_events")
+      .orderBy($"k")
+  }
+
+  /** Correlated EXISTS subquery (the SQL spelling of a semi join —
+    * Catalyst decorrelates it to the same physical shape as
+    * `join_semi`, proving the rewrite). */
+  val subqExists: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_ex")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_ex")
+    s.sql(
+      """SELECT c_custkey, c_name FROM graft_customer_ex c
+        |WHERE EXISTS (SELECT 1 FROM graft_orders_ex o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Multiset (bag) intersection: INTERSECT ALL preserves duplicate
+    * multiplicity — min(count_left, count_right) per value — unlike
+    * the distinct `set_intersect`. Aggregated afterwards so the
+    * compared output is deterministic. */
+  val setIntersectAll: Q = (s, d) => {
+    val a = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderdate".as("dt"))
+    val b = Tables.orders(s, d).filter($"o_orderpriority" === "2-HIGH")
+      .select($"o_orderdate".as("dt"))
+    a.intersectAll(b).groupBy($"dt").agg(count(lit(1)).as("n"))
+      .orderBy($"dt")
+  }
+
+  /** Multiset difference: EXCEPT ALL subtracts multiplicities
+    * (max(0, count_left − count_right)) instead of dropping every
+    * matched value. */
+  val setExceptAll: Q = (s, d) => {
+    val a = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderdate".as("dt"))
+    val b = Tables.orders(s, d).filter($"o_orderpriority" === "2-HIGH")
+      .select($"o_orderdate".as("dt"))
+    a.exceptAll(b).groupBy($"dt").agg(count(lit(1)).as("n"))
+      .orderBy($"dt")
+  }
+
   /** Deterministic stratified sampling by key hash: per-stratum
     * fractions (A 10% / N 20% / R 10%) drawn by multiplicative hash
     * of the row key instead of an engine RNG — unlike
@@ -287,6 +343,10 @@ object Relational4 {
     "agg_mode" -> aggMode,
     "join_bloom" -> joinBloom,
     "sample_hash" -> sampleHash,
+    "join_full" -> joinFull,
+    "subq_exists" -> subqExists,
+    "set_intersect_all" -> setIntersectAll,
+    "set_except_all" -> setExceptAll,
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,6 +419,36 @@ object Relational4 {
         |  (SELECT count(1) FROM e e1
         |    JOIN e e2 ON e2.u = e1.v
         |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    "join_full" ->
+      """SELECT COALESCE(o.k, e.k) AS k, o.n_orders, e.n_events
+        |FROM (SELECT o_custkey AS k, count(1) AS n_orders
+        |      FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN (SELECT user_id AS k, count(1) AS n_events
+        |                 FROM events GROUP BY 1) e
+        |  ON o.k = e.k
+        |ORDER BY k""".stripMargin,
+
+    "subq_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT dt, count(1) AS n FROM (
+        |  SELECT o_orderdate AS dt FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_orderdate AS dt FROM orders WHERE o_orderpriority = '2-HIGH')
+        |GROUP BY dt ORDER BY dt""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT dt, count(1) AS n FROM (
+        |  SELECT o_orderdate AS dt FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT ALL
+        |  SELECT o_orderdate AS dt FROM orders WHERE o_orderpriority = '2-HIGH')
+        |GROUP BY dt ORDER BY dt""".stripMargin,
 
     "sample_hash" ->
       """WITH s AS (SELECT l_returnflag, l_quantity,

@@ -136,6 +136,48 @@ class Relational4Spec extends AnyFunSuite {
       "bloom prefilter is lossless (false positives die in the join)")
   }
 
+  test("subq_exists decorrelates to the same semi-join shape as join_semi") {
+    val p = plan(Relational4.subqExists(spark, sf))
+    assert(p.contains("LeftSemi"), "EXISTS must plan a semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("join_full preserves both unmatched sides null-padded") {
+    import spark.implicits._
+    val rows = Relational4.joinFull(spark, sf).collect()
+    assert(rows.forall(!_.isNullAt(0)), "coalesced key is never null")
+    val leftOnly = rows.count(_.isNullAt(2))
+    val total = rows.length
+    val custWithOrders = engine.Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    val users = engine.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(total >= math.max(custWithOrders, users), "union of key sets")
+    assert(leftOnly > 0, "customers without events survive the full join")
+  }
+
+  test("set ALL variants honor multiset semantics against grouped counts") {
+    import spark.implicits._
+    val a = engine.Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_orderdate").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val b = engine.Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "2-HIGH")
+      .groupBy($"o_orderdate").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    Relational4.setIntersectAll(spark, sf).collect().foreach { r =>
+      val dt = r.get(0).toString
+      assert(r.getLong(1) == math.min(a.getOrElse(dt, 0L), b.getOrElse(dt, 0L)),
+        s"intersect-all multiplicity for $dt")
+    }
+    Relational4.setExceptAll(spark, sf).collect().foreach { r =>
+      val dt = r.get(0).toString
+      assert(r.getLong(1) == a.getOrElse(dt, 0L) - b.getOrElse(dt, 0L),
+        s"except-all multiplicity for $dt")
+    }
+  }
+
   test("agg_mode picks the highest-count priority with lexicographic ties") {
     val rows = Relational4.aggMode(spark, sf).collect()
     val counts = engine.Tables.orders(spark, sf)
