@@ -378,7 +378,50 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-style paragraph-level dedup: corpus-wide, each distinct
+    * paragraph survives only at its FIRST occurrence (lowest
+    * (doc_id, idx)); every document is then reassembled from its
+    * surviving paragraphs. The testdata corpus has no newlines, so
+    * "paragraph" is a deterministic 10-token chunk — the splitter is
+    * corpus-specific, the dedup machinery is not.
+    *
+    * Scale shape: one map-only pass to chunk + hash, ONE hash
+    * aggregate per paragraph-hash picking the min-(doc_id, idx)
+    * survivor via a struct min (map-side partial combine — never a
+    * window sort over the exploded corpus), then a per-doc re-agg.
+    * Emits counts + an md5 digest of the reassembled text so the
+    * compared output stays narrow. */
+  val dedupParagraph: Q = (s, d) => {
+    graft.engine.functions.VectorOps.register(s)
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val paras = docs
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", posexplode(expr(
+        "CASE WHEN size(toks) = 0 THEN array() ELSE " +
+          "transform(sequence(0, (size(toks) + 9) DIV 10 - 1), " +
+          "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10))) END"))
+        .as(Seq("idx", "para")))
+      .withColumn("h", expr("graft_polyhash(para)"))
+      .localCheckpoint() // feeds both the survivor pick and the totals
+    val survivors = paras
+      .groupBy($"h")
+      .agg(min(struct($"doc_id", $"idx", $"para")).as("s"))
+      .select($"s.doc_id".as("doc_id"), $"s.idx".as("idx"), $"s.para".as("para"))
+    val rebuilt = survivors.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(idx, para))), x -> x.para)")))
+          .as("digest"))
+    paras.groupBy($"doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_paras",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"digest", lit("d41d8cd98f00b204e9800998ecf8427e")).as("digest"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_paragraph" -> dedupParagraph,
     "dedup_contamination" -> dedupContamination,
     "dedup_near" -> dedupNear,
     "dedup_minhash" -> dedupMinhash,
@@ -402,6 +445,34 @@ object DedupOps {
       |  WHERE len(toks) >= 3)""".stripMargin
 
   private val oracles0: Map[String, String] = Map(
+    "dedup_paragraph" -> {
+      val charhash =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+          "list_filter(string_split(para, ''), c -> c <> ''), " +
+          "c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007)"
+      s"""WITH toks AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         | pl AS (SELECT doc_id,
+         |   list_transform(range(0, (len(t)+9)//10),
+         |     i -> array_to_string(t[i*10+1 : i*10+10], ' ')) AS ps
+         |   FROM toks),
+         | paras AS (SELECT doc_id, unnest(range(0, len(ps))) AS idx,
+         |           unnest(ps) AS para FROM pl),
+         | hashed AS (SELECT doc_id, idx, para, $charhash AS h FROM paras),
+         | surv AS (SELECT doc_id, idx, para FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY h
+         |     ORDER BY doc_id, idx) AS rn FROM hashed) WHERE rn = 1),
+         | rebuilt AS (SELECT doc_id, count(1) AS n_kept,
+         |   md5(string_agg(para, ' ' ORDER BY idx)) AS digest
+         |   FROM surv GROUP BY doc_id),
+         | totals AS (SELECT doc_id, count(1) AS n_paras
+         |   FROM paras GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_paras, COALESCE(r.n_kept, 0) AS n_kept,
+         |  COALESCE(r.digest, md5('')) AS digest
+         |FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
+
     "dedup_contamination" ->
       s"""WITH $duckShingled,
          | ev AS (SELECT DISTINCT unnest(sh) AS g FROM docs WHERE doc_id < 20),

@@ -178,6 +178,20 @@ class Relational4Spec extends AnyFunSuite {
     }
   }
 
+  test("dedup_paragraph picks survivors with a partial aggregate, not a window") {
+    val df = graft.engine.ops.DedupOps.dedupParagraph(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_min"),
+      "survivor pick must combine map-side (min(struct), never a window sort)")
+    assert(!p.contains("Window"), "no window operator anywhere in the plan")
+    // reassembly invariant: kept ≤ total, and at least one doc loses a
+    // duplicated chunk somewhere in the corpus
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "corpus contains at least one cross-doc duplicate chunk")
+  }
+
   test("agg_mode picks the highest-count priority with lexicographic ties") {
     val rows = Relational4.aggMode(spark, sf).collect()
     val counts = engine.Tables.orders(spark, sf)
