@@ -207,6 +207,24 @@ object Relational4 {
       .select($"n_edges", $"n_triangles")
   }
 
+  /** Extended calendar arithmetic: month-clamped interval addition,
+    * end-of-month, quarter truncation/number, ISO weekday/week, day
+    * difference to a pinned date. ISO variants are chosen where the
+    * engines' defaults disagree (Spark dayofweek is Sunday=1, DuckDB
+    * dow is Sunday=0 — weekday()+1 = isodow on both). Map-only. */
+  val fnDate2: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        add_months($"o_orderdate", 3).as("plus3m"),
+        last_day($"o_orderdate").as("eom"),
+        date_trunc("quarter", $"o_orderdate").cast("date").as("q_start"),
+        quarter($"o_orderdate").as("q"),
+        (weekday($"o_orderdate") + 1).as("dow_iso"),
+        weekofyear($"o_orderdate").as("iso_week"),
+        datediff(lit(java.sql.Date.valueOf("2024-06-30")), $"o_orderdate")
+          .as("days_to_mid"))
+      .orderBy($"o_orderkey")
+
   /** Full-outer join of two keyed aggregates (per-customer order
     * stats vs per-user event stats): both unmatched sides survive
     * null-padded; the coalesced key is the non-null unique sort key.
@@ -343,6 +361,7 @@ object Relational4 {
     "agg_mode" -> aggMode,
     "join_bloom" -> joinBloom,
     "sample_hash" -> sampleHash,
+    "fn_date2" -> fnDate2,
     "join_full" -> joinFull,
     "subq_exists" -> subqExists,
     "set_intersect_all" -> setIntersectAll,
@@ -419,6 +438,18 @@ object Relational4 {
         |  (SELECT count(1) FROM e e1
         |    JOIN e e2 ON e2.u = e1.v
         |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    "fn_date2" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso,
+        |  CAST(week(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-30')
+        |       AS INTEGER) AS days_to_mid
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "join_full" ->
       """SELECT COALESCE(o.k, e.k) AS k, o.n_orders, e.n_events

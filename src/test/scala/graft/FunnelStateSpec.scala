@@ -64,4 +64,62 @@ class FunnelStateSpec extends AnyFunSuite {
     val diff = live.collect { case (u, v) if batch(u) != v => u -> (v, batch(u)) }
     assert(diff.isEmpty, s"funnel mismatch: ${diff.take(5)}")
   }
+
+  test("funnel state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.engine.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .as[Ev].collect()
+      .sortBy(e => (FunnelState.micros(e.ts), e.event_id))
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-funnel-ckpt").toString
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val acc = scala.collection.concurrent.TrieMap
+      .empty[Long, (Int, Long, Long, Long)]
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // SAME MemoryStream across two query incarnations: the second
+      // run recovers offsets + RocksDB state from the checkpoint
+      val input = MemoryStream[Ev]
+      def runOnce(feed: => Unit): Unit = {
+        val q = FunnelState.funnel(input.toDS())
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[FunnelState.Funnel], _: Long) =>
+              df.collect().foreach { f =>
+                acc(f.user_id) = (f.depth,
+                  f.t1s.getOrElse(-1L), f.t2s.getOrElse(-1L),
+                  f.t3s.getOrElse(-1L))
+              }
+          }
+          .start()
+        try { feed; q.processAllAvailable() } finally q.stop()
+      }
+      runOnce { input.addData(b1.toIndexedSeq) }
+      runOnce { input.addData(b2.toIndexedSeq) } // new query, old state
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+
+    val batch = graft.engine.ops.StreamOps.streamFunnel(spark, sf).collect()
+      .map { r => r.getLong(0) ->
+        (r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)) }.toMap
+    assert(acc.keySet == batch.keySet, "same user set after restart")
+    val diff = acc.collect { case (u, v) if batch(u) != v => u -> (v, batch(u)) }
+    assert(diff.isEmpty,
+      s"state lost or corrupted across the restart: ${diff.take(5)}")
+  }
 }
