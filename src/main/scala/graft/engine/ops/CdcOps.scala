@@ -117,6 +117,32 @@ object CdcOps {
       .select($"user_id", $"event_id", $"event_type", $"value")
       .orderBy($"user_id")
 
+  /** MERGE-style change classification (the upsert planning step a
+    * CDC consumer runs before applying a batch): the stream is split
+    * at a cut instant into SNAPSHOT (last state per user before) and
+    * INCOMING (last state per user at/after); each incoming change is
+    * classified against the snapshot — tombstone ('error') → delete,
+    * unseen key → insert, otherwise update. Both compactions are the
+    * engine's `lastStatePerKey` aggregate; the classify join is
+    * key-partitioned on the same user hash. */
+  val cdcMergeClasses: Q = (s, d) => {
+    val cut = "TIMESTAMP_NTZ '2024-01-16 00:00:00'"
+    val ev = Tables.events(s, d)
+    def last(df: DataFrame) =
+      Transforms.lastStatePerKey(Seq("user_id"), Seq("ts", "event_id"))(df)
+    val snapshot = last(ev.filter(expr(s"ts < $cut")))
+      .select($"user_id", $"event_type".as("old_type"))
+    val incoming = last(ev.filter(expr(s"ts >= $cut")))
+      .select($"user_id", $"event_type".as("new_type"))
+    incoming.join(snapshot, Seq("user_id"), "left")
+      .select($"user_id",
+        when($"new_type" === "error", "delete")
+          .when($"old_type".isNull, "insert")
+          .otherwise("update").as("action"),
+        $"old_type", $"new_type")
+      .orderBy($"user_id")
+  }
+
   /** Full control-path read: compaction ∘ terminal-status rejection ∘
     * timestamp ordering (reference ops 7, 9, 10 composed) over a
     * control log synthesized from events (event_type stands in for the
@@ -173,6 +199,7 @@ object CdcOps {
   val queries: Map[String, Q] = Map(
     "cdc_scd2" -> cdcScd2,
     "cdc_apply" -> cdcApply,
+    "cdc_merge_classes" -> cdcMergeClasses,
     "cdc_seed_key" -> cdcSeedKey,
     "cdc_dml_msg" -> cdcDmlMsg,
     "cdc_progress" -> cdcProgress,
@@ -239,6 +266,27 @@ object CdcOps {
         |SELECT seeded, total, event_id FROM numbered
         |WHERE (seeded * 50) // total > ((seeded - 1) * 50) // total
         |ORDER BY seeded""".stripMargin,
+
+    "cdc_merge_classes" ->
+      """WITH snap AS (
+        |  SELECT user_id, event_type AS old_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1),
+        | inc AS (
+        |  SELECT user_id, event_type AS new_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1)
+        |SELECT inc.user_id,
+        |  CASE WHEN inc.new_type = 'error' THEN 'delete'
+        |       WHEN snap.old_type IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  snap.old_type, inc.new_type
+        |FROM inc LEFT JOIN snap ON snap.user_id = inc.user_id
+        |ORDER BY inc.user_id""".stripMargin,
 
     "cdc_last_state" ->
       """SELECT user_id, event_id, event_type, value FROM (
