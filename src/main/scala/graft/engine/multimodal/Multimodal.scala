@@ -128,8 +128,22 @@ object Multimodal {
     sampleFrames(mediaTable(s, d)).toDF().orderBy(col("media_id"))
   }
 
+  /** Exact media dedup by content digest — the blob-level twin of
+    * `dedup_exact` (image/audio dedup by byte identity is the first
+    * pass of any multimodal pipeline: hash is computed map-side next
+    * to the scan, only (digest, id) pairs shuffle — the binary never
+    * moves). Survivor = lowest media_id per digest. */
+  val mmDedup: Q = (s, d) =>
+    mediaTable(s, d)
+      .groupBy(sha2(col("content"), 256).as("digest"))
+      .agg(org.apache.spark.sql.functions.min(col("media_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("survivor_id"), col("n_copies"), col("digest"))
+      .orderBy(col("survivor_id"))
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
+    "mm_dedup" -> mmDedup,
     "mm_decode" -> mmDecode,
     "mm_frames" -> mmFrames,
   )
@@ -141,5 +155,11 @@ object Multimodal {
         |  octet_length(encode(text)) AS byte_len,
         |  sha256(text) AS digest
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_dedup" ->
+      """SELECT min(doc_id) AS survivor_id, count(1) AS n_copies,
+        |  sha256(text) AS digest
+        |FROM documents GROUP BY sha256(text)
+        |ORDER BY survivor_id""".stripMargin,
   )
 }
