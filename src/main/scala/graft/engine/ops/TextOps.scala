@@ -285,7 +285,39 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** The composed mixture pipeline: [[mixWeights]]'s per-language
+    * fractions APPLIED by a deterministic multiplicative-hash draw
+    * (the `sample_hash` scheme on doc_id mod 10000 buckets) — the
+    * full rebalance → draw path under one gate. One corpus scan feeds
+    * both the token budgets and the draw; the fraction table
+    * broadcasts. Every language appears in the output (left join from
+    * the fraction table), with exact integer kept-counts/token sums. */
+  val pipelineMix: Q = (s, d) => {
+    val tokDocs = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("toks"))
+      .localCheckpoint() // one tokenize pass feeds budgets AND the draw
+    val per = tokDocs.groupBy($"lang").agg(sum($"toks").as("tokens"))
+    val mn = per.agg(min($"tokens").as("min_tokens"))
+    val frac = per.crossJoin(broadcast(mn))
+      .select($"lang", $"tokens", expr(
+        "cast(floor(cast(min_tokens as double) / tokens * 10000D) as bigint)")
+        .as("bp"))
+    val kept = tokDocs
+      .withColumn("bucket", expr("(doc_id * 2654435761) % 4294967296 % 10000"))
+      .join(broadcast(frac.select($"lang", $"bp")), Seq("lang"))
+      .filter($"bucket" < $"bp")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"toks").as("tokens_kept"))
+    frac.join(kept, Seq("lang"), "left")
+      .select($"lang", $"tokens", $"bp",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"tokens_kept", lit(0L)).as("tokens_kept"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_mix" -> pipelineMix,
     "mix_weights" -> mixWeights,
     "text_repetition" -> textRepetition,
     "dedup_exact" -> dedupExact,
@@ -300,6 +332,30 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_mix" ->
+      """WITH td AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS toks
+        |  FROM documents),
+        | per AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS tokens
+        |         FROM td GROUP BY lang),
+        | frac AS (
+        |  SELECT lang, tokens,
+        |    CAST(floor(CAST((SELECT min(tokens) FROM per) AS DOUBLE)
+        |      / tokens * 10000) AS BIGINT) AS bp
+        |  FROM per),
+        | kept AS (
+        |  SELECT td.lang, count(1) AS n_kept,
+        |    CAST(sum(td.toks) AS BIGINT) AS tokens_kept
+        |  FROM td JOIN frac ON frac.lang = td.lang
+        |  WHERE (td.doc_id * 2654435761) % 4294967296 % 10000 < frac.bp
+        |  GROUP BY td.lang)
+        |SELECT f.lang, f.tokens, f.bp,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.tokens_kept, 0) AS tokens_kept
+        |FROM frac f LEFT JOIN kept k ON k.lang = f.lang
+        |ORDER BY f.lang""".stripMargin,
+
     "mix_weights" ->
       """WITH per AS (
         |  SELECT lang, count(1) AS n_docs,
