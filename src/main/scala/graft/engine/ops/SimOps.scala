@@ -305,8 +305,40 @@ object SimOps {
       .orderBy($"qid", $"cos".desc, $"vec_id")
   }
 
+  /** ANN quality evaluation inside the engine: recall@5 of the
+    * hyperplane-LSH bucket probe against the exact top-5, per query
+    * (vec_ids 0–9). One scored pass (cross join with the broadcast
+    * query block, narrow columns checkpointed) feeds BOTH rankings;
+    * the recall join is a semi join on (qid, vec_id). The number every
+    * index tuning loop needs — computed distributed, deterministic
+    * (identical rank encoding to the gated sim_batch_topk/sim_lsh). */
+  val simRecall: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ve = vecs(s, d).withColumn("bucket", expr(bucketSql))
+    val qs = ve.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
+        $"bucket".as("qbucket"))
+    val scored = ve.filter($"vec_id" >= 10)
+      .crossJoin(broadcast(qs))
+      .withColumn("cos", round(expr(dotSql) / ($"nrm" * $"qn"), 4))
+      .select($"qid", $"vec_id", $"cos", $"bucket", $"qbucket")
+      .localCheckpoint() // one dot-product pass feeds both rankings
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    val exact5 = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).select($"qid", $"vec_id")
+    val ann5 = scored.filter($"bucket" === $"qbucket")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).select($"qid", $"vec_id")
+    val hits = exact5.join(ann5, Seq("qid", "vec_id"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("hits"))
+    qs.select($"qid").join(hits, Seq("qid"), "left")
+      .select($"qid", coalesce($"hits", lit(0L)).as("hits_at_5"))
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
+    "sim_recall" -> simRecall,
     "sim_range" -> simRange,
     "sim_lsh" -> simLsh,
     "sim_ivf" -> simIvf,
@@ -445,6 +477,30 @@ object SimOps {
          |FROM vecs e, (SELECT v, nrm FROM vecs WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "sim_recall" ->
+      s"""WITH $duckVecs,
+         | b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM vecs),
+         | qs AS (SELECT vec_id AS qid, v, nrm AS qn, bucket AS qbucket
+         |        FROM b WHERE vec_id < 10),
+         | scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round($duckDot / (e.nrm * q.qn), 4) AS cos,
+         |    e.bucket, q.qbucket
+         |  FROM b e, qs q WHERE e.vec_id >= 10),
+         | exact5 AS (SELECT qid, vec_id FROM (
+         |   SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |     ORDER BY cos DESC, vec_id) AS rn FROM scored) WHERE rn <= 5),
+         | ann5 AS (SELECT qid, vec_id FROM (
+         |   SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |     ORDER BY cos DESC, vec_id) AS rn FROM scored
+         |   WHERE bucket = qbucket) WHERE rn <= 5),
+         | h AS (SELECT e5.qid, count(1) AS hits
+         |   FROM exact5 e5 JOIN ann5 a ON a.qid = e5.qid AND a.vec_id = e5.vec_id
+         |   GROUP BY e5.qid)
+         |SELECT q.qid, COALESCE(h.hits, 0) AS hits_at_5
+         |FROM qs q LEFT JOIN h ON h.qid = q.qid
+         |ORDER BY q.qid""".stripMargin,
 
     "sim_range" ->
       s"""WITH $duckVecs
