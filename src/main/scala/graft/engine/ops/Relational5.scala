@@ -1,0 +1,209 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Fifth relational batch (round 4): recursive-CTE hierarchy rollup
+  * (Spark 4's declarative iterative operator, `UnionLoop`), rare-class
+  * upsampling by row multiplication, time-series OHLC resampling,
+  * boolean aggregates, and multi-distinct aggregation (the
+  * `Expand`-based plan).
+  *
+  * Determinism contract as ever (SURVEY §7.3): integer/epoch
+  * arithmetic where both engines must agree bit-for-bit, doubles only
+  * ever PICKED (min/max/first/last), never summed, unique final sort
+  * keys.
+  */
+object Relational5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Recursive-CTE hierarchy rollup: parts form an implicit 10-ary
+    * forest (`parent(p) = p DIV 10`, roots = partkeys < 10); for each
+    * root, count its subtree and sum its sizes. Runs on Spark 4's
+    * native `WITH RECURSIVE` (a driver-coordinated loop of distributed
+    * joins — the declarative twin of `dedup_clusters`' imperative
+    * loop). Each part lies on exactly ONE root chain, so the recursion
+    * materializes |part| rows total over ~log₁₀|part| iterations: no
+    * combinatorial blowup, each step one equi-join against the part
+    * table, frontier ≤ |part|. At 100 TB the same plan holds — the
+    * per-level join shuffles on the parent key, and depth grows only
+    * logarithmically. */
+  val graphHierarchy: Q = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("graft_part_rec")
+    s.sql(
+      """WITH RECURSIVE down(root, node, sz) AS (
+        |  SELECT p_partkey, p_partkey, p_size FROM graft_part_rec
+        |  WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT down.root, p.p_partkey, p.p_size
+        |  FROM down JOIN graft_part_rec p
+        |    ON p.p_partkey DIV 10 = down.node AND p.p_partkey >= 10)
+        |SELECT root, count(1) AS n_desc, sum(sz) AS sum_size
+        |FROM down GROUP BY root ORDER BY root""".stripMargin)
+  }
+
+  /** Rare-language upsampling by deterministic row multiplication:
+    * each language's documents are replicated `least(4, max_tokens DIV
+    * lang_tokens)` times (bounded-repeat mixture balancing toward the
+    * LARGEST language — the inverse of `mix_weights`' downsampling).
+    * Repeats come from exact BIGINT arithmetic over full-corpus token
+    * budgets; the replication is a map-side `explode(sequence(...))`
+    * against a broadcast 5-row factor table — at 100 TB the corpus is
+    * never shuffled, only multiplied in place. Output is the exploded
+    * copies for a fixed doc slice (bounded compare; the factors are
+    * corpus-global). */
+  val mixUpsample: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", $"lang",
+        size(TextFeatures.tokens($"text")).cast("long").as("toks"))
+    val per = tok.groupBy($"lang").agg(sum($"toks").as("tokens"))
+    val reps = per.crossJoin(broadcast(per.agg(max($"tokens").as("max_tokens"))))
+      .select($"lang",
+        least(lit(4L), greatest(lit(1L), expr("max_tokens DIV tokens")))
+          .as("repeats"))
+    tok.filter($"doc_id" < 50)
+      .join(broadcast(reps), Seq("lang"))
+      .select($"doc_id", $"lang",
+        explode(sequence(lit(1L), $"repeats")).as("copy"))
+      .orderBy($"doc_id", $"copy")
+  }
+
+  /** Time-series OHLC resampling: 4-hour bars of `events.value` per
+    * event type — open/close are the first/last values in (time,
+    * event_id) order, high/low the extremes, n the bar volume. ONE
+    * shuffle: row_number, first_value, last_value, max, min, count all
+    * share the (event_type, bar) window partitioning, then the rn=1
+    * row per bar carries the result. Doubles are only ever PICKED
+    * (never summed), so every output is an exact input bit pattern —
+    * hash-safe cross-engine. Microsecond epoch ordering; bars emitted
+    * as epoch seconds. */
+  val tsOhlc: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .select($"event_type", $"event_id", $"value",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"))
+      .withColumn("bar", expr("(ts_us DIV 14400000000) * 14400"))
+    val w = Window.partitionBy($"event_type", $"bar")
+      .orderBy($"ts_us", $"event_id")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("open", first($"value").over(full))
+      .withColumn("close", last($"value").over(full))
+      .withColumn("high", max($"value").over(full))
+      .withColumn("low", min($"value").over(full))
+      .withColumn("n", count(lit(1)).over(full))
+      .filter($"rn" === 1)
+      .select($"event_type", $"bar", $"open", $"high", $"low", $"close", $"n")
+      .orderBy($"event_type", $"bar")
+  }
+
+  /** Boolean aggregate family: universal / existential predicates and
+    * conditional counts per group (`bool_and` / `bool_or` /
+    * `count_if`) — all partial-aggregable map-side, one narrow
+    * shuffle of 4 scalars per group. */
+  val aggBool: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        expr("bool_and(value > 0)").as("all_pos"),
+        expr("bool_or(value > 99)").as("any_big"),
+        expr("count_if(value > 50)").as("n_gt50"),
+        expr("count_if(value IS NULL)").as("n_null"))
+      .orderBy($"event_type")
+
+  /** Multiple DISTINCT aggregates over different columns in one query
+    * — planned via `Expand` (each input row fans out once per
+    * distinct group, then one hash aggregate): the standard Catalyst
+    * strategy that keeps N distincts to ONE shuffle instead of N
+    * self-joins. */
+  val aggMultiDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+
+  val queries: Map[String, Q] = Map(
+    "graph_hierarchy" -> graphHierarchy,
+    "mix_upsample" -> mixUpsample,
+    "ts_ohlc" -> tsOhlc,
+    "agg_bool" -> aggBool,
+    "agg_multi_distinct" -> aggMultiDistinct,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_hierarchy" ->
+      """WITH RECURSIVE down(root, node, sz) AS (
+        |  SELECT p_partkey, p_partkey, p_size FROM part WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT down.root, p.p_partkey, p.p_size
+        |  FROM down JOIN part p
+        |    ON p.p_partkey // 10 = down.node AND p.p_partkey >= 10)
+        |SELECT root, count(1) AS n_desc, CAST(sum(sz) AS BIGINT) AS sum_size
+        |FROM down GROUP BY root ORDER BY root""".stripMargin,
+
+    "mix_upsample" ->
+      """WITH td AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS toks
+        |  FROM documents),
+        | per AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS tokens
+        |         FROM td GROUP BY lang),
+        | reps AS (
+        |  SELECT lang,
+        |    least(4, greatest(1, (SELECT max(tokens) FROM per) // tokens)) AS repeats
+        |  FROM per)
+        |SELECT td.doc_id, td.lang,
+        |  CAST(unnest(generate_series(1, r.repeats)) AS BIGINT) AS copy
+        |FROM td JOIN reps r ON r.lang = td.lang
+        |WHERE td.doc_id < 50
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    "ts_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value,
+        |    epoch_us(ts) AS ts_us,
+        |    (epoch_us(ts) // 14400000000) * 14400 AS bar
+        |  FROM events),
+        | wnd AS (
+        |  SELECT event_type, bar, value,
+        |    row_number() OVER (PARTITION BY event_type, bar
+        |                       ORDER BY ts_us, event_id) AS rn,
+        |    first_value(value) OVER (PARTITION BY event_type, bar
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+        |    last_value(value) OVER (PARTITION BY event_type, bar
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close,
+        |    max(value) OVER (PARTITION BY event_type, bar) AS high,
+        |    min(value) OVER (PARTITION BY event_type, bar) AS low,
+        |    count(1) OVER (PARTITION BY event_type, bar) AS n
+        |  FROM e)
+        |SELECT event_type, bar, open, high, low, close, CAST(n AS BIGINT) AS n
+        |FROM wnd WHERE rn = 1
+        |ORDER BY event_type, bar""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT event_type,
+        |  bool_and(value > 0) AS all_pos,
+        |  bool_or(value > 99) AS any_big,
+        |  CAST(count(1) FILTER (WHERE value > 50) AS BIGINT) AS n_gt50,
+        |  CAST(count(1) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(1) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}
