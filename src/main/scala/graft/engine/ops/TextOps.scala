@@ -316,7 +316,28 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Vocabulary induction: the FIRST BPE merge iteration — corpus-wide
+    * counts of adjacent character pairs inside tokens, top-30. This is
+    * the statistic a byte-pair-encoding trainer computes every merge
+    * round; at scale it is two nested explodes into ONE map-side-
+    * combined hash aggregate (shuffle rows = distinct pairs, ~1k, not
+    * corpus tokens) + a bounded top-N merge. Iterating the full BPE
+    * training loop is this same query re-run over re-segmented tokens
+    * with the merge table broadcast. */
+  val tokBpePairs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select(explode(tokens($"text")).as("tok"))
+      .filter(length($"tok") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(30)
+
   val queries: Map[String, Q] = Map(
+    "tok_bpe_pairs" -> tokBpePairs,
     "pipeline_mix" -> pipelineMix,
     "mix_weights" -> mixWeights,
     "text_repetition" -> textRepetition,
@@ -332,6 +353,15 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "tok_bpe_pairs" ->
+      """SELECT pair, count(1) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, length(tok)),
+        |           i -> tok[i:i+1])) AS pair
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) >= 2)
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
     "pipeline_mix" ->
       """WITH td AS (
         |  SELECT doc_id, lang,
