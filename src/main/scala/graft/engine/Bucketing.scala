@@ -37,4 +37,25 @@ object Bucketing {
       right: String,
       cond: org.apache.spark.sql.Column): DataFrame =
     spark.table(left).join(spark.table(right), cond)
+
+  /** Persist `df` hive-style directory-partitioned by `cols`
+    * (`path/col=value/...`). The read-side payoff is PARTITION
+    * PRUNING: a filter on the partition column never lists or opens
+    * non-matching directories — at 100 TB, `WHERE lang = 'en'` scans
+    * the `lang=en` files and nothing else (asserted by BucketingSpec
+    * via `PartitionFilters` + the scanned-file list). Partition by
+    * low-cardinality routing columns only; high-cardinality keys
+    * belong in buckets (small-files problem). */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
+
+  /** Read a partition-pruned slice: equality filters on partition
+    * columns, pushed to the file index. */
+  def readPruned(
+      spark: SparkSession,
+      path: String,
+      eq: Map[String, String]): DataFrame =
+    eq.foldLeft(spark.read.parquet(path)) { case (df, (c, v)) =>
+      df.filter(df(c) === v)
+    }
 }

@@ -127,7 +127,12 @@ object DedupOps {
     * The only shuffles are the band-key join and the distinct — both on
     * narrow keys; signatures never travel with the shingle sets. */
   val dedupMinhash: Q = (s, d) => {
-    val docs = shingled(s, d).repartition($"doc_id")
+    // NO repartition here: shingled() already spread the compute and
+    // checkpointed 32 even partitions — re-partitioning the checkpoint
+    // was measured re-shuffling the full (doc_id, sh) arrays once per
+    // consumer branch (388 KB × 2 at sf0.001, 6× every other stage
+    // combined; MetricsSpec pins the corrected total).
+    val docs = shingled(s, d)
     // signature build as a relational pipeline: each shingle hashed
     // exactly ONCE (explode → charHash), then all 16 permutation minima
     // in a single grouped aggregate — one shuffle, map-side partial min.
@@ -148,9 +153,18 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+    // Verify joins BROADCAST the candidate-proportional side so the
+    // corpus shingle arrays never re-shuffle: candidates are ≪ corpus
+    // by LSH design, while a plain equi-join here was measured moving
+    // every (doc_id, sh) row through two exchanges — 6× the bytes of
+    // every other stage combined (MetricsSpec pins the corrected
+    // ratio). Beyond broadcastable candidate volume, flip doc_b to a
+    // shuffle join: it then moves only candidate rows + one corpus
+    // pass, still never twice.
+    val withA = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+      .join(broadcast(cands), "doc_a")
+    docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+      .join(broadcast(withA), "doc_b")
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard", round($"inter".cast("double")
         / (size($"sh_a") + size($"sh_b") - $"inter"), 4))
