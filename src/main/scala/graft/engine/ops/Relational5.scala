@@ -130,7 +130,25 @@ object Relational5 {
         count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag")
 
+  /** ANSI-safe TRY function family: Spark 4 runs ANSI mode, where
+    * division by zero / bad casts / integer overflow THROW — `try_*`
+    * turns each into NULL-on-error (the semantics a robust ingest
+    * pipeline wants for dirty rows). Divisor zero every 5th row, a
+    * castable string every 3rd, multiply overflow beyond ±2⁶²; the
+    * non-null products are ±2⁶² exactly (float64-representable, so the
+    * differential compare is exact even through pandas' nullable-int →
+    * float widening). Map-only. */
+  val fnTry: Q = (s, d) =>
+    Tables.events(s, d)
+      .select($"event_id",
+        expr("try_divide(user_id, event_id % 5)").as("safe_div"),
+        expr("try_cast(CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS STRING) " +
+          "ELSE event_type END AS BIGINT)").as("safe_cast"),
+        expr("try_multiply(event_id - 5, 4611686018427387904L)").as("safe_mul"))
+      .orderBy($"event_id")
+
   val queries: Map[String, Q] = Map(
+    "fn_try" -> fnTry,
     "graph_hierarchy" -> graphHierarchy,
     "mix_upsample" -> mixUpsample,
     "ts_ohlc" -> tsOhlc,
@@ -139,6 +157,17 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_try" ->
+      """SELECT event_id,
+        |  user_id / nullif(event_id % 5, 0) AS safe_div,
+        |  TRY_CAST(CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS VARCHAR)
+        |           ELSE event_type END AS BIGINT) AS safe_cast,
+        |  -- int64 range is asymmetric: -2 * 2^62 = -2^63 still fits
+        |  CASE WHEN event_id - 5 > 1 OR event_id - 5 < -2 THEN NULL
+        |       ELSE CAST((event_id - 5) * 4611686018427387904 AS BIGINT)
+        |  END AS safe_mul
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "graph_hierarchy" ->
       """WITH RECURSIVE down(root, node, sz) AS (
         |  SELECT p_partkey, p_partkey, p_size FROM part WHERE p_partkey < 10

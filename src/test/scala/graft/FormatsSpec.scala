@@ -38,6 +38,19 @@ class FormatsSpec extends AnyFunSuite {
 
   test("events round-trip losslessly through CSV")(roundTrip("csv"))
   test("events round-trip losslessly through JSON-lines")(roundTrip("json"))
+  test("events round-trip losslessly through ORC")(roundTrip("orc"))
+
+  test("ORC scans push filters down like parquet (columnar source parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orcp").toString + "/ev"
+    events.write.format("orc").save(dir)
+    val q = spark.read.format("orc").schema(events.schema).load(dir)
+      .filter($"user_id" === 7L).select($"event_id", $"user_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"),
+      s"ORC scan must push the user_id filter:\n$plan")
+    assert(q.count() == events.filter($"user_id" === 7L).count())
+  }
 
   test("a query runs identically over the parquet and CSV copies") {
     import spark.implicits._
