@@ -147,7 +147,44 @@ object Relational5 {
         expr("try_multiply(event_id - 5, 4611686018427387904L)").as("safe_mul"))
       .orderBy($"event_id")
 
+  /** Spark 4 VARIANT path for semi-structured data: `parse_json` into
+    * the binary VARIANT encoding once, then typed `variant_get`
+    * extractions — the open-schema alternative to from_json-with-
+    * declared-schema (fn_json's path). At scale VARIANT's advantage is
+    * shredded binary storage + lazy field access instead of re-parsing
+    * JSON text per extraction; here both engines must agree on the
+    * extracted scalars. Malformed input → NULL via the same try_*
+    * discipline as fn_try. */
+  val fnVariant: Q = (s, d) =>
+    Tables.events(s, d)
+      .select($"event_id",
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("variant_get(parse_json(props), '$.missing', 'bigint')").as("absent"),
+        expr("is_variant_null(parse_json(CASE WHEN event_id % 7 = 0 " +
+          "THEN 'null' ELSE props END))").as("null_in"))
+      .orderBy($"event_id")
+
+  /** SQL-declared scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN`):
+    * the engine-resident function surface a SQL-first user extends —
+    * Catalyst INLINES the body into the calling plan (no black-box
+    * lambda, full codegen/pushdown through the call). The oracle
+    * inlines the same expression by hand; matching output proves the
+    * declared function is pure plan, not an opaque UDF. */
+  val fnSqlUdf: Q = (s, d) => {
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(bal DOUBLE) " +
+      "RETURNS STRING RETURN CASE WHEN bal < 0 THEN 'debit' " +
+      "WHEN bal < 5000 THEN 'standard' ELSE 'premium' END")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_udf")
+    s.sql(
+      """SELECT graft_tier(c_acctbal) AS tier, count(1) AS n,
+        |       min(c_custkey) AS min_key
+        |FROM graft_customer_udf
+        |GROUP BY 1 ORDER BY tier""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_variant" -> fnVariant,
+    "fn_sql_udf" -> fnSqlUdf,
     "fn_try" -> fnTry,
     "graph_hierarchy" -> graphHierarchy,
     "mix_upsample" -> mixUpsample,
@@ -157,6 +194,20 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(props::JSON ->> 'k' AS BIGINT) AS k,
+        |  CAST(props::JSON ->> 'missing' AS BIGINT) AS absent,
+        |  event_id % 7 = 0 AS null_in
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_sql_udf" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'debit'
+        |            WHEN c_acctbal < 5000 THEN 'standard'
+        |            ELSE 'premium' END AS tier,
+        |  count(1) AS n, min(c_custkey) AS min_key
+        |FROM customer GROUP BY 1 ORDER BY tier""".stripMargin,
+
     "fn_try" ->
       """SELECT event_id,
         |  user_id / nullif(event_id % 5, 0) AS safe_div,
