@@ -182,7 +182,38 @@ object Relational5 {
         |GROUP BY 1 ORDER BY tier""".stripMargin)
   }
 
+  /** `grouping()` / `grouping_id()` over a rollup: the functions that
+    * make super-aggregate rows distinguishable from genuine NULL group
+    * keys — without them a rollup over nullable columns is ambiguous.
+    * Same shuffle as any rollup (Expand + one hash aggregate). */
+  val aggGroupingId: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics needed when
+    * a dimension's "unknown" bucket must still join. Planned as a hash
+    * join (null-safe equality is still an equi-key). */
+  val joinNullSafe: Q = (s, d) => {
+    val a = Tables.orders(s, d)
+      .groupBy(nullif($"o_orderpriority", lit("3-MEDIUM")).as("k"))
+      .agg(count(lit(1)).as("n_all"))
+    val b = Tables.orders(s, d).filter($"o_totalprice" > 200000)
+      .groupBy(nullif($"o_orderpriority", lit("3-MEDIUM")).as("k"))
+      .agg(count(lit(1)).as("n_big"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k"), $"n_all", $"n_big")
+      .orderBy($"k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_grouping_id" -> aggGroupingId,
+    "join_null_safe" -> joinNullSafe,
     "fn_variant" -> fnVariant,
     "fn_sql_udf" -> fnSqlUdf,
     "fn_try" -> fnTry,
@@ -194,6 +225,27 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+        |       AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH a AS (
+        |  SELECT nullif(o_orderpriority, '3-MEDIUM') AS k, count(1) AS n_all
+        |  FROM orders GROUP BY 1),
+        | b AS (
+        |  SELECT nullif(o_orderpriority, '3-MEDIUM') AS k, count(1) AS n_big
+        |  FROM orders WHERE o_totalprice > 200000 GROUP BY 1)
+        |SELECT a.k, a.n_all, b.n_big
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
+
     "fn_variant" ->
       """SELECT event_id,
         |  CAST(props::JSON ->> 'k' AS BIGINT) AS k,

@@ -336,7 +336,30 @@ object TextOps {
       .orderBy($"n".desc, $"pair")
       .limit(30)
 
+  /** Character-diversity quality signal: per doc, the distinct-char
+    * count and the char collision probability (Simpson index, Σc²/n²)
+    * in basis points — the log-free gibberish/repetition detector (a
+    * keyboard-mash or repeated-char doc has high collision, natural
+    * text ~600–800 bp). Integer char counts + ONE division, floored —
+    * exact cross-engine, unlike a Shannon entropy whose ln() low bits
+    * are engine-defined. Shape: per-(doc, char) count → per-doc Σc² —
+    * both map-side-combined; at 100 TB it is one narrow two-level
+    * aggregate (≤ alphabet-size rows per doc). */
+  val textCharDiversity: Q = (s, d) =>
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(split(lower($"text"), "")).as("c"))
+      .filter($"c" =!= "")
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_chars"),
+        expr("cast(floor(cast(sum(cnt * cnt) as double) " +
+          "/ (sum(cnt) * sum(cnt)) * 10000D) as bigint)").as("collision_bp"))
+      .orderBy($"doc_id")
+
   val queries: Map[String, Q] = Map(
+    "text_char_diversity" -> textCharDiversity,
     "tok_bpe_pairs" -> tokBpePairs,
     "pipeline_mix" -> pipelineMix,
     "mix_weights" -> mixWeights,
@@ -353,6 +376,18 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_char_diversity" ->
+      """SELECT doc_id,
+        |  CAST(count(1) AS BIGINT) AS n_distinct_chars,
+        |  CAST(floor(CAST(sum(cnt * cnt) AS DOUBLE)
+        |    / (sum(cnt) * sum(cnt)) * 10000) AS BIGINT) AS collision_bp
+        |FROM (
+        |  SELECT doc_id, c, count(1) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+        |    FROM documents)
+        |  WHERE c <> '' GROUP BY doc_id, c)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "tok_bpe_pairs" ->
       """SELECT pair, count(1) AS n FROM (
         |  SELECT unnest(list_transform(range(1, length(tok)),
