@@ -119,6 +119,28 @@ object DedupOps {
 
   val dedupNear: Q = dedupNearCapped(NearMaxShingleDf)
 
+  /** MinHash(16) signatures (doc_id, mh0..mh15) for a (doc_id, sh)
+    * shingle frame — the signature build shared by [[dedupMinhash]]
+    * and the streaming LSH dedup (`streaming.StreamingMinHash`).
+    * Relational pipeline: each shingle hashed exactly ONCE (explode →
+    * charHash), then all 16 permutation minima in a single grouped
+    * aggregate — one shuffle, map-side partial min. (A nested
+    * transform(sequence(0,15), …) formulation re-hashes every shingle
+    * 16× after projection collapse — 30× slower at sf0.1.) */
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .withColumn("h", expr(charHashSql("shingle")))
+    val minCols = (0 until 16).map(i =>
+      min((lit(A(i)) * $"h" + lit(B(i))) % lit(1000000007L)).as(s"mh$i"))
+    hashed.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** The shingled corpus frame, exposed for the streaming LSH twin's
+    * spec (same (doc_id, sh, n) checkpoint [[dedupMinhash]] reads). */
+  private[graft] def shingledDocs(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+
   /** MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs, verified with
     * exact shingle Jaccard ≥ 0.5. Pipeline:
     *   shingle → hash → 16-permutation MinHash signature (map-only)
@@ -133,17 +155,7 @@ object DedupOps {
     // consumer branch (388 KB × 2 at sf0.001, 6× every other stage
     // combined; MetricsSpec pins the corrected total).
     val docs = shingled(s, d)
-    // signature build as a relational pipeline: each shingle hashed
-    // exactly ONCE (explode → charHash), then all 16 permutation minima
-    // in a single grouped aggregate — one shuffle, map-side partial min.
-    // (A nested transform(sequence(0,15), …) formulation re-hashes every
-    // shingle 16× after projection collapse — 30× slower at sf0.1.)
-    val hashed = docs
-      .select($"doc_id", explode($"sh").as("shingle"))
-      .withColumn("h", expr(charHashSql("shingle")))
-    val minCols = (0 until 16).map(i =>
-      min((lit(A(i)) * $"h" + lit(B(i))) % lit(1000000007L)).as(s"mh$i"))
-    val sigs = hashed.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val sigs = minhashSigs(docs)
     val bands = sigs.selectExpr("doc_id",
       "stack(4, " + (0 until 4).map(b =>
         s"$b, concat_ws('_', mh${b * 4}, mh${b * 4 + 1}, mh${b * 4 + 2}, mh${b * 4 + 3})")
