@@ -141,14 +141,51 @@ object Multimodal {
       .select(col("survivor_id"), col("n_copies"), col("digest"))
       .orderBy(col("survivor_id"))
 
+  /** Target shard size (bytes) for [[mmShards]]. */
+  val ShardBytes = 65536L
+
+  /** WebDataset-style shard assignment: media blobs laid end-to-end in
+    * media_id order and assigned to the fixed-size shard their first
+    * byte lands in — the layout step that turns a media corpus into
+    * trainable tar-shard units. The global byte prefix-sum runs
+    * DISTRIBUTED (`PipelineOps.cumBefore`: one range shuffle + a
+    * broadcast offset map, never a single-task global window); only
+    * (media_id, n_bytes) travels — the binary column never moves. */
+  val mmShards: Q = (s, d) =>
+    graft.engine.ops.PipelineOps.cumBefore(
+        mediaTable(s, d).select(col("media_id"),
+          octet_length(col("content")).cast("long").as("n_bytes")),
+        "media_id", "n_bytes")
+      .select(col("media_id"), col("n_bytes"),
+        expr(s"cum_before DIV $ShardBytes").as("shard_id"),
+        (col("cum_before") % ShardBytes).as("shard_off"))
+      .orderBy(col("media_id"))
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_dedup" -> mmDedup,
+    "mm_shards" -> mmShards,
     "mm_decode" -> mmDecode,
     "mm_frames" -> mmFrames,
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_shards" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         | c AS (
+         |  SELECT media_id, n_bytes,
+         |    CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY media_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM m)
+         |SELECT media_id, n_bytes,
+         |  CAST(cum_before // $ShardBytes AS BIGINT) AS shard_id,
+         |  CAST(cum_before % $ShardBytes AS BIGINT) AS shard_off
+         |FROM c ORDER BY media_id""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,

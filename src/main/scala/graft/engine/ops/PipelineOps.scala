@@ -183,24 +183,36 @@ object PipelineOps {
     packLayout(Tables.documents(s, d)
       .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks")))
 
+  /** Distributed EXCLUSIVE prefix sum: appends `cum_before` = Σ`v`
+    * over all rows with smaller `id`. repartitionByRange + a
+    * per-partition window + a #partitions-sized broadcast offset map
+    * (the cdc_progress pattern) — never a single-task global
+    * `Window.orderBy`: at 100 TB the cumsum IS the job, and this
+    * shape keeps it one range shuffle. Shared by the sequence-packing
+    * layouts here and the media shard assignment
+    * (`multimodal.Multimodal.mmShards`). */
+  private[graft] def cumBefore(df: DataFrame, id: String, v: String): DataFrame = {
+    val t = df
+      .repartitionByRange(col(id))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin the sampled range boundaries (see cdc_progress)
+    val sizes = t.groupBy($"pid").agg(sum(col(v)).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sizes.map(_._1) // pid -> total v before this partition
+      .zip(sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy($"pid").orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum_before",
+        coalesce(sum(col(v)).over(w), lit(0L))
+          + element_at(typedLit(offsets), $"pid"))
+      .drop("pid")
+  }
+
   /** The distributed layout pass shared by [[packSequences]] (whole
     * corpus) and [[pipelinePack]] (post-clean survivors): input is any
     * (doc_id, n_toks) frame. */
   private def packLayout(docCounts: DataFrame): DataFrame = {
-    val toked = docCounts
-      .repartitionByRange($"doc_id")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin the sampled range boundaries (see cdc_progress)
-    val sizes = toked.groupBy($"pid").agg(sum($"n_toks").as("t")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = sizes.map(_._1) // pid -> tokens before this partition
-      .zip(sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val w = Window.partitionBy($"pid").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toked
-      .withColumn("cum_before",
-        coalesce(sum($"n_toks").over(w), lit(0L))
-          + element_at(typedLit(offsets), $"pid"))
+    cumBefore(docCounts, "doc_id", "n_toks")
       .withColumn("seq_id", expr(s"cum_before DIV $PackBudget"))
       .withColumn("seq_off", $"cum_before" % PackBudget)
       .withColumn("n_seqs", when($"n_toks" === 0L, lit(0L)).otherwise(
