@@ -211,7 +211,31 @@ object Relational5 {
       .orderBy($"k")
   }
 
+  /** Last-observation-carried-forward fill (`IGNORE NULLS` window
+    * family): a deterministically sparsified sensor series per user is
+    * forward-filled with each user's most recent non-null reading —
+    * the standard time-series imputation. ONE shuffle on the user key;
+    * both the sparsification and the fill ride the same ordered
+    * window, and values are only ever PICKED (bit-exact cross-engine).
+    * The row_number tie-break makes the series order total, so the
+    * fill is deterministic even at equal timestamps. */
+  val tsLocf: Q = (s, d) => {
+    val w = Window.partitionBy($"user_id")
+      .orderBy(expr("unix_micros(CAST(ts AS TIMESTAMP))"), $"event_id")
+    val filled = Window.partitionBy($"user_id").orderBy($"rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("v_sparse",
+        when($"rn" % 3 === 0, lit(null)).otherwise($"value"))
+      .withColumn("v_filled",
+        last($"v_sparse", ignoreNulls = true).over(filled))
+      .select($"user_id", $"rn", $"v_sparse", $"v_filled")
+      .orderBy($"user_id", $"rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_locf" -> tsLocf,
     "agg_grouping_id" -> aggGroupingId,
     "join_null_safe" -> joinNullSafe,
     "fn_variant" -> fnVariant,
@@ -225,6 +249,21 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_locf" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        | g AS (SELECT user_id, rn,
+        |         CASE WHEN rn % 3 = 0 THEN NULL ELSE value END AS v_sparse
+        |       FROM e)
+        |SELECT user_id, rn, v_sparse,
+        |  last_value(v_sparse IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_filled
+        |FROM g ORDER BY user_id, rn""".stripMargin,
+
     "agg_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
