@@ -234,7 +234,51 @@ object Relational5 {
       .orderBy($"user_id", $"rn")
   }
 
+  /** Higher central moments — skewness and excess kurtosis per group —
+    * computed CROSS-ENGINE-EXACT: power sums accumulate as DECIMAL
+    * (fold-order-free), then ONE fixed double expression tree per
+    * statistic (only correctly-rounded IEEE ops: +,−,×,÷,sqrt — no
+    * pow(), whose low bits are engine-defined). The built-in
+    * skewness()/kurtosis() aggregates stream floating partials in
+    * merge order and are NOT reproducible across engines or even runs;
+    * this spelling is. Emitted as floor-scaled basis points. */
+  val aggMoments: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d4 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val d6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val d8 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val x = $"l_quantity".cast(dec)
+    val x2 = (x * x).cast(d4)
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x2).as("s2"),
+        sum((x2 * x).cast(d6)).as("s3"),
+        sum((x2 * x2).cast(d8)).as("s4"))
+      .select($"l_returnflag", $"n",
+        expr(
+          """cast(floor((
+            |  (cast(s3 as double) / n
+            |   - 3.0D * (cast(s1 as double) / n) * (cast(s2 as double) / n)
+            |   + 2.0D * (cast(s1 as double) / n) * (cast(s1 as double) / n) * (cast(s1 as double) / n))
+            |  / ((cast(s2 as double) / n - (cast(s1 as double) / n) * (cast(s1 as double) / n))
+            |     * sqrt(cast(s2 as double) / n - (cast(s1 as double) / n) * (cast(s1 as double) / n)))
+            |) * 10000D) as bigint)""".stripMargin).as("skew_bp"),
+        expr(
+          """cast(floor((
+            |  (cast(s4 as double) / n
+            |   - 4.0D * (cast(s1 as double) / n) * (cast(s3 as double) / n)
+            |   + 6.0D * (cast(s1 as double) / n) * (cast(s1 as double) / n) * (cast(s2 as double) / n)
+            |   - 3.0D * (cast(s1 as double) / n) * (cast(s1 as double) / n) * (cast(s1 as double) / n) * (cast(s1 as double) / n))
+            |  / ((cast(s2 as double) / n - (cast(s1 as double) / n) * (cast(s1 as double) / n))
+            |     * (cast(s2 as double) / n - (cast(s1 as double) / n) * (cast(s1 as double) / n)))
+            |  - 3.0D
+            |) * 10000D) as bigint)""".stripMargin).as("kurt_bp"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_moments" -> aggMoments,
     "ts_locf" -> tsLocf,
     "agg_grouping_id" -> aggGroupingId,
     "join_null_safe" -> joinNullSafe,
@@ -249,6 +293,39 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(1) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2,
+        |    SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS s3,
+        |    SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        |        * CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(floor((
+        |    (CAST(s3 AS DOUBLE) / n
+        |     - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+        |     + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |    / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |       * sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+        |  ) * 10000) AS BIGINT) AS skew_bp,
+        |  CAST(floor((
+        |    (CAST(s4 AS DOUBLE) / n
+        |     - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+        |     + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+        |     - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |    / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |       * (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+        |    - 3.0
+        |  ) * 10000) AS BIGINT) AS kurt_bp
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
     "ts_locf" ->
       """WITH e AS (
         |  SELECT user_id, value,

@@ -336,7 +336,45 @@ object SimOps {
       .orderBy($"qid")
   }
 
+  /** Hybrid-retrieval rank fusion: reciprocal-rank fusion (RRF) of two
+    * rankings of the same candidate pool — cosine similarity and L2
+    * distance — for query vector 0. RRF score = Σ 1/(60 + rank), here
+    * as the EXACT integer `1e12 DIV (60 + rank)` over top-100 lists,
+    * so fusion is bit-stable cross-engine (the float spelling ties
+    * unpredictably). ONE scored pass (localCheckpoint) feeds both
+    * rankings; ranks come from integer floor-scaled scores with
+    * vec_id tie-breaks. The global rank windows are per-QUERY (the
+    * candidate pool at scale is the ANN probe result, not the corpus
+    * — here the whole corpus so the oracle can replay it). */
+  val simRrf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ve = vecs(s, d)
+    val q = ve.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
+    val scored = ve.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_e6",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e6).cast("long"))
+      .withColumn("l2_e6", floor(expr("graft_l2(v, qv)") * 1e6).cast("long"))
+      .select($"vec_id", $"cos_e6", $"l2_e6")
+      .localCheckpoint() // one dot/l2 pass feeds both rankings
+    val wc = Window.orderBy($"cos_e6".desc, $"vec_id")
+    val wl = Window.orderBy($"l2_e6".asc, $"vec_id")
+    scored
+      .withColumn("rank_cos", row_number().over(wc))
+      .withColumn("rank_l2", row_number().over(wl))
+      .withColumn("rrf",
+        when($"rank_cos" <= 100, expr("1000000000000L DIV (60 + rank_cos)"))
+          .otherwise(0L)
+        + when($"rank_l2" <= 100, expr("1000000000000L DIV (60 + rank_l2)"))
+          .otherwise(0L))
+      .filter($"rrf" > 0)
+      .select($"vec_id", $"rank_cos", $"rank_l2", $"rrf")
+      .orderBy($"rrf".desc, $"vec_id")
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_rrf" -> simRrf,
     "sim_topk" -> simTopk,
     "sim_recall" -> simRecall,
     "sim_range" -> simRange,
@@ -371,6 +409,33 @@ object SimOps {
       |    (a, b) -> a + b) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_rrf" ->
+      s"""WITH $duckVecs,
+         | q AS (SELECT v, nrm FROM vecs WHERE vec_id = 0),
+         | scored AS (
+         |  SELECT e.vec_id,
+         |    CAST(floor($duckDot / (e.nrm * q.nrm) * 1000000) AS BIGINT) AS cos_e6,
+         |    CAST(floor(list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(e.v) + 1),
+         |        i -> (e.v[i] - q.v[i]) * (e.v[i] - q.v[i]))),
+         |      (a, b) -> a + b) * 1000000) AS BIGINT) AS l2_e6
+         |  FROM vecs e, q WHERE e.vec_id <> 0),
+         | ranked AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY cos_e6 DESC, vec_id) AS rank_cos,
+         |    row_number() OVER (ORDER BY l2_e6 ASC, vec_id) AS rank_l2
+         |  FROM scored)
+         |SELECT vec_id,
+         |  CAST(rank_cos AS INTEGER) AS rank_cos,
+         |  CAST(rank_l2 AS INTEGER) AS rank_l2,
+         |  CAST(CASE WHEN rank_cos <= 100 THEN 1000000000000 // (60 + rank_cos)
+         |            ELSE 0 END
+         |     + CASE WHEN rank_l2 <= 100 THEN 1000000000000 // (60 + rank_l2)
+         |            ELSE 0 END AS BIGINT) AS rrf
+         |FROM ranked
+         |WHERE rank_cos <= 100 OR rank_l2 <= 100
+         |ORDER BY rrf DESC, vec_id LIMIT 10""".stripMargin,
+
     "embed_pq" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
