@@ -277,7 +277,36 @@ object Relational5 {
       .orderBy($"l_returnflag")
   }
 
+  /** Z-score anomaly flagging, engine-exact: per event type, count the
+    * events beyond 3σ of the type's mean. Values enter as
+    * floor-scaled integers (exact from identical doubles), power sums
+    * accumulate exactly (decimal for Σx² — a long sum would overflow
+    * ANSI), and the 3σ test compares (x−μ)² > 9·σ² in one fixed double
+    * tree — no sqrt, no rounding, bit-identical both engines. Two
+    * passes over the events (stats, then flag) with the 5-row stats
+    * table broadcast back — the standard profile-then-filter shape. */
+  val tsAnomaly: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"event_id",
+        floor($"value" * 1e6).cast("long").as("x"))
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+        sum(($"x" * $"x").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("s2"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("is_anom", expr(
+        """(cast(x as double) - cast(s1 as double) / n)
+          |  * (cast(x as double) - cast(s1 as double) / n)
+          |> 9.0D * (cast(s2 as double) / n
+          |          - (cast(s1 as double) / n) * (cast(s1 as double) / n))""".stripMargin))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("count_if(is_anom)").as("n_anomalies"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_anomaly" -> tsAnomaly,
     "agg_moments" -> aggMoments,
     "ts_locf" -> tsLocf,
     "agg_grouping_id" -> aggGroupingId,
@@ -293,6 +322,26 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS x
+        |  FROM events),
+        | st AS (
+        |  SELECT event_type, count(1) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS DECIMAL(38,0)) AS s2
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(1) AS BIGINT) AS n,
+        |  CAST(count(1) FILTER (WHERE
+        |    (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / st.n)
+        |      * (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / st.n)
+        |    > 9.0 * (CAST(s2 AS DOUBLE) / st.n
+        |             - (CAST(s1 AS DOUBLE) / st.n) * (CAST(s1 AS DOUBLE) / st.n))
+        |  ) AS BIGINT) AS n_anomalies
+        |FROM e JOIN st ON st.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "agg_moments" ->
       """WITH a AS (
         |  SELECT l_returnflag, count(1) AS n,

@@ -373,7 +373,45 @@ object SimOps {
       .limit(10)
   }
 
+  /** k-NN label classification: predict each query vector's label by
+    * majority vote of its 5 nearest labeled neighbors (cosine), ties →
+    * smaller label — the standard embedding-quality eval (probe task).
+    * ONE scored pass; the per-query vote is a count + ranked-window
+    * argmax, all key-local after the broadcast. Emits prediction,
+    * true label, and correctness per query — recall the aggregate
+    * accuracy by one more count. */
+  val simKnnClassify: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    graft.engine.functions.VectorOps.register(s)
+    val ve = Tables.embeddings(s, d)
+      .repartition($"vec_id")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .select($"vec_id", $"label", $"v", $"nrm")
+    val qs = ve.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"label".as("true_label"),
+        $"v".as("qv"), $"nrm".as("qn"))
+    val wTop = Window.partitionBy($"qid").orderBy($"cos_e6".desc, $"vec_id")
+    val votes = ve.filter($"vec_id" >= 20)
+      .crossJoin(broadcast(qs))
+      .withColumn("cos_e6",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= 5)
+      .groupBy($"qid", $"true_label", $"label")
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy($"qid")
+      .orderBy($"n_votes".desc, $"label")
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter($"vr" === 1)
+      .select($"qid", $"true_label",
+        $"label".cast("int").as("pred_label"),
+        ($"label" === $"true_label").as("correct"))
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_knn_classify" -> simKnnClassify,
     "sim_rrf" -> simRrf,
     "sim_topk" -> simTopk,
     "sim_recall" -> simRecall,
@@ -409,6 +447,36 @@ object SimOps {
       |    (a, b) -> a + b) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_classify" ->
+      s"""WITH lv AS (
+         |  SELECT vec_id, label, v,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM (SELECT vec_id, label,
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         | qs AS (SELECT vec_id AS qid, label AS true_label, v, nrm AS qn
+         |        FROM lv WHERE vec_id < 20),
+         | scored AS (
+         |  SELECT q.qid, q.true_label, e.vec_id, e.label,
+         |    CAST(floor(list_reduce(list_prepend(0.0,
+         |        list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.v[i])),
+         |        (a, b) -> a + b) / (e.nrm * q.qn) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM lv e, qs q WHERE e.vec_id >= 20),
+         | top5 AS (
+         |  SELECT qid, true_label, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_e6 DESC, vec_id) AS rn FROM scored)
+         |  WHERE rn <= 5),
+         | votes AS (
+         |  SELECT qid, true_label, label, count(1) AS n
+         |  FROM top5 GROUP BY 1, 2, 3)
+         |SELECT qid, true_label, CAST(label AS INTEGER) AS pred_label,
+         |  label = true_label AS correct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY n DESC, label) AS vr FROM votes)
+         |WHERE vr = 1 ORDER BY qid""".stripMargin,
+
     "sim_rrf" ->
       s"""WITH $duckVecs,
          | q AS (SELECT v, nrm FROM vecs WHERE vec_id = 0),
