@@ -1,0 +1,228 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Sixth relational batch (round 4, cont.): batch sessionization
+  * (gaps-and-islands), fixed-iteration PageRank in exact integer
+  * arithmetic, deterministic global training-data shuffle, URL
+  * parsing, and round-robin source interleaving.
+  *
+  * Determinism contract as ever (SURVEY §7.3): epoch-µs/BIGINT
+  * arithmetic only — PageRank runs entirely in integer micro-units so
+  * iteration order can never perturb a float sum; the shuffle key is
+  * an md5 hex string both engines produce byte-identically.
+  */
+object Relational6 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Batch sessionization (gaps-and-islands): per user, a new session
+    * starts at the first event or after a >24 h silence; sessions then
+    * aggregate to (n_events, start, end, duration). The classic
+    * pre-training step for behavioral/event corpora.
+    *
+    * ONE shuffle end-to-end: the lag window, the running-sum window,
+    * and the (user_id, sess_id) aggregate all hash-cluster by
+    * `user_id` — `HashPartitioning(user_id)` satisfies the clustered
+    * distribution of every downstream step, so Catalyst inserts sorts,
+    * not exchanges. At 100 TB this is a single pass per user shard; a
+    * hot user degrades one task, never the stage (users are the
+    * natural salt unit if that ever bites). */
+  val tsSessionize: Q = (s, d) => {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"))
+      .withColumn("new_s",
+        when(lag($"ts_us", 1).over(w).isNull
+          || $"ts_us" - lag($"ts_us", 1).over(w) > 86400000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum($"new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("start_us"),
+        max($"ts_us").as("end_us"))
+      .withColumn("dur_us", $"end_us" - $"start_us")
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  /** Fixed-iteration PageRank (3 rounds, damping 0.85) over the
+    * bipartite part↔supplier graph induced by lineitem, in EXACT
+    * integer micro-units: ranks start at 1e6, each edge contributes
+    * `pr DIV deg`, and the damped update is
+    * `150000 + (850000 * Σcontrib) DIV 1e6` — all BIGINT, so the
+    * result is bit-identical regardless of aggregation order (a float
+    * PageRank can differ in the last ulp between engines/runs; an
+    * integer one cannot). Rank mass is ≤ |V|·1e6, keeping
+    * `850000 * Σ` far below BIGINT overflow at any SF.
+    *
+    * Shape per iteration: edges ⋈ deg ⋈ ranks (deg and ranks are
+    * |V|-sized → auto-broadcast under local thresholds; at 100 TB the
+    * rank table co-shuffles with edges on src) then one hash aggregate
+    * on dst. The edge list is checkpointed once and reused by all
+    * three iterations — the standard iterative-graph lineage cut. */
+  val graphPagerank: Q = (s, d) => {
+    val pairs = Tables.lineitem(s, d)
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    var pr = deg.select($"src".as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      pr = edges.join(deg, "src")
+        .join(pr, $"src" === $"node")
+        .select($"dst", expr("pr DIV deg").as("c"))
+        .groupBy($"dst")
+        .agg(expr("150000L + (850000L * sum(c)) DIV 1000000L").as("pr"))
+        .select($"dst".as("node"), $"pr")
+    }
+    pr.orderBy($"pr".desc, $"node").limit(20)
+  }
+
+  /** Deterministic global training shuffle: order the corpus by
+    * md5(seed:doc_id) — a reproducible permutation any worker can
+    * recompute — and assign round-robin shards from the global
+    * position. The position is computed DISTRIBUTED with the same
+    * zipWithIndex pattern as cdc_progress: range-partition on the hash
+    * key, rank within partitions, add per-partition offsets (a
+    * #partitions-sized driver map). No single-task `Window.orderBy`,
+    * no driver-side sort — the 100 TB permutation is a range
+    * exchange + local sorts. */
+  val dataShuffle: Q = (s, d) => {
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id",
+        md5(concat(lit("graft:"), $"doc_id".cast("string"))).as("h"))
+      .repartitionByRange(8, $"h", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin sampled range boundaries across the two jobs
+    val sizes = hashed.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sizes.map(_._1).zip(
+      sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
+    hashed
+      .withColumn("pos",
+        row_number().over(Window.partitionBy($"pid").orderBy($"h", $"doc_id"))
+          .cast("long") + element_at(typedLit(offsets), $"pid") - 1L)
+      .select($"doc_id", $"h", $"pos", ($"pos" % 8).as("shard"))
+      .orderBy($"pos")
+  }
+
+  /** URL decomposition with the native `parse_url` expression (host /
+    * path / single query parameter) — the canonicalization primitive
+    * behind URL-keyed dedup of web corpora. Map-only, codegen'd; the
+    * URLs are synthesized deterministically from document columns
+    * (this container ships no web crawl). */
+  val fnUrl: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("url",
+        concat(lit("https://"), $"source", lit(".example.org/"), $"lang",
+          lit("/doc-"), $"doc_id".cast("string"),
+          lit("?ref=r"), ($"doc_id" % 7).cast("string"),
+          lit("&len="), $"n_chars".cast("string")))
+      .select($"doc_id", $"url",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY"), lit("ref")).as("ref_param"))
+      .orderBy($"doc_id")
+
+  /** Round-robin source interleaving: rank documents within each
+    * source, then order by (round, source) — the standard way to feed
+    * a trainer an even source mixture without a global shuffle. The
+    * per-source rank is a partitioned window (ONE shuffle on source);
+    * the interleaved order is carried by the sort keys themselves, so
+    * no global row numbering is needed at all. */
+  val dataInterleave: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("rr", row_number().over(
+        Window.partitionBy($"source").orderBy($"doc_id")).cast("long"))
+      .select($"doc_id", $"source", $"rr")
+      .orderBy($"rr", $"source")
+
+  val queries: Map[String, Q] = Map(
+    "ts_sessionize" -> tsSessionize,
+    "graph_pagerank" -> graphPagerank,
+    "data_shuffle" -> dataShuffle,
+    "fn_url" -> fnUrl,
+    "data_interleave" -> dataInterleave,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ts_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        | flags AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 86400000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        | sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                     ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flags)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  CAST(count(1) AS BIGINT) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS dur_us
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+    "graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem),
+        | edges AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        | deg AS (SELECT src, count(1) AS deg FROM edges GROUP BY src),
+        | r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        | r1 AS (SELECT e.dst AS node,
+        |          150000 + (850000 * sum(r.pr // d.deg)) // 1000000 AS pr
+        |        FROM edges e JOIN deg d ON e.src = d.src
+        |        JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        | r2 AS (SELECT e.dst AS node,
+        |          150000 + (850000 * sum(r.pr // d.deg)) // 1000000 AS pr
+        |        FROM edges e JOIN deg d ON e.src = d.src
+        |        JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        | r3 AS (SELECT e.dst AS node,
+        |          150000 + (850000 * sum(r.pr // d.deg)) // 1000000 AS pr
+        |        FROM edges e JOIN deg d ON e.src = d.src
+        |        JOIN r2 r ON r.node = e.src GROUP BY e.dst)
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+    "data_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, h,
+        |    row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+        |  FROM h)
+        |SELECT doc_id, h, CAST(pos AS BIGINT) AS pos,
+        |  CAST(pos % 8 AS BIGINT) AS shard
+        |FROM p ORDER BY pos""".stripMargin,
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.org/' || lang || '/doc-'
+        |      || doc_id || '?ref=r' || (doc_id % 7) || '&len=' || n_chars
+        |      AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "data_interleave" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |       AS BIGINT) AS rr
+        |FROM documents ORDER BY rr, source""".stripMargin,
+  )
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.ops.Relational6
+
+/** Semantics + plan-shape guards for the sixth relational batch
+  * (sessionization, integer PageRank, deterministic shuffle, URL
+  * parsing, source interleaving). */
+class Relational6Spec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("ts_sessionize partitions every event into dense per-user sessions") {
+    val rows = Relational6.tsSessionize(spark, sf).collect()
+    val events = engine.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == events,
+      "session sizes partition the event log")
+    rows.groupBy(_.getLong(0)).foreach { case (_, sess) =>
+      val ids = sess.map(_.getLong(1)).sorted.toSeq
+      assert(ids == (1L to ids.length), "session ids dense from 1 per user")
+    }
+    assert(rows.forall(r => r.getLong(5) == r.getLong(4) - r.getLong(3)
+      && r.getLong(5) >= 0L))
+  }
+
+  test("ts_sessionize consecutive sessions of one user are >24h apart") {
+    val byUser = Relational6.tsSessionize(spark, sf).collect()
+      .groupBy(_.getLong(0)).values
+    byUser.foreach { sess =>
+      sess.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) - a.getLong(4) > 86400000000L,
+            "gap between sessions exceeds the threshold")
+        case _ =>
+      }
+    }
+  }
+
+  test("graph_pagerank conserves bounded integer mass and beats the floor") {
+    val rows = Relational6.graphPagerank(spark, sf).collect()
+    assert(rows.length == 20)
+    val prs = rows.map(_.getLong(1))
+    assert(prs.forall(_ >= 150000L), "damped floor")
+    assert(prs.sorted.reverse.toSeq == prs.toSeq, "sorted by rank desc")
+    // suppliers (odd ids) aggregate many parts' mass — the top of the
+    // ranking must be supplier nodes on this bipartite degree profile
+    assert(rows.take(5).forall(_.getLong(0) % 2 == 1))
+  }
+
+  test("graph_pagerank is run-to-run deterministic (integer arithmetic)") {
+    val a = Relational6.graphPagerank(spark, sf).collect().toSeq
+    val b = Relational6.graphPagerank(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("data_shuffle emits a permutation with balanced round-robin shards") {
+    val rows = Relational6.dataShuffle(spark, sf).collect()
+    val n = rows.length.toLong
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until n),
+      "pos is a dense permutation")
+    assert(rows.forall(r => r.getLong(3) == r.getLong(2) % 8))
+    val hs = rows.sortBy(_.getLong(2)).map(_.getString(1)).toSeq
+    assert(hs == hs.sorted, "global order follows the hash key")
+  }
+
+  test("data_shuffle has no global single-partition window") {
+    val p = plan(Relational6.dataShuffle(spark, sf))
+    assert(!p.contains("Window [row_number()") || p.contains("pid"),
+      "row_number must be partitioned (zipWithIndex pattern)")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning")
+      || p.contains("REPARTITION_BY_RANGE"),
+      "global order comes from a range exchange")
+  }
+
+  test("fn_url decomposes host/path/param consistently") {
+    val rows = Relational6.fnUrl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val url = r.getString(1)
+      assert(r.getString(2) == url.stripPrefix("https://").takeWhile(_ != '/'),
+        "host")
+      assert(url.contains(r.getString(3) + "?"), "path precedes query")
+      assert(r.getString(4) == "r" + (r.getLong(0) % 7), "ref param value")
+    }
+  }
+
+  test("data_interleave prefixes are source-balanced") {
+    val rows = Relational6.dataInterleave(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(1))
+    bySource.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length),
+        "per-source ranks dense from 1")
+    }
+    // any prefix cut at a full round holds an equal count per source
+    // that still has documents at that depth
+    val minRounds = bySource.values.map(_.length).min.toLong
+    val prefix = rows.filter(_.getLong(2) <= minRounds)
+    assert(prefix.groupBy(_.getString(1)).values
+      .forall(_.length.toLong == minRounds))
+  }
+}
