@@ -144,12 +144,100 @@ object Relational6 {
       .select($"doc_id", $"source", $"rr")
       .orderBy($"rr", $"source")
 
+  /** URL-canonicalization dedup — the web-corpus variant of exact
+    * dedup: the same logical page appears under case-noised hosts,
+    * trailing slashes, and `utm_*` tracking parameters; canonicalize
+    * (lowercase, strip tracking params, strip trailing slash) then
+    * group. Map-only canonicalization + ONE groupBy shuffle whose rows
+    * are (canonical-url, doc_id) — at 100 TB the page bodies never
+    * travel, only the keys. Noise is synthesized deterministically
+    * from doc_id (no crawl in this container); the oracle applies the
+    * identical canonicalization, so equality proves the rules. */
+  val dedupUrl: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select($"doc_id", concat(
+        lit("https://"),
+        when($"doc_id" % 3 === 0, upper($"source")).otherwise($"source"),
+        lit(".example.org/p/doc-"), ($"doc_id" % 40).cast("string"),
+        when($"doc_id" % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?ref=r"), ($"doc_id" % 8).cast("string"),
+        when($"doc_id" % 5 === 0, lit("&utm_source=feed")).otherwise(lit("")))
+        .as("url"))
+      .withColumn("canon",
+        regexp_replace(regexp_replace(regexp_replace(lower($"url"),
+          "&utm_[^&]*", ""), "/\\?", "?"), "/$", ""))
+      .groupBy($"canon")
+      .agg(count(lit(1)).as("n_variants"), min($"doc_id").as("first_doc"))
+      .orderBy($"canon")
+
+  /** Linear interpolation imputation in EXACT integer arithmetic —
+    * the third member of the fill family (ts_fill densifies, ts_locf
+    * carries forward, ts_interp interpolates). Values enter as
+    * floor-scaled µ-units; an interior gap fills with the weighted
+    * average `(va·(b−k) + vb·(k−a)) DIV (b−a)` whose numerator is a
+    * non-negative BIGINT — no float division, so both engines agree
+    * bit-for-bit. Edges backfill/forward-fill. All four IGNORE NULLS
+    * windows and the row_number cluster on `user_id` → ONE exchange,
+    * sorts only (the ts_sessionize argument). */
+  val tsInterp: Q = (s, d) => {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val rnW = Window.partitionBy($"user_id").orderBy($"rn")
+    val back = rnW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = rnW.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        when($"event_id" % 3 === 0,
+          floor($"value" * 1000000).cast("long")).as("vi"))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("a_rn",
+        last(when($"vi".isNotNull, $"rn"), ignoreNulls = true).over(back))
+      .withColumn("va", last($"vi", ignoreNulls = true).over(back))
+      .withColumn("b_rn",
+        first(when($"vi".isNotNull, $"rn"), ignoreNulls = true).over(fwd))
+      .withColumn("vb", first($"vi", ignoreNulls = true).over(fwd))
+      .select($"user_id", $"event_id",
+        when($"vi".isNotNull, $"vi")
+          .when($"va".isNull, $"vb")
+          .when($"vb".isNull, $"va")
+          .otherwise(expr(
+            "(va * (b_rn - rn) + vb * (rn - a_rn)) DIV (b_rn - a_rn)"))
+          .as("v_fill"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Vocabulary-coverage scoring: induce the top-10 corpus vocabulary
+    * (count desc, token asc — deterministic ties), then score every
+    * document by the fraction of its token OCCURRENCES the vocabulary
+    * covers (basis-point integers). The per-doc quality signal for
+    * tokenizer/vocab fit. Two passes over the exploded tokens (count
+    * pass, score pass — the standard induce-then-apply shape; at
+    * 100 TB the induced vocab is checkpointed, the corpus is not);
+    * the 10-row vocab broadcasts, and total + in-vocab counts come
+    * from ONE doc-hash aggregate (`count` + non-null `count`). */
+  val tokVocabCoverage: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(TextFeatures.tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(10)
+      .select($"tok", lit(1L).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count($"in_v").as("n_vocab"))
+      .withColumn("cov_e4", expr("(n_vocab * 10000) DIV n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
     "data_shuffle" -> dataShuffle,
     "fn_url" -> fnUrl,
     "data_interleave" -> dataInterleave,
+    "dedup_url" -> dedupUrl,
+    "ts_interp" -> tsInterp,
+    "tok_vocab_coverage" -> tokVocabCoverage,
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +312,71 @@ object Relational6 {
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
         |       AS BIGINT) AS rr
         |FROM documents ORDER BY rr, source""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://'
+        |      || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+        |      || '.example.org/p/doc-' || (doc_id % 40)
+        |      || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |      || '?ref=r' || (doc_id % 8)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN '&utm_source=feed' ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |      '&utm_[^&]*', ''), '/\?', '?'), '/$', '') AS canon
+        |  FROM u)
+        |SELECT canon, CAST(count(1) AS BIGINT) AS n_variants,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
+    "ts_interp" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_id % 3 = 0
+        |      THEN CAST(floor(value * 1000000) AS BIGINT) END AS vi
+        |  FROM events),
+        | r AS (
+        |  SELECT user_id, event_id, vi,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS rn
+        |  FROM e),
+        | w AS (
+        |  SELECT user_id, event_id, vi, rn,
+        |    last_value(CASE WHEN vi IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS a_rn,
+        |    last_value(vi IGNORE NULLS)
+        |      OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS va,
+        |    first_value(CASE WHEN vi IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (win ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS b_rn,
+        |    first_value(vi IGNORE NULLS)
+        |      OVER (win ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS vb
+        |  FROM r WINDOW win AS (PARTITION BY user_id ORDER BY rn))
+        |SELECT user_id, event_id,
+        |  CASE WHEN vi IS NOT NULL THEN vi
+        |       WHEN va IS NULL THEN vb
+        |       WHEN vb IS NULL THEN va
+        |       ELSE (va * (b_rn - rn) + vb * (rn - a_rn)) // (b_rn - a_rn)
+        |  END AS v_fill
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+    "tok_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        | vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(1) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 10))
+        |SELECT t.doc_id, CAST(count(1) AS BIGINT) AS n_tokens,
+        |  CAST(count(v.tok) AS BIGINT) AS n_vocab,
+        |  CAST((count(v.tok) * 10000) // count(1) AS BIGINT) AS cov_e4
+        |FROM toks t LEFT JOIN vocab v USING (tok)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -89,6 +89,49 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("dedup_url canonicalization strips all synthesized noise") {
+    val rows = Relational6.dedupUrl(spark, sf).collect()
+    val docs = engine.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == docs,
+      "variant counts partition the corpus")
+    rows.map(_.getString(0)).foreach { canon =>
+      assert(canon == canon.toLowerCase, "case noise gone")
+      assert(!canon.contains("utm_"), "tracking params gone")
+      assert(!canon.contains("/?") && !canon.endsWith("/"),
+        "trailing slash gone")
+    }
+    assert(rows.exists(_.getLong(1) > 1), "dedup actually merged variants")
+  }
+
+  test("ts_interp preserves observations and bounds interpolations") {
+    val obs = engine.Tables.events(spark, sf)
+      .select(col("event_id"),
+        floor(col("value") * 1000000).cast("long").as("vi"))
+      .filter(col("event_id") % 3 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Relational6.tsInterp(spark, sf).collect()
+    assert(rows.length == engine.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (id, v) = (r.getLong(1), r.getLong(2))
+      obs.get(id).foreach(expect =>
+        assert(v == expect, s"observed row $id must pass through"))
+    }
+    val all = obs.values
+    assert(rows.forall(r =>
+      r.getLong(2) >= all.min && r.getLong(2) <= all.max),
+      "interpolations stay inside the observed envelope")
+  }
+
+  test("tok_vocab_coverage counts are consistent basis points") {
+    val rows = Relational6.tokVocabCoverage(spark, sf).collect()
+    assert(rows.forall { r =>
+      val (n, v, cov) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      v <= n && cov == v * 10000 / n && cov >= 0 && cov <= 10000
+    })
+    assert(rows.map(_.getLong(3)).distinct.length > 1,
+      "vocab of 10 over a 31-token corpus must discriminate docs")
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
