@@ -229,6 +229,60 @@ object Relational6 {
       .orderBy($"doc_id")
   }
 
+  /** Per-group least-squares trend in EXACT integer arithmetic: x =
+    * hours since corpus start, y = µ-unit values; the classic closed
+    * form `slope = (nΣxy − ΣxΣy) / (nΣxx − Σx²)` evaluated entirely in
+    * DECIMAL(38,0) (HUGEINT on the oracle side) and emitted as a
+    * truncated-integral µ-slope — float `regr_slope` differs in the
+    * last ulp between engines; this cannot. Power sums are
+    * partial-aggregable (ONE narrow shuffle of 5 scalars per group);
+    * the corpus-start hour is a 1-row broadcast. Both engines truncate
+    * integral division toward zero (verified including negatives —
+    * `signup` trends down). */
+  val aggLinreg: Q = (s, d) => {
+    val hours = Tables.events(s, d)
+      .select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("h"),
+        floor($"value" * 1000000).cast("long").as("y"))
+    hours.crossJoin(broadcast(hours.agg(min($"h").as("min_h"))))
+      .select($"event_type", ($"h" - $"min_h").as("x"), $"y")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"))
+      .withColumn("slope_e6", expr(
+        """((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)
+          | div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)""".stripMargin))
+      .select($"event_type", $"n", $"slope_e6",
+        expr("""(CAST(sy AS DECIMAL(38,0)) * 1000000
+               | - CAST(slope_e6 AS DECIMAL(38,0)) * sx)
+               | div (CAST(n AS DECIMAL(38,0)) * 1000000)""".stripMargin)
+          .as("icept_e6"))
+      .orderBy($"event_type")
+  }
+
+  /** Sliding context-window chunking (window 32, stride 16): each
+    * document's token run becomes overlapping training windows — the
+    * step between cleaning and packing in an LLM data pipeline
+    * (pack_sequences concatenates whole docs; pack_windows chunks
+    * within them). The window count is closed-form integer arithmetic
+    * (`(n − 32 + 15) DIV 16`, last window = first start covering the
+    * tail), so the op is a map-only `explode(sequence(...))` — zero
+    * shuffles at any scale, output rows ≈ n/stride per doc. */
+  val packWindows: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(TextFeatures.tokens($"text")).cast("long").as("n"))
+      .withColumn("k_max",
+        when($"n" > 32, expr("(n - 32 + 15) DIV 16")).otherwise(lit(0L)))
+      .select($"doc_id", $"n",
+        explode(sequence(lit(0L), $"k_max")).as("win_idx"))
+      .select($"doc_id", $"win_idx",
+        ($"win_idx" * 16).as("start"),
+        least(lit(32L), $"n" - $"win_idx" * 16).as("win_len"))
+      .orderBy($"doc_id", $"win_idx")
+
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
@@ -238,6 +292,8 @@ object Relational6 {
     "dedup_url" -> dedupUrl,
     "ts_interp" -> tsInterp,
     "tok_vocab_coverage" -> tokVocabCoverage,
+    "agg_linreg" -> aggLinreg,
+    "pack_windows" -> packWindows,
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,5 +434,44 @@ object Relational6 {
         |  CAST((count(v.tok) * 10000) // count(1) AS BIGINT) AS cov_e4
         |FROM toks t LEFT JOIN vocab v USING (tok)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    "agg_linreg" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000)
+        |      - (SELECT min(epoch_us(ts) // 3600000000) FROM events) AS x,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS y
+        |  FROM events),
+        | s AS (
+        |  SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx
+        |  FROM e GROUP BY event_type),
+        | sl AS (
+        |  SELECT event_type, n, sx, sy,
+        |    ((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+        |      // (n * sxx - CAST(sx AS HUGEINT) * sx) AS slope_e6
+        |  FROM s)
+        |SELECT event_type, n, CAST(slope_e6 AS BIGINT) AS slope_e6,
+        |  CAST((CAST(sy AS HUGEINT) * 1000000 - slope_e6 * sx)
+        |    // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS icept_e6
+        |FROM sl ORDER BY event_type""".stripMargin,
+    "pack_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |         AS BIGINT) AS n
+        |  FROM documents),
+        | k AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n > 32 THEN (n - 32 + 15) // 16 ELSE 0 END AS k_max
+        |  FROM t),
+        | w AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, k_max)) AS win_idx
+        |  FROM k)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+        |  CAST(win_idx * 16 AS BIGINT) AS start,
+        |  CAST(least(32, n - win_idx * 16) AS BIGINT) AS win_len
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
   )
 }

@@ -132,6 +132,50 @@ class Relational6Spec extends AnyFunSuite {
       "vocab of 10 over a 31-token corpus must discriminate docs")
   }
 
+  test("agg_linreg integer slope agrees with a float least-squares fit") {
+    val got = engine.ops.Relational6.aggLinreg(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val pts = engine.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").cast("double"),
+        col("value"))
+      .collect().groupBy(_.getString(0))
+    val minH = pts.values.flatten.map(_.getDouble(1)).min
+    pts.foreach { case (et, rs) =>
+      val xs = rs.map(_.getDouble(1) - minH)
+      val ys = rs.map(_.getDouble(2) * 1e6)
+      val n = rs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val slope = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - sx * sy) /
+        (n * xs.map(x => x * x).sum - sx * sx)
+      assert(math.abs(got(et) - slope * 1e6) <= math.abs(slope * 1e6) * 1e-6 + 2,
+        s"$et: integer slope ${got(et)} vs float ${slope * 1e6}")
+    }
+  }
+
+  test("pack_windows tiles every token run with stride-16 windows") {
+    val rows = engine.ops.Relational6.packWindows(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, ws) =>
+      val sorted = ws.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length),
+        "window indices dense")
+      assert(sorted.forall(r => r.getLong(2) == r.getLong(1) * 16))
+      assert(sorted.forall(r => r.getLong(3) <= 32))
+      val end = sorted.map(r => r.getLong(2) + r.getLong(3)).max
+      // the last window must reach the end of the doc and no window
+      // may start at or beyond it
+      assert(sorted.last.getLong(2) + sorted.last.getLong(3) == end)
+      assert(sorted.forall(_.getLong(2) < math.max(end, 1)))
+      // consecutive windows overlap by 16 (stride < window)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) < a.getLong(2) + a.getLong(3),
+            "windows overlap — no token gap between chunks")
+        case _ =>
+      }
+    }
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
