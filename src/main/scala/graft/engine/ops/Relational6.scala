@@ -283,6 +283,39 @@ object Relational6 {
         least(lit(32L), $"n" - $"win_idx" * 16).as("win_len"))
       .orderBy($"doc_id", $"win_idx")
 
+  /** Level-synchronous BFS: minimum hop distance from part 123 to
+    * every node within 6 hops of the bidirectional part forest
+    * (child ↔ parent = `p DIV 10`). Classic frontier expansion — each
+    * level is ONE equi-join of the (distinct, unvisited) frontier
+    * against the checkpointed edge list, so total work is
+    * O(edges touched), not O(paths): the oracle's recursive CTE
+    * enumerates every oscillating path and relies on `min(d)`, which
+    * is fine for DuckDB's unrolling but would explode distributed —
+    * the frontier-set formulation is the 100 TB shape (it's how
+    * dedup_clusters' label propagation walks too). Levels checkpoint
+    * to cut lineage; all integer, so min-dist is engine-exact. */
+  val graphBfs: Q = (s, d) => {
+    val pk = Tables.part(s, d).select($"p_partkey".as("p"))
+      .filter($"p" >= 10)
+    val edges = pk.select($"p".as("src"), expr("p DIV 10").as("dst"))
+      .union(pk.select(expr("p DIV 10").as("src"), $"p".as("dst")))
+      .localCheckpoint()
+    var visited = s.range(1)
+      .select(lit(123L).as("node"), lit(0L).as("dist"))
+    var frontier = visited.select($"node")
+    for (i <- 1 to 6) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select($"node")
+    }
+    visited.orderBy($"dist", $"node")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
@@ -294,6 +327,7 @@ object Relational6 {
     "tok_vocab_coverage" -> tokVocabCoverage,
     "agg_linreg" -> aggLinreg,
     "pack_windows" -> packWindows,
+    "graph_bfs" -> graphBfs,
   )
 
   val oracles: Map[String, String] = Map(
@@ -473,5 +507,20 @@ object Relational6 {
         |  CAST(win_idx * 16 AS BIGINT) AS start,
         |  CAST(least(32, n - win_idx * 16) AS BIGINT) AS win_len
         |FROM w ORDER BY doc_id, win_idx""".stripMargin,
+    "graph_bfs" ->
+      """WITH RECURSIVE
+        | edges AS (
+        |  SELECT p_partkey AS src, p_partkey // 10 AS dst FROM part
+        |  WHERE p_partkey >= 10
+        |  UNION ALL
+        |  SELECT p_partkey // 10 AS src, p_partkey AS dst FROM part
+        |  WHERE p_partkey >= 10),
+        | bfs(node, d) AS (
+        |  SELECT CAST(123 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, d + 1 FROM bfs JOIN edges e ON e.src = bfs.node
+        |  WHERE d < 6)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node ORDER BY dist, node""".stripMargin,
   )
 }

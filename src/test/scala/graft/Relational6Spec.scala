@@ -176,6 +176,21 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("graph_bfs levels match digit-tree distances") {
+    val rows = engine.ops.Relational6.graphBfs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(123L) == 0L)
+    assert(rows(12L) == 1L, "parent one hop up")
+    assert(rows(120L) == 2L, "sibling via parent")
+    assert(rows(1L) == 2L)
+    assert(rows(19L) == 3L, "uncle via grandparent")
+    assert(rows.values.forall(d => d >= 0 && d <= 6))
+    // hop distance in the digit forest = hops up to the common
+    // ancestor + hops down; spot-check a 4-hop node
+    assert(rows(190L) == 4L)
+    assert(!rows.contains(2L), "other roots are unreachable (disjoint trees)")
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
