@@ -28,6 +28,20 @@ class Relational6Spec extends AnyFunSuite {
       && r.getLong(5) >= 0L))
   }
 
+  test("ts_sessionize plans ONE data exchange (windows + aggregate share user hash)") {
+    val df = Relational6.tsSessionize(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    // AQE's toString repeats the plan under "== Initial Plan ==" —
+    // count exchanges in the final plan section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"lag window, running-sum window and session aggregate must all ride " +
+        s"one user_id hash exchange, got $hashExchanges:\n$p")
+  }
+
   test("ts_sessionize consecutive sessions of one user are >24h apart") {
     val byUser = Relational6.tsSessionize(spark, sf).collect()
       .groupBy(_.getLong(0)).values
