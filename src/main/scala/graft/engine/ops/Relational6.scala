@@ -316,6 +316,24 @@ object Relational6 {
     visited.orderBy($"dist", $"node")
   }
 
+  /** Grouped multi-quantile profile: one `percentile(col, array(...))`
+    * aggregate computes all four cut points in a single pass (ONE
+    * shuffle, one per-group sort inside the aggregate) and posexplode
+    * melts them to (group, quantile-index, value) rows — vs four
+    * separate percentile aggregates re-sorting the group four times
+    * (the oracle spells it that way; equality also proves the array
+    * form). Exact interpolated percentiles on 2-decimal money doubles,
+    * rounded as in agg_percentile (established hash-green). */
+  val aggQuantiles: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
+        .as("qs"))
+      .select($"o_orderpriority", posexplode($"qs"))
+      .select($"o_orderpriority", $"pos".cast("long").as("qi"),
+        round($"col", 4).as("qv"))
+      .orderBy($"o_orderpriority", $"qi")
+
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
@@ -328,6 +346,7 @@ object Relational6 {
     "agg_linreg" -> aggLinreg,
     "pack_windows" -> packWindows,
     "graph_bfs" -> graphBfs,
+    "agg_quantiles" -> aggQuantiles,
   )
 
   val oracles: Map[String, String] = Map(
@@ -522,5 +541,22 @@ object Relational6 {
         |  WHERE d < 6)
         |SELECT node, CAST(min(d) AS BIGINT) AS dist
         |FROM bfs GROUP BY node ORDER BY dist, node""".stripMargin,
+    "agg_quantiles" ->
+      """SELECT o_orderpriority, CAST(0 AS BIGINT) AS qi,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS qv
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, 1,
+        |  round(quantile_cont(o_totalprice, 0.5), 4)
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, 2,
+        |  round(quantile_cont(o_totalprice, 0.75), 4)
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, 3,
+        |  round(quantile_cont(o_totalprice, 0.9), 4)
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority, qi""".stripMargin,
   )
 }

@@ -205,6 +205,17 @@ class Relational6Spec extends AnyFunSuite {
     assert(!rows.contains(2L), "other roots are unreachable (disjoint trees)")
   }
 
+  test("agg_quantiles rows are monotone within each group") {
+    val rows = engine.ops.Relational6.aggQuantiles(spark, sf).collect()
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L to 3L), "four cut points")
+      val vs = sorted.map(_.getDouble(2))
+      assert(vs.zip(vs.tail).forall { case (a, b) => a <= b },
+        "p25 <= p50 <= p75 <= p90")
+    }
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
