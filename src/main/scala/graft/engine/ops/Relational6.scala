@@ -334,6 +334,32 @@ object Relational6 {
         round($"col", 4).as("qv"))
       .orderBy($"o_orderpriority", $"qi")
 
+  /** Edit-distance fuzzy dedup with BLOCKING — the entity-resolution
+    * pattern, distinct from the hash families (MinHash/SimHash bound
+    * set overlap; levenshtein bounds character edits, catching typo
+    * variants hashes miss). Candidate pairs come from an equi-join on
+    * a (lang, 12-char normalized prefix) block key, so the quadratic
+    * comparison runs only INSIDE blocks (max block size 3 here;
+    * blocking keys are the knob that keeps ER sub-quadratic at
+    * 100 TB — a skewed block would be split by a longer prefix), and
+    * the levenshtein probe sees a bounded 60-char head, never whole
+    * documents. Both engines implement standard Levenshtein on the
+    * identical normalized strings. */
+  val dedupFuzzy: Q = (s, d) => {
+    val b = Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        substring(TextFeatures.normText($"text"), 1, 12).as("blk"),
+        substring(TextFeatures.normText($"text"), 1, 60).as("head"))
+    val a = b.select($"doc_id".as("id_a"), $"lang", $"blk", $"head".as("head_a"))
+    val c = b.select($"doc_id".as("id_b"), $"lang", $"blk", $"head".as("head_b"))
+    a.join(c, Seq("lang", "blk"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        levenshtein($"head_a", $"head_b").cast("long").as("dist"))
+      .filter($"dist" <= 15)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
@@ -347,6 +373,7 @@ object Relational6 {
     "pack_windows" -> packWindows,
     "graph_bfs" -> graphBfs,
     "agg_quantiles" -> aggQuantiles,
+    "dedup_fuzzy" -> dedupFuzzy,
   )
 
   val oracles: Map[String, String] = Map(
@@ -558,5 +585,19 @@ object Relational6 {
         |  round(quantile_cont(o_totalprice, 0.9), 4)
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority, qi""".stripMargin,
+    "dedup_fuzzy" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+        |           1, 12) AS blk,
+        |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+        |           1, 60) AS head
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, c.head) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.lang = c.lang AND a.blk = c.blk
+        |  AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.head, c.head) <= 15
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -216,6 +216,18 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("dedup_fuzzy pairs stay within blocks and the distance bound") {
+    val rows = engine.ops.Relational6.dedupFuzzy(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "canonical pair order")
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 15))
+    // every emitted pair must share the block key (lang, 12-char prefix)
+    val heads = engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        substring(engine.ops.TextFeatures.normText(col("text")), 1, 12))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows.forall(r => heads(r.getLong(0)) == heads(r.getLong(1))))
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
