@@ -119,6 +119,32 @@ object DedupOps {
 
   val dedupNear: Q = dedupNearCapped(NearMaxShingleDf)
 
+  /** Asymmetric shingle CONTAINMENT `|A∩B| / min(|A|,|B|)` ≥ 0.8 — the
+    * superset detector: a document quoted wholesale inside a larger
+    * one scores near 1.0 here while its symmetric Jaccard (dedup_near)
+    * can stay arbitrarily low, which is why dedup pipelines run both.
+    * Same sub-quadratic machinery as [[dedupNearCapped]] (df-windowed
+    * posting list → self-equi-join → per-pair intersection counts);
+    * the score is pure BIGINT (`inter·10⁴ DIV min`), so the gate
+    * carries no float at all. */
+  val dedupContainment: Q = (s, d) => {
+    val base = shingled(s, d)
+    val ex = base.select($"doc_id", explode($"sh").as("g"))
+    val shared = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= NearMaxShingleDf).select($"g")
+    val kept = ex.join(shared, Seq("g")).localCheckpoint()
+    kept.as("x").join(kept.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(base.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("cont_e4", expr("(inter * 10000) DIV least(na, nb)"))
+      .filter($"cont_e4" >= 8000)
+      .select($"doc_a", $"doc_b", $"cont_e4")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** MinHash(16) signatures (doc_id, mh0..mh15) for a (doc_id, sh)
     * shingle frame — the signature build shared by [[dedupMinhash]]
     * and the streaming LSH dedup (`streaming.StreamingMinHash`).
@@ -450,6 +476,7 @@ object DedupOps {
     "dedup_paragraph" -> dedupParagraph,
     "dedup_contamination" -> dedupContamination,
     "dedup_near" -> dedupNear,
+    "dedup_containment" -> dedupContainment,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,
@@ -519,6 +546,17 @@ object DedupOps {
          |WHERE len(a.sh) > 0 AND len(b.sh) > 0
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $duckShingled
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST((len(list_intersect(a.sh, b.sh)) * 10000)
+         |    // least(len(a.sh), len(b.sh)) AS BIGINT) AS cont_e4
+         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND (len(list_intersect(a.sh, b.sh)) * 10000)
+         |    // least(len(a.sh), len(b.sh)) >= 8000
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash" ->

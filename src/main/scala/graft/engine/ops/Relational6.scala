@@ -360,6 +360,28 @@ object Relational6 {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Running DISTINCT count per user (event types seen so far) — the
+    * window family's missing member: `count(distinct) OVER` is
+    * unsupported everywhere, and the standard spelling is
+    * first-occurrence flag (row_number == 1 over (user, type)) +
+    * running sum over user. Two window partitionings → two exchanges
+    * by necessity ((user, type) hash does not satisfy a user-only
+    * clustering); both integer, both order-stable. */
+  val winRunningDistinct: Q = (s, d) => {
+    val byUserType = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts_us", $"event_id")
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"))
+      .withColumn("is_first",
+        when(row_number().over(byUserType) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_seen", sum($"is_first").over(byUser))
+      .select($"user_id", $"event_id", $"n_types_seen")
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
@@ -374,6 +396,7 @@ object Relational6 {
     "graph_bfs" -> graphBfs,
     "agg_quantiles" -> aggQuantiles,
     "dedup_fuzzy" -> dedupFuzzy,
+    "win_running_distinct" -> winRunningDistinct,
   )
 
   val oracles: Map[String, String] = Map(
@@ -599,5 +622,21 @@ object Relational6 {
         |  AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.head, c.head) <= 15
         |ORDER BY id_a, id_b""".stripMargin,
+    "win_running_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        | f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts_us, event_id) = 1
+        |      THEN 1 ELSE 0 END AS is_first
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  CAST(sum(is_first) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS n_types_seen
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
   )
 }

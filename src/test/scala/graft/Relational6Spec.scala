@@ -228,6 +228,34 @@ class Relational6Spec extends AnyFunSuite {
     assert(rows.forall(r => heads(r.getLong(0)) == heads(r.getLong(1))))
   }
 
+  test("dedup_containment dominates Jaccard on shared pairs") {
+    val cont = engine.ops.DedupOps.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cont.values.forall(c => c >= 8000 && c <= 10000))
+    val jac = engine.ops.DedupOps.dedupNear(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = cont.keySet.intersect(jac.keySet)
+    assert(shared.nonEmpty, "families overlap on strong dups")
+    shared.foreach { k =>
+      assert(cont(k) + 1 >= math.floor(jac(k) * 10000),
+        s"containment must dominate Jaccard for $k")
+    }
+  }
+
+  test("win_running_distinct is monotone and ends at the distinct count") {
+    val rows = engine.ops.Relational6.winRunningDistinct(spark, sf).collect()
+    val expect = engine.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val seen = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(seen.head == 1L && seen.last == expect(u))
+      assert(seen.zip(seen.tail).forall { case (a, b) => b == a || b == a + 1 },
+        "running distinct grows by at most one per event")
+    }
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
