@@ -382,6 +382,41 @@ object Relational6 {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Interval-OVERLAP join: pairs of same-type event intervals that
+    * intersect — the third interval-join shape beside as-of (nearest
+    * past) and band (|x−y| ≤ c). The scalable decomposition: explode
+    * each interval to the coarse 12 h buckets it covers (≤ 4 per
+    * interval at this duration profile), equi-join on (type, bucket),
+    * dedup pairs that share several buckets, exact-filter. The
+    * quadratic theta join the oracle spells directly (fine in a
+    * single-node engine) becomes a bucket-bounded equi-join whose
+    * fan-out tracks actual temporal density — the plan that survives
+    * 100 TB; bucket width is the skew knob. All integer µs. */
+  val joinIntervalOverlap: Q = (s, d) => {
+    val bucket = 43200000000L // 12 h in µs
+    val iv = Tables.events(s, d)
+      .filter($"event_id" % 10 === 0)
+      .select($"event_id", $"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("st"),
+        floor($"value" * 60000000).cast("long").as("dur"))
+      .withColumn("en", $"st" + $"dur")
+      .select($"event_id", $"event_type", $"st", $"en")
+    val bucketed = iv.withColumn("bk",
+      explode(sequence(expr(s"st DIV ${bucket}L"), expr(s"en DIV ${bucket}L"))))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.event_type") === col("y.event_type")
+          && col("x.bk") === col("y.bk")
+          && col("x.event_id") < col("y.event_id"))
+      .select(col("x.event_id").as("id_a"), col("y.event_id").as("id_b"),
+        col("x.st").as("sa"), col("x.en").as("ea"),
+        col("y.st").as("sb"), col("y.en").as("eb"))
+      .distinct()
+      .filter($"sa" <= $"eb" && $"sb" <= $"ea")
+      .select($"id_a", $"id_b",
+        (least($"ea", $"eb") - greatest($"sa", $"sb")).as("overlap_us"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
@@ -397,6 +432,7 @@ object Relational6 {
     "agg_quantiles" -> aggQuantiles,
     "dedup_fuzzy" -> dedupFuzzy,
     "win_running_distinct" -> winRunningDistinct,
+    "join_interval_overlap" -> joinIntervalOverlap,
   )
 
   val oracles: Map[String, String] = Map(
@@ -638,5 +674,16 @@ object Relational6 {
         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS n_types_seen
         |FROM f ORDER BY user_id, event_id""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS en
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |  least(a.en, b.en) - greatest(a.st, b.st) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+        |  AND a.st <= b.en AND b.st <= a.en
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

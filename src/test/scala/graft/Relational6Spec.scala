@@ -256,6 +256,17 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("join_interval_overlap plans an equi-join, never a loop join") {
+    val df = engine.ops.Relational6.joinIntervalOverlap(spark, sf)
+    val rows = df.collect()
+    assert(rows.forall(_.getLong(2) >= 0L), "overlap length non-negative")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "canonical pairs")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "bucketed decomposition must keep the overlap join an equi-join")
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
