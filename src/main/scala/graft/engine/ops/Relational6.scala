@@ -417,6 +417,29 @@ object Relational6 {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Per-source Gini coefficient of document lengths — the inequality
+    * profile a mixture designer reads before weighting sources (a
+    * source whose token mass sits in a few giant docs behaves very
+    * differently from an even one at the same total). Exact integer
+    * spelling of the rank formula `G = (2Σi·xᵢ − (n+1)Σxᵢ) / (nΣxᵢ)`
+    * over ascending ranks: ties contribute the same Σi·xᵢ under any
+    * tie order, so the result is deterministic without a unique sort
+    * key. ONE source-hash exchange feeds both the ranking window and
+    * the aggregate; emitted in integer millionths. */
+  val aggGini: Q = (s, d) => {
+    val w = Window.partitionBy($"source").orderBy($"x", $"doc_id")
+    Tables.documents(s, d)
+      .select($"source", $"doc_id", $"n_chars".cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"i" * $"x").as("six"))
+      .select($"source", $"n",
+        expr("((2 * six - (n + 1) * sx) * 1000000) DIV (n * sx)")
+          .as("gini_e6"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
@@ -433,6 +456,7 @@ object Relational6 {
     "dedup_fuzzy" -> dedupFuzzy,
     "win_running_distinct" -> winRunningDistinct,
     "join_interval_overlap" -> joinIntervalOverlap,
+    "agg_gini" -> aggGini,
   )
 
   val oracles: Map[String, String] = Map(
@@ -685,5 +709,19 @@ object Relational6 {
         |  ON a.event_type = b.event_type AND a.event_id < b.event_id
         |  AND a.st <= b.en AND b.st <= a.en
         |ORDER BY id_a, id_b""".stripMargin,
+    "agg_gini" ->
+      """WITH r AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        |  FROM documents),
+        | s AS (
+        |  SELECT source, CAST(count(1) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) AS six
+        |  FROM r GROUP BY source)
+        |SELECT source, n,
+        |  CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT)
+        |    AS gini_e6
+        |FROM s ORDER BY source""".stripMargin,
   )
 }

@@ -267,6 +267,21 @@ class Relational6Spec extends AnyFunSuite {
       "bucketed decomposition must keep the overlap join an equi-join")
   }
 
+  test("agg_gini is bounded and agrees with a direct computation") {
+    val rows = engine.ops.Relational6.aggGini(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 1000000))
+    val xs = engine.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val v = xs(r.getString(0)).map(_.getLong(1)).sorted
+      val n = v.length.toLong
+      val sx = v.sum
+      val six = v.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      assert(r.getLong(2) == (2 * six - (n + 1) * sx) * 1000000L / (n * sx))
+    }
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
