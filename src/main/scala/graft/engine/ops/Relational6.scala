@@ -440,6 +440,26 @@ object Relational6 {
       .orderBy($"source")
   }
 
+  /** Word-level lexical diversity: type-token ratio and
+    * hapax-legomenon ratio per document (tokens used exactly once in
+    * the doc) — the quality signals that separate fluent text from
+    * keyword-stuffed or looping generations; the word-level complement
+    * of text_char_diversity. Two narrow shuffles: (doc, token) counts
+    * first (map-side combined), then the per-doc rollup of three
+    * scalars; ratios emitted in basis-point BIGINTs. */
+  val textTtr: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select($"doc_id", explode(TextFeatures.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        expr("count_if(c = 1)").as("n_hapax"))
+      .select($"doc_id", $"n_tokens", $"n_types", $"n_hapax",
+        expr("(n_types * 10000) DIV n_tokens").as("ttr_e4"),
+        expr("(n_hapax * 10000) DIV n_tokens").as("hapax_e4"))
+      .orderBy($"doc_id")
+
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
@@ -457,6 +477,7 @@ object Relational6 {
     "win_running_distinct" -> winRunningDistinct,
     "join_interval_overlap" -> joinIntervalOverlap,
     "agg_gini" -> aggGini,
+    "text_ttr" -> textTtr,
   )
 
   val oracles: Map[String, String] = Map(
@@ -723,5 +744,22 @@ object Relational6 {
         |  CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT)
         |    AS gini_e6
         |FROM s ORDER BY source""".stripMargin,
+    "text_ttr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, tok, CAST(count(1) AS BIGINT) AS c
+        |  FROM t GROUP BY doc_id, tok),
+        | d AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(1) AS BIGINT) AS n_types,
+        |    CAST(count(1) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  CAST((n_types * 10000) // n_tokens AS BIGINT) AS ttr_e4,
+        |  CAST((n_hapax * 10000) // n_tokens AS BIGINT) AS hapax_e4
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

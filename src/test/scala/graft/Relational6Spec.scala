@@ -282,6 +282,16 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("text_ttr invariants: types <= tokens, hapax <= types, ratios bounded") {
+    val rows = engine.ops.Relational6.textTtr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ty, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ty <= n && h <= ty)
+      assert(r.getLong(4) == ty * 10000 / n && r.getLong(5) == h * 10000 / n)
+    }
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
