@@ -460,7 +460,34 @@ object Relational6 {
         expr("(n_hapax * 10000) DIV n_tokens").as("hapax_e4"))
       .orderBy($"doc_id")
 
+  /** Star-schema revenue rollup (TPC-H Q5 shape): lineitem ⋈ orders ⋈
+    * customer up the key chain, then nation/region dims joined
+    * broadcast — the canonical warehouse plan at 100 TB. The two fact
+    * joins shuffle on their keys (orderkey, then custkey); the dims
+    * never shuffle anything. Revenue is the exact DECIMAL(18,2)
+    * discount arithmetic agg_group already validated cross-engine,
+    * cast to DOUBLE only at the end. */
+  val joinStar: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val rev = $"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", rev.as("rev"))
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d).select($"r_regionkey", $"r_name")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum($"rev").cast("double").as("revenue"), count(lit(1)).as("n_rows"))
+      .orderBy($"r_name", $"n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_star" -> joinStar,
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
     "data_shuffle" -> dataShuffle,
@@ -481,6 +508,19 @@ object Relational6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_star" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(1) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
     "ts_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

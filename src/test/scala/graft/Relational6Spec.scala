@@ -292,6 +292,21 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("join_star: broadcast dims, positive revenue, lineitem rows conserved") {
+    val df = Relational6.joinStar(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getLong(3) > 0)
+    }
+    val joined = rows.map(_.getLong(3)).sum
+    val total = engine.Tables.lineitem(spark, sf).count()
+    assert(joined <= total, "star join never multiplies fact rows")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims join broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))
