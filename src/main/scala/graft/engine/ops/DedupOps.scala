@@ -315,11 +315,11 @@ object DedupOps {
     * connected-components shape. Output: non-canonical members with
     * their canonical survivor. */
   val dedupClusters: Q = (s, d) => {
-    val pairs = dedupMinhash(s, d).select($"doc_a", $"doc_b").localCheckpoint()
+    val pairs = Checkpoints.cut(dedupMinhash(s, d).select($"doc_a", $"doc_b"))
     val edges = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
     val nodes = edges.select($"doc_a".as("doc")).distinct()
-    var labels = nodes.withColumn("label", $"doc").localCheckpoint()
+    var labels = Checkpoints.cut(nodes.withColumn("label", $"doc"))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -328,14 +328,15 @@ object DedupOps {
         .select(edges("doc_a").as("doc"), $"label", lit(false).as("own"))
       // the aggregate carries the node's PREVIOUS label alongside the
       // new minimum, so convergence detection is a narrow scan of the
-      // checkpointed round result — no extra join job per round (at
-      // cluster scale, swap localCheckpoint for reliable checkpoint():
-      // executor loss mustn't kill a 100 TB run mid-iteration)
-      val next = labels.select($"doc", $"label", lit(true).as("own"))
-        .unionByName(viaEdges)
-        .groupBy($"doc")
-        .agg(min($"label").as("label"), min(when($"own", $"label")).as("prev"))
-        .localCheckpoint()
+      // checkpointed round result — no extra join job per round.
+      // Checkpoints.cut honors spark.graft.checkpointDir: reliable
+      // checkpointing on a cluster (executor loss mustn't kill a
+      // 100 TB run mid-iteration), local blocks on local[32].
+      val next = Checkpoints.cut(
+        labels.select($"doc", $"label", lit(true).as("own"))
+          .unionByName(viaEdges)
+          .groupBy($"doc")
+          .agg(min($"label").as("label"), min(when($"own", $"label")).as("prev")))
       changed = next.filter($"label" < $"prev").count()
       labels = next.select($"doc", $"label")
       rounds += 1
@@ -353,9 +354,9 @@ object DedupOps {
     * shape: a 10 000-hop chain (a pathological near-dup "tunnel" at
     * 100 TB) is ~10 rounds instead of 10 000. Each phase is one
     * grouped min + one narrow equi-join on doc ids; the fixpoint check
-    * is a set-equality probe per round (two exceptAll jobs over the
-    * edge list — at production scale, trade it for a fixed
-    * round budget or a count-stability heuristic).
+    * is ONE aggregate per round over the round's own output (is it a
+    * disjoint star set?) — no set comparison against the previous
+    * edges, no extra shuffle.
     *
     * Phase rules (edges kept symmetric between phases, no self-loops):
     *  - large-star: u links every LARGER neighbor to m(u) =
@@ -368,7 +369,7 @@ object DedupOps {
     * directly off the edge list: every (u, v<u) edge IS
     * (member, canonical). */
   val dedupClustersStar: Q = (s, d) => {
-    val pairs = dedupMinhash(s, d).select($"doc_a", $"doc_b").localCheckpoint()
+    val pairs = Checkpoints.cut(dedupMinhash(s, d).select($"doc_a", $"doc_b"))
     starContract(pairs)
       .select($"doc".as("doc_id"), $"label".as("canonical"))
       .orderBy($"doc_id")
@@ -379,10 +380,10 @@ object DedupOps {
     * `maxRounds` is a safety cap; the alternation fixpoints in
     * O(log² n) rounds. */
   def starContract(pairs: DataFrame, maxRounds: Int = 12): DataFrame = {
-    var edges = pairs.toDF("u", "v")
+    var edges = Checkpoints.cut(pairs.toDF("u", "v")
       .unionByName(pairs.select(pairs.columns(1), pairs.columns(0))
         .toDF("u", "v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -399,10 +400,23 @@ object DedupOps {
       val ss = esm.join(minsS, "u").select($"v".as("u"), $"m".as("v"))
         .unionByName(minsS.select($"u", $"m".as("v")))
         .filter($"u" =!= $"v")
-      val next = ss.unionByName(ss.select($"v".as("u"), $"u".as("v")))
-        .distinct().localCheckpoint()
-      done = next.count() == edges.count() &&
-        next.exceptAll(edges).limit(1).count() == 0
+      val next = Checkpoints.cut(
+        ss.unionByName(ss.select($"v".as("u"), $"u".as("v"))).distinct())
+      // ONE aggregate convergence probe (was count + count + a full
+      // exceptAll shuffle per round): the alternation's only fixpoints
+      // are disjoint star sets, and the (v < u) half of `next` is a
+      // star set iff every member points at exactly one center and no
+      // center is itself a member. Both conditions fold into a single
+      // per-node role aggregate over the checkpointed round result —
+      // no comparison against the previous edge set at all, and the
+      // star test can fire a round EARLIER than set-equality did.
+      val l = next.filter($"v" < $"u")
+      val roles = l.select($"u".as("n"), lit(1L).as("mem"), lit(0L).as("cen"))
+        .unionByName(l.select($"v".as("n"), lit(0L).as("mem"), lit(1L).as("cen")))
+      done = roles.groupBy($"n")
+        .agg(sum($"mem").as("m"), sum($"cen").as("c"))
+        .filter($"m" > 1 || ($"m" > 0 && $"c" > 0))
+        .limit(1).count() == 0
       edges = next
       rounds += 1
     }
@@ -549,14 +563,28 @@ object DedupOps {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_containment" ->
-      s"""WITH $duckShingled
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST((len(list_intersect(a.sh, b.sh)) * 10000)
-         |    // least(len(a.sh), len(b.sh)) AS BIGINT) AS cont_e4
-         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-         |  AND (len(list_intersect(a.sh, b.sh)) * 10000)
-         |    // least(len(a.sh), len(b.sh)) >= 8000
+      // mirrors the Spark side's df-windowed posting list EXACTLY —
+      // including the 2 <= df <= NearMaxShingleDf cap — so a shingle
+      // crossing the cap at a larger scale factor lowers `inter`
+      // identically in both engines (a full list_intersect here would
+      // diverge the moment any shingle exceeds the cap)
+      s"""WITH $duckShingled,
+         | ex AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+         | shared AS (SELECT g FROM ex GROUP BY g
+         |            HAVING count(1) BETWEEN 2 AND $NearMaxShingleDf),
+         | kept AS (SELECT ex.doc_id, ex.g FROM ex JOIN shared USING (g)),
+         | inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(count(1) AS BIGINT) AS inter
+         |  FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         | sizes AS (SELECT doc_id, len(sh) AS n FROM docs)
+         |SELECT doc_a, doc_b,
+         |  CAST((inter * 10000) // least(a.n, b.n) AS BIGINT) AS cont_e4
+         |FROM inter
+         |JOIN sizes a ON doc_a = a.doc_id
+         |JOIN sizes b ON doc_b = b.doc_id
+         |WHERE (inter * 10000) // least(a.n, b.n) >= 8000
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash" ->

@@ -163,13 +163,12 @@ object Relational4 {
       .filter($"l_orderkey" % 4 === 0)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
     // edges feeds degrees, orientation, and the final edge count —
-    // materialize once (localCheckpoint, as elsewhere; swap for
-    // reliable checkpoint() on a real cluster).
-    val edges = li.as("a")
+    // materialize once (Checkpoints.cut: reliable checkpoint when
+    // spark.graft.checkpointDir is set, local blocks otherwise).
+    val edges = Checkpoints.cut(li.as("a")
       .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .select($"a.pk".as("u"), $"b.pk".as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // (degree, id) rank as one sortable BIGINT; partkeys < 10^7 at
     // every SF here (wider base or a struct ordering at larger ids).
     // The degree table is |V|-sized — broadcast it so the 2 rank
@@ -179,32 +178,39 @@ object Relational4 {
     val deg = edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("dg"))
       .select($"n", ($"dg" * 10000000L + $"n").as("rank"))
-    val oriented = edges
+    val oriented = Checkpoints.cut(edges
       .join(broadcast(deg).withColumnRenamed("n", "u").withColumnRenamed("rank", "ru"), Seq("u"))
       .join(broadcast(deg).withColumnRenamed("n", "v").withColumnRenamed("rank", "rv"), Seq("v"))
       .select(
         when($"ru" < $"rv", $"u").otherwise($"v").as("src"),
         when($"ru" < $"rv", $"v").otherwise($"u").as("dst"),
-        greatest($"ru", $"rv").as("rdst"))
-      // reused by both wedge sides + closure probe; measured faster
-      // materialized once than recomputed thrice from edges
-      .localCheckpoint()
-    // Wedge enumeration partitions by src; the closure probe
-    // BROADCASTS the |E|-sized oriented edge set so the (large) wedge
-    // stream is consumed map-side in the same stage it is produced —
-    // never shuffled or sorted (measured 5× on the dense sf0.1
-    // co-occurrence graph vs exchanging ~35M wedge rows). Beyond
-    // broadcastable |E| (~100M edges), hash-partition wedges by
-    // (b, c) instead — the textbook MR formulation.
+        greatest($"ru", $"rv").as("rdst")))
+    // ^ reused by both wedge sides + closure probe; measured faster
+    // materialized once than recomputed thrice from edges
+    // Wedge enumeration partitions by src. The closure strategy is
+    // SIZE-GATED, not hard-coded: below the knob the |E|-sized oriented
+    // edge set is broadcast, so the (large) wedge stream is consumed
+    // map-side in the stage that produces it — never shuffled or sorted
+    // (measured 5× on the dense sf0.1 co-occurrence graph vs exchanging
+    // ~35M wedge rows). ABOVE the knob (a 100 TB co-occurrence graph's
+    // edge set does not fit in an executor) the closure hash-partitions
+    // the wedges against the edge relation on (b, c) — the textbook MR
+    // formulation; same result, one more shuffle. |E| is already known
+    // exactly (the checkpoint was just materialized), so the gate costs
+    // one cheap count that the output needs anyway.
+    val maxBroadcastEdges = s.conf.get(
+      "spark.graft.triangles.broadcastMaxEdges", "10000000").toLong
+    val nEdges = edges.count()
     val wedges = oriented.as("o1")
       .join(oriented.as("o2"),
         $"o1.src" === $"o2.src" && $"o1.rdst" < $"o2.rdst")
       .select($"o1.dst".as("b"), $"o2.dst".as("c"))
     val closing = oriented.select($"src".as("b"), $"dst".as("c"))
-    wedges.join(broadcast(closing), Seq("b", "c"))
+    val closingSide =
+      if (nEdges <= maxBroadcastEdges) broadcast(closing) else closing
+    wedges.join(closingSide, Seq("b", "c"))
       .agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
-      .select($"n_edges", $"n_triangles")
+      .select(lit(nEdges).as("n_edges"), $"n_triangles")
   }
 
   /** Extended calendar arithmetic: month-clamped interval addition,

@@ -69,9 +69,8 @@ object Relational6 {
     val pairs = Tables.lineitem(s, d)
       .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
-    val edges = pairs
-      .union(pairs.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint()
+    val edges = Checkpoints.cut(pairs
+      .union(pairs.select($"dst".as("src"), $"src".as("dst"))))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     var pr = deg.select($"src".as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
@@ -297,20 +296,19 @@ object Relational6 {
   val graphBfs: Q = (s, d) => {
     val pk = Tables.part(s, d).select($"p_partkey".as("p"))
       .filter($"p" >= 10)
-    val edges = pk.select($"p".as("src"), expr("p DIV 10").as("dst"))
-      .union(pk.select(expr("p DIV 10").as("src"), $"p".as("dst")))
-      .localCheckpoint()
+    val edges = Checkpoints.cut(
+      pk.select($"p".as("src"), expr("p DIV 10").as("dst"))
+        .union(pk.select(expr("p DIV 10").as("src"), $"p".as("dst"))))
     var visited = s.range(1)
       .select(lit(123L).as("node"), lit(0L).as("dist"))
     var frontier = visited.select($"node")
     for (i <- 1 to 6) {
-      val next = edges
+      val next = Checkpoints.cut(edges
         .join(frontier.withColumnRenamed("node", "src"), "src")
         .select($"dst".as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .withColumn("dist", lit(i.toLong))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+        .withColumn("dist", lit(i.toLong)))
+      visited = Checkpoints.cut(visited.union(next))
       frontier = next.select($"node")
     }
     visited.orderBy($"dist", $"node")
@@ -525,14 +523,14 @@ object Relational6 {
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         | flags AS (
-        |  SELECT user_id, ts_us,
+        |  SELECT user_id, event_id, ts_us,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
         |           OR ts_us - lag(ts_us) OVER w > 86400000000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         | sess AS (
         |  SELECT user_id, ts_us,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS sess_id
         |  FROM flags)
         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,

@@ -57,15 +57,19 @@ object SimOps {
       s"(CASE WHEN graft_dot(v, ${hyperplane(k)}) >= 0.0D THEN ${1 << k} ELSE 0 END)")
       .mkString(" + ")
 
-  /** Exact top-10 cosine neighbors of vec_id 0 (brute force). */
+  /** Exact top-10 cosine neighbors of vec_id 0 (brute force).
+    * Scores ride floor-scaled BIGINT basis points (floor is exact on
+    * bit-identical doubles; `round(,4)` can split a half-ulp boundary
+    * across engines — SURVEY §7.3f2). */
   val simTopk: Q = (s, d) => {
     val ve = vecs(s, d)
     val q = ve.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
     ve.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(expr(dotSql) / ($"nrm" * $"qn"), 4))
-      .select($"vec_id", $"cos")
-      .orderBy($"cos".desc, $"vec_id")
+      .withColumn("cos_e4",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e4).cast("long"))
+      .select($"vec_id", $"cos_e4")
+      .orderBy($"cos_e4".desc, $"vec_id")
       .limit(10)
   }
 
@@ -96,9 +100,10 @@ object SimOps {
     ve.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
       .filter($"bucket" === $"qbucket")
-      .withColumn("cos", round(expr(dotSql) / ($"nrm" * $"qn"), 4))
-      .select($"vec_id", $"cos")
-      .orderBy($"cos".desc, $"vec_id")
+      .withColumn("cos_e4",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e4).cast("long"))
+      .select($"vec_id", $"cos_e4")
+      .orderBy($"cos_e4".desc, $"vec_id")
       .limit(5)
   }
 
@@ -107,8 +112,9 @@ object SimOps {
     * (broadcast centroid table — map-only over the corpus), then
     * answer the query by probing only its 2 nearest centroids'
     * inverted lists and ranking those candidates by exact cosine.
-    * Cosines are ranked on a 6-dp rounding with centroid-id tie-break
-    * so the assignment is cross-engine deterministic. At production
+    * Cosines are ranked on floor-scaled micro-units (exact on
+    * bit-identical doubles) with centroid-id tie-break so the
+    * assignment is cross-engine deterministic. At production
     * scale the centroids come from k-means and the assignment table is
     * the partitioned index; probe count trades recall for touched
     * partitions. */
@@ -118,9 +124,10 @@ object SimOps {
     val cents = ve.filter($"vec_id" < 8)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
     val ranked = ve.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"), 6))
+      .withColumn("ccos_e6",
+        floor(expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm") * 1e6).cast("long"))
       .withColumn("crn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")))
+        Window.partitionBy($"vec_id").orderBy($"ccos_e6".desc, $"cid")))
     val assignment = ranked.filter($"crn" === 1).select($"vec_id", $"cid")
     val probes = ranked.filter($"vec_id" === 0 && $"crn" <= 2)
       .select($"cid".as("probe_cid"))
@@ -129,9 +136,10 @@ object SimOps {
       .join(assignment, "vec_id")
       .join(broadcast(probes), $"cid" === $"probe_cid")
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(expr(dotSql) / ($"nrm" * $"qn"), 4))
-      .select($"vec_id", $"cos")
-      .orderBy($"cos".desc, $"vec_id")
+      .withColumn("cos_e4",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e4).cast("long"))
+      .select($"vec_id", $"cos_e4")
+      .orderBy($"cos_e4".desc, $"vec_id")
       .limit(5)
   }
 
@@ -292,17 +300,24 @@ object SimOps {
     * materializes Q×N scored rows. */
   val simBatchTopk: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ve = vecs(s, d).localCheckpoint()
+    // no localCheckpoint: ve is read twice, but the query-block side
+    // prunes to 10 rows at the scan (pushed vec_id < 10), so recompute
+    // is ONE full corpus pass either way — while a checkpoint here
+    // leaks storage-memory blocks across the bench's 176-query session
+    // (the round-4 3.7× steady-state regression was exactly that
+    // pressure, not this plan)
+    val ve = vecs(s, d)
     val qs = ve.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
     ve.filter($"vec_id" >= 10)
       .crossJoin(broadcast(qs))
-      .withColumn("cos", round(expr(dotSql) / ($"nrm" * $"qn"), 4))
+      .withColumn("cos_e4",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e4).cast("long"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+        Window.partitionBy($"qid").orderBy($"cos_e4".desc, $"vec_id")))
       .filter($"rn" <= 5)
-      .select($"qid", $"vec_id", $"cos")
-      .orderBy($"qid", $"cos".desc, $"vec_id")
+      .select($"qid", $"vec_id", $"cos_e4")
+      .orderBy($"qid", $"cos_e4".desc, $"vec_id")
   }
 
   /** ANN quality evaluation inside the engine: recall@5 of the
@@ -320,10 +335,11 @@ object SimOps {
         $"bucket".as("qbucket"))
     val scored = ve.filter($"vec_id" >= 10)
       .crossJoin(broadcast(qs))
-      .withColumn("cos", round(expr(dotSql) / ($"nrm" * $"qn"), 4))
-      .select($"qid", $"vec_id", $"cos", $"bucket", $"qbucket")
+      .withColumn("cos_e4",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e4).cast("long"))
+      .select($"qid", $"vec_id", $"cos_e4", $"bucket", $"qbucket")
       .localCheckpoint() // one dot-product pass feeds both rankings
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    val w = Window.partitionBy($"qid").orderBy($"cos_e4".desc, $"vec_id")
     val exact5 = scored.withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5).select($"qid", $"vec_id")
     val ann5 = scored.filter($"bucket" === $"qbucket")
@@ -564,15 +580,15 @@ object SimOps {
       s"""WITH $duckVecs,
          | scored AS (
          |  SELECT q.vec_id AS qid, e.vec_id,
-         |    round($duckDot / (e.nrm * q.nrm), 4) AS cos
+         |    CAST(floor($duckDot / (e.nrm * q.nrm) * 10000) AS BIGINT) AS cos_e4
          |  FROM vecs e, (SELECT vec_id, v, nrm FROM vecs WHERE vec_id < 10) q
          |  WHERE e.vec_id >= 10),
          | ranked AS (
-         |  SELECT qid, vec_id, cos,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  SELECT qid, vec_id, cos_e4,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, vec_id) AS rn
          |  FROM scored)
-         |SELECT qid, vec_id, cos FROM ranked WHERE rn <= 5
-         |ORDER BY qid, cos DESC, vec_id""".stripMargin,
+         |SELECT qid, vec_id, cos_e4 FROM ranked WHERE rn <= 5
+         |ORDER BY qid, cos_e4 DESC, vec_id""".stripMargin,
 
     "embed_quantize" ->
       """WITH n AS (
@@ -606,10 +622,11 @@ object SimOps {
 
     "sim_topk" ->
       s"""WITH $duckVecs
-         |SELECT e.vec_id, round($duckDot / (e.nrm * q.nrm), 4) AS cos
+         |SELECT e.vec_id,
+         |  CAST(floor($duckDot / (e.nrm * q.nrm) * 10000) AS BIGINT) AS cos_e4
          |FROM vecs e, (SELECT v, nrm FROM vecs WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0
-         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+         |ORDER BY cos_e4 DESC, e.vec_id LIMIT 10""".stripMargin,
 
     "sim_recall" ->
       s"""WITH $duckVecs,
@@ -618,15 +635,15 @@ object SimOps {
          |        FROM b WHERE vec_id < 10),
          | scored AS (
          |  SELECT q.qid, e.vec_id,
-         |    round($duckDot / (e.nrm * q.qn), 4) AS cos,
+         |    CAST(floor($duckDot / (e.nrm * q.qn) * 10000) AS BIGINT) AS cos_e4,
          |    e.bucket, q.qbucket
          |  FROM b e, qs q WHERE e.vec_id >= 10),
          | exact5 AS (SELECT qid, vec_id FROM (
          |   SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-         |     ORDER BY cos DESC, vec_id) AS rn FROM scored) WHERE rn <= 5),
+         |     ORDER BY cos_e4 DESC, vec_id) AS rn FROM scored) WHERE rn <= 5),
          | ann5 AS (SELECT qid, vec_id FROM (
          |   SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-         |     ORDER BY cos DESC, vec_id) AS rn FROM scored
+         |     ORDER BY cos_e4 DESC, vec_id) AS rn FROM scored
          |   WHERE bucket = qbucket) WHERE rn <= 5),
          | h AS (SELECT e5.qid, count(1) AS hits
          |   FROM exact5 e5 JOIN ann5 a ON a.qid = e5.qid AND a.vec_id = e5.vec_id
@@ -649,10 +666,11 @@ object SimOps {
       s"""WITH $duckVecs,
          | b AS (
          |  SELECT vec_id, v, nrm, $duckBucket AS bucket FROM vecs)
-         |SELECT e.vec_id, round($duckDot / (e.nrm * q.nrm), 4) AS cos
+         |SELECT e.vec_id,
+         |  CAST(floor($duckDot / (e.nrm * q.nrm) * 10000) AS BIGINT) AS cos_e4
          |FROM b e, (SELECT v, nrm, bucket FROM b WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0 AND e.bucket = q.bucket
-         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+         |ORDER BY cos_e4 DESC, e.vec_id LIMIT 5""".stripMargin,
 
     "sim_ivf" ->
       s"""WITH $duckVecs,
@@ -661,18 +679,19 @@ object SimOps {
          | ranked AS (
          |  SELECT e.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      round(list_reduce(list_prepend(0.0, list_transform(
+         |      CAST(floor(list_reduce(list_prepend(0.0, list_transform(
          |        range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])), (a, b) -> a + b)
-         |        / (e.nrm * c.cnrm), 6) DESC, c.cid) AS crn
+         |        / (e.nrm * c.cnrm) * 1000000) AS BIGINT) DESC, c.cid) AS crn
          |  FROM vecs e, cents c),
          | assignment AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
          | probes AS (SELECT cid FROM ranked WHERE vec_id = 0 AND crn <= 2)
-         |SELECT e.vec_id, round($duckDot / (e.nrm * q.nrm), 4) AS cos
+         |SELECT e.vec_id,
+         |  CAST(floor($duckDot / (e.nrm * q.nrm) * 10000) AS BIGINT) AS cos_e4
          |FROM vecs e
          |JOIN assignment a ON a.vec_id = e.vec_id
          |JOIN probes p ON p.cid = a.cid,
          |(SELECT v, nrm FROM vecs WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0
-         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+         |ORDER BY cos_e4 DESC, e.vec_id LIMIT 5""".stripMargin,
   )
 }

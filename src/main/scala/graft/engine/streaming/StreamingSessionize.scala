@@ -66,8 +66,12 @@ object StreamingSessionize {
         }
       }
       state.update(st)
+      // deadline rounds UP to the millisecond: flooring (lastUs+gap)/1000
+      // would let the timeout fire up to 1 ms early, splitting a session
+      // whose gap lands in (GapUs - 999us, GapUs] — diverging from the
+      // batch twin's strict `> GapUs` cut on sub-ms timestamps
       if (st.open)
-        state.setTimeoutTimestamp(st.lastUs / 1000L + GapUs / 1000L)
+        state.setTimeoutTimestamp((st.lastUs + GapUs + 999L) / 1000L)
       out.iterator
     }
   }

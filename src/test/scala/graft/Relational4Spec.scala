@@ -15,6 +15,28 @@ class Relational4Spec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("graph_triangles closure strategy is size-gated: broadcast below the " +
+    "knob, shuffle join above, identical counts") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def hintedJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.size
+    val key = "spark.graft.triangles.broadcastMaxEdges"
+    val broad = Relational4.graphTriangles(spark, sf)
+    val nBroad = hintedJoins(broad)
+    spark.conf.set(key, "0") // every graph is "too big": closure must shuffle
+    try {
+      val shuf = Relational4.graphTriangles(spark, sf)
+      assert(hintedJoins(shuf) == nBroad - 1,
+        "the gate must drop exactly the closure join's broadcast hint")
+      assert(shuf.collect().toSeq.map(_.toString) ==
+        broad.collect().toSeq.map(_.toString),
+        "closure strategy must not change the counts")
+    } finally spark.conf.unset(key)
+  }
+
   test("agg_unpivot emits one row per (group, metric) with matched values") {
     val wide = Relational4.aggUnpivot(spark, sf).collect()
     val groups = wide.map(_.getString(0)).distinct

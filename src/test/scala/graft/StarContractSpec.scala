@@ -46,4 +46,22 @@ class StarContractSpec extends AnyFunSuite {
     val got = labels(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
     assert(got == Map(2L -> 1L, 3L -> 1L))
   }
+
+  test("spark.graft.checkpointDir switches iteration to RELIABLE checkpoints " +
+    "with identical components") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-reliable-ckpt")
+    spark.conf.set(graft.engine.ops.Checkpoints.DirKey, dir.toString)
+    try {
+      val got = labels(Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)))
+      assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 11L -> 10L))
+      // the rounds really checkpointed to the reliable dir, not executor
+      // blocks: rdd-N subdirectories must exist under <dir>/<uuid>/
+      val walk = Files.walk(dir)
+      val nRdd =
+        try walk.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+        finally walk.close()
+      assert(nRdd > 0, s"no reliable checkpoint data under $dir")
+    } finally spark.conf.unset(graft.engine.ops.Checkpoints.DirKey)
+  }
 }

@@ -174,6 +174,25 @@ class TopicWriteSpec extends AnyFunSuite {
       "relay must deliver every message exactly once per key with last-state wins")
   }
 
+  test("raw V2 write with a LongType partition column cannot corrupt offsets") {
+    // the analyzer's store-assignment inserts a checked LONG→INT cast
+    // before the connector sees the rows, so the raw path routes
+    // correctly rather than reading half a long's UnsafeRow bytes; a
+    // caller that BYPASSES analysis is stopped by the builder's own
+    // type check (TopicWriteBuilderSpec) — either way, never corruption
+    val (store, root) = newStore()
+    store.create("t")
+    import spark.implicits._
+    val widened = Seq(("k", "v", 0L, 0L, new java.sql.Timestamp(0L)))
+      .toDF("key", "value", "partition", "offset", "ts") // partition: LONG
+    widened.write.format(classOf[graft.engine.sources.TopicSource].getName)
+      .mode("append").save(java.nio.file.Paths.get(root, "t").toString)
+    val rows = store.readAll("t").collect()
+    assert(rows.length == 1 && rows.head.getInt(2) == 0 &&
+      rows.head.getLong(3) == 0L,
+      "the cast row must land exactly where an IntegerType one would")
+  }
+
   test("no staging files survive a committed append") {
     val (store, root) = newStore()
     store.create("t")
