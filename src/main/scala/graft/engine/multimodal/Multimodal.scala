@@ -8,14 +8,23 @@ import graft.engine.Tables
 /** Multimodal column plumbing (north-star): media as opaque `binary`
   * columns with typed metadata, processed in partition-batches.
   *
-  * The container ships no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB (`FakeCodec`) — everything
-  * around it is real and load-bearing: the (id, kind, content,
-  * meta-struct) schema, binary-column projection/pruning, partition
-  * iterator batching via `mapPartitions` (the JVM analog of
-  * `mapInPandas` batch processing: one decoder instance per
-  * partition, streamed row batches, no per-row setup cost), and
-  * fixed-size frame chunking/sampling.
+  * The decode step is REAL: images are genuine PNG bytes produced and
+  * parsed by the JDK's `javax.imageio` (no external codecs needed), so
+  * `mm_decode`/`mm_frames` exercise an actual encode → bytes → decode
+  * round trip. The pixels are painted by a closed-form rule
+  * (`(x + y + seed) % 256` grayscale), which makes every decoded
+  * width/height/pixel-sum recomputable in pure SQL — the DuckDB oracle
+  * proves the codec path end to end: if the decoder misread a single
+  * pixel or dimension, the hash gate fails.
+  *
+  * The testdata ships no media files, so the media BYTES are
+  * synthesized in-engine (deterministically, from `doc_id`): the
+  * shapes under test — (id, kind, content, meta-struct) schema,
+  * binary-column projection/pruning, partition-iterator batching via
+  * `mapPartitions` (one decoder instance per partition, streamed row
+  * batches, no per-row setup cost — the JVM analog of `mapInPandas`),
+  * fixed-size frame chunking/sampling — are exactly what a real corpus
+  * needs; only the byte provenance is synthetic.
   *
   * Scale notes: content bytes never pass through a shuffle — every
   * transform here is map-only; metadata-only outputs drop the binary
@@ -28,22 +37,61 @@ object Multimodal {
 
   /** One media row: bytes + the typed metadata a real pipeline carries. */
   case class Media(media_id: Long, kind: String, content: Array[Byte])
-  case class ImageMeta(media_id: Long, width: Int, height: Int, n_pixels: Long)
-  case class Frames(media_id: Long, n_frames: Int, sampled_frames: Int, sampled_bytes: Long)
+  case class ImageMeta(media_id: Long, width: Int, height: Int,
+      n_pixels: Long, lum_sum: Long)
+  case class Frames(media_id: Long, n_frames: Int, sampled_frames: Int,
+      sampled_lum_sum: Long)
 
-  /** STUB decoder — stands in for an image/audio codec (none in this
-    * container). Deterministic: "dimensions" derive from the first
-    * bytes, so tests and reruns agree. A real deployment swaps this
-    * object for JNI/codec calls without touching the Spark plumbing. */
-  object FakeCodec {
-    /** ??? real codec goes here — fake "header parse": width/height
-      * from the first two bytes, bounded to plausible ranges. */
-    def decodeImage(bytes: Array[Byte]): (Int, Int) = {
-      val w = 64 + (if (bytes.length > 0) (bytes(0) & 0x7f) else 0)
-      val h = 64 + (if (bytes.length > 1) (bytes(1) & 0x7f) else 0)
-      (w, h)
+  /** REAL JDK codec (`javax.imageio`, zero extra dependencies): PNG
+    * encode of a deterministically painted grayscale image, and true
+    * byte-stream decode back to dimensions + pixel sum. A production
+    * deployment swaps the PAINTER for real content; the decode path is
+    * already the real thing. */
+  object Codec {
+    // imageio defaults to a disk-backed stream cache per call — pure
+    // memory is both faster and safer under 32 concurrent tasks
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** w×h PNG whose pixel (x, y) is gray `(x + y + seed) % 256` —
+      * closed form, so an oracle can recompute the decoded sums. */
+    def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((x + y + seed) % 256).toInt
+          img.setRGB(x, y, v * 0x010101)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
-    /** ??? real resampler goes here — fake resize keeps aspect. */
+
+    /** Parse image bytes (any imageio-supported container; trailing
+      * padding after the PNG IEND chunk is ignored by the reader) →
+      * (width, height, sum of 8-bit luminance over all pixels). */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      (w, h, sum)
+    }
+
+    /** Aspect-preserving bound of the long side (integer floor — the
+      * resize PLAN; actual resampling happens at training-prep time). */
     def resize(w: Int, h: Int, maxSide: Int): (Int, Int) = {
       val side = math.max(w, h)
       if (side <= maxSide) (w, h)
@@ -51,8 +99,11 @@ object Multimodal {
     }
   }
 
-  /** Synthesized media table over `documents`: text bytes stand in for
-    * media content (binary column), kind round-robins image/audio/video. */
+  /** Synthesized opaque-bytes media table over `documents`: text bytes
+    * stand in for media content (binary column), kind round-robins
+    * image/audio/video. Metadata ops (`mm_meta`/`mm_dedup`/`mm_shards`)
+    * treat content as opaque bytes, so provenance doesn't matter;
+    * decode ops use [[imageTable]]/[[videoTable]] (real PNG bytes). */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id").as("media_id"),
@@ -60,8 +111,64 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("content"))
 
-  /** Decode pass: partition-batched stub decode → typed metadata.
-    * The binary column is consumed here and does not survive into the
+  /** Real-PNG image table (the `image`-kind ids of [[mediaTable]]):
+    * dimensions derive from doc_id — w ∈ [16, 136), h ∈ [16, 112), so
+    * a slice of the corpus exceeds the default resize bound and
+    * exercises the shrink branch. Encode runs partition-parallel after
+    * an explicit repartition (single-row-group parquet scan). */
+  def imageTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 120).toInt
+          val h = 16 + (id % 96).toInt
+          (id, Codec.encodePng(w, h, id))
+        }
+      }
+      .toDF("media_id", "content")
+      .select(col("media_id"), lit("image").as("kind"), col("content"))
+  }
+
+  /** Bytes reserved per frame in a video blob: each frame is a real
+    * 4×4 PNG (~90 bytes) zero-padded to this fixed block size, so
+    * frame boundaries are pure offset arithmetic — the keyframe-index
+    * analog. */
+  val FrameBlockBytes = 512
+
+  /** Real-PNG "video" table (the `video`-kind ids of [[mediaTable]]):
+    * 2 + (id % 7) frames laid end-to-end in fixed-size blocks, frame f
+    * painted with seed id + f. */
+  def videoTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 2 + (id % 7).toInt
+          val blob = new Array[Byte](n * FrameBlockBytes)
+          var f = 0
+          while (f < n) {
+            val png = Codec.encodePng(4, 4, id + f)
+            require(png.length <= FrameBlockBytes,
+              s"frame PNG ${png.length}B exceeds the $FrameBlockBytes block")
+            System.arraycopy(png, 0, blob, f * FrameBlockBytes, png.length)
+            f += 1
+          }
+          (id, blob)
+        }
+      }
+      .toDF("media_id", "content")
+      .select(col("media_id"), lit("video").as("kind"), col("content"))
+  }
+
+  /** Decode pass: partition-batched REAL decode → typed metadata. The
+    * binary column is consumed here and does not survive into the
     * output (narrow rows downstream). */
   def decodeImages(media: DataFrame): Dataset[ImageMeta] = {
     import media.sparkSession.implicits._
@@ -70,37 +177,42 @@ object Multimodal {
       .mapPartitions { rows =>
         // one decoder per partition — the mapInPandas batch shape
         rows.map { case (id, bytes) =>
-          val (w, h) = FakeCodec.decodeImage(bytes)
-          ImageMeta(id, w, h, w.toLong * h)
+          val (w, h, lum) = Codec.decodeImage(bytes)
+          ImageMeta(id, w, h, w.toLong * h, lum)
         }
       }
   }
 
-  /** Frame sampling: chunk content into fixed-size frames, keep every
-    * `stride`-th frame. Frame boundaries are byte-offset arithmetic —
-    * the real video analog samples keyframes; the plumbing (partition
-    * batching, per-frame accounting) is identical. */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): Dataset[Frames] = {
+  /** Frame sampling: cut the blob at fixed block offsets, keep every
+    * `stride`-th frame, and REALLY decode each kept frame (pixel sums
+    * feed the oracle). The real video analog samples keyframes by
+    * index; the plumbing — partition batching, offset cuts, per-frame
+    * decode accounting — is identical. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = FrameBlockBytes,
+      stride: Int = 4): Dataset[Frames] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val frames = bytes.grouped(frameBytes).toArray
-          val sampled = frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
-          Frames(id, frames.length, sampled.length, sampled.map(_.length.toLong).sum)
+          val sampled = frames.zipWithIndex
+            .collect { case (f, i) if i % stride == 0 => f }
+          val lum = sampled.map(f => Codec.decodeImage(f)._3).sum
+          Frames(id, frames.length, sampled.length, lum)
         }
       }
   }
 
-  /** Resize planning over decoded metadata — pure column arithmetic
-    * (the stub keeps it deterministic and oracle-free). */
+  /** Resize planning over decoded metadata — pure column arithmetic on
+    * REAL decoded dimensions. */
   def resizePlan(decoded: Dataset[ImageMeta], maxSide: Int = 128): DataFrame = {
     import decoded.sparkSession.implicits._
     decoded.map { m =>
-      val (w, h) = FakeCodec.resize(m.width, m.height, maxSide)
-      (m.media_id, m.width, m.height, w, h)
-    }.toDF("media_id", "width", "height", "out_width", "out_height")
+      val (w, h) = Codec.resize(m.width, m.height, maxSide)
+      (m.media_id, m.width, m.height, m.n_pixels, m.lum_sum, w, h)
+    }.toDF("media_id", "width", "height", "n_pixels", "lum_sum",
+      "out_width", "out_height")
   }
 
   // ---- declared queries ----
@@ -117,15 +229,17 @@ object Multimodal {
         sha2(col("content"), 256).as("digest"))
       .orderBy(col("media_id"))
 
-  /** Stub-decode + resize plan, media_id order — no-oracle (the stub
-    * decode is engine-side logic; verified by MultimodalSpec). */
+  /** REAL PNG encode → decode → resize plan, media_id order. The
+    * oracle recomputes every decoded value from the paint rule in pure
+    * SQL — a codec misread of any dimension or pixel fails the gate. */
   val mmDecode: Q = (s, d) =>
-    resizePlan(decodeImages(mediaTable(s, d))).orderBy(col("media_id"))
+    resizePlan(decodeImages(imageTable(s, d))).orderBy(col("media_id"))
 
-  /** Frame sampling accounting — no-oracle (ditto). */
+  /** Frame sampling with real per-frame decode — oracle-checked pixel
+    * sums over the sampled keyframe set. */
   val mmFrames: Q = (s, d) => {
     import s.implicits._
-    sampleFrames(mediaTable(s, d)).toDF().orderBy(col("media_id"))
+    sampleFrames(videoTable(s, d)).toDF().orderBy(col("media_id"))
   }
 
   /** Exact media dedup by content digest — the blob-level twin of
@@ -169,6 +283,15 @@ object Multimodal {
     "mm_frames" -> mmFrames,
   )
 
+  /** Σ over a w×h grid of `(x + y + seed) % 256` as DuckDB list
+    * arithmetic (this build's `range()` table function can't lateral-
+    * join on a column). */
+  private def duckLumSum(w: String, h: String, seed: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"flatten(list_transform(range($w), x -> " +
+      s"list_transform(range($h), y -> " +
+      s"CAST((x + y + $seed) % 256 AS BIGINT))))), (a, b) -> a + b)"
+
   val oracles: Map[String, String] = Map(
     "mm_shards" ->
       s"""WITH m AS (
@@ -198,5 +321,37 @@ object Multimodal {
         |  sha256(text) AS digest
         |FROM documents GROUP BY sha256(text)
         |ORDER BY survivor_id""".stripMargin,
+
+    // recomputes the decoded values from the paint rule — the Spark
+    // side must round-trip real PNG bytes to match
+    "mm_decode" ->
+      s"""WITH img AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(16 + doc_id % 120 AS BIGINT) AS w,
+         |    CAST(16 + doc_id % 96 AS BIGINT) AS h
+         |  FROM documents WHERE doc_id % 3 = 0)
+         |SELECT media_id,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(w * h AS BIGINT) AS n_pixels,
+         |  ${duckLumSum("w", "h", "media_id")} AS lum_sum,
+         |  CAST(CASE WHEN greatest(w, h) <= 128 THEN w
+         |       ELSE (w * 128) // greatest(w, h) END AS INTEGER) AS out_width,
+         |  CAST(CASE WHEN greatest(w, h) <= 128 THEN h
+         |       ELSE (h * 128) // greatest(w, h) END AS INTEGER) AS out_height
+         |FROM img ORDER BY media_id""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH vid AS (
+         |  SELECT doc_id AS media_id, CAST(2 + doc_id % 7 AS BIGINT) AS nf
+         |  FROM documents WHERE doc_id % 3 = 2),
+         | sampled AS (
+         |  SELECT media_id, nf, f.f
+         |  FROM vid, (SELECT unnest(range(0, 8)) AS f) f
+         |  WHERE f.f < nf AND f.f % 4 = 0)
+         |SELECT media_id, CAST(max(nf) AS INTEGER) AS n_frames,
+         |  CAST(count(1) AS INTEGER) AS sampled_frames,
+         |  CAST(sum(${duckLumSum("4", "4", "media_id + f")}) AS BIGINT)
+         |    AS sampled_lum_sum
+         |FROM sampled GROUP BY media_id ORDER BY media_id""".stripMargin,
   )
 }

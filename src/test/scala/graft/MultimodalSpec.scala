@@ -3,12 +3,17 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.multimodal.Multimodal
+import graft.engine.multimodal.Multimodal.Codec
 
-/** Multimodal plumbing: schema, partition-batched stub decode,
-  * frame sampling arithmetic, determinism across runs. */
+/** Multimodal plumbing: schema, REAL partition-batched PNG
+  * encode/decode (javax.imageio), frame sampling with per-frame
+  * decode, determinism across runs. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.session
   private val sf = "/root/testdata/sf0.001"
+
+  private def lumSum(w: Int, h: Int, seed: Long): Long =
+    (for (x <- 0 until w; y <- 0 until h) yield (x + y + seed) % 256).sum
 
   test("media table carries binary content with typed columns") {
     val m = Multimodal.mediaTable(spark, sf)
@@ -17,33 +22,58 @@ class MultimodalSpec extends AnyFunSuite {
       == Set("image", "audio", "video"))
   }
 
-  test("stub decode is deterministic and consumes the binary column") {
-    val d1 = Multimodal.decodeImages(Multimodal.mediaTable(spark, sf))
-    val d2 = Multimodal.decodeImages(Multimodal.mediaTable(spark, sf))
-    assert(!d1.columns.contains("content"), "bytes dropped before downstream")
-    val r1 = d1.collect().sortBy(_.media_id).toSeq
-    assert(r1 == d2.collect().sortBy(_.media_id).toSeq)
-    assert(r1.forall(m => m.n_pixels == m.width.toLong * m.height))
-    assert(r1.forall(m => m.width >= 64 && m.width < 192))
+  test("codec round-trips REAL PNG bytes: dimensions and every pixel") {
+    for ((w, h, seed) <- Seq((16, 16, 0L), (135, 111, 119L), (1, 1, 7L))) {
+      val png = Codec.encodePng(w, h, seed)
+      // a real PNG container, not a fake header
+      assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+      assert(Codec.decodeImage(png) == ((w, h, lumSum(w, h, seed))))
+    }
+    // trailing zero padding (the video frame-block layout) is ignored
+    val padded = Codec.encodePng(4, 4, 3L) ++ Array.fill[Byte](100)(0)
+    assert(Codec.decodeImage(padded) == ((4, 4, lumSum(4, 4, 3L))))
   }
 
-  test("frame sampling: ceil(n/stride) frames kept, bytes accounted") {
-    val f = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf),
-      frameBytes = 64, stride = 4).collect()
+  test("decode is deterministic, real, and consumes the binary column") {
+    val d1 = Multimodal.decodeImages(Multimodal.imageTable(spark, sf))
+    val d2 = Multimodal.decodeImages(Multimodal.imageTable(spark, sf))
+    assert(!d1.columns.contains("content"), "bytes dropped before downstream")
+    val r1 = d1.collect().sortBy(_.media_id).toSeq
+    assert(r1.nonEmpty)
+    assert(r1 == d2.collect().sortBy(_.media_id).toSeq)
+    r1.foreach { m =>
+      assert(m.width == 16 + (m.media_id % 120).toInt)
+      assert(m.height == 16 + (m.media_id % 96).toInt)
+      assert(m.n_pixels == m.width.toLong * m.height)
+      assert(m.lum_sum == lumSum(m.width, m.height, m.media_id),
+        s"decoded pixel sum mismatch for media ${m.media_id}")
+    }
+  }
+
+  test("frame sampling really decodes every stride-th frame block") {
+    val f = Multimodal.sampleFrames(Multimodal.videoTable(spark, sf)).collect()
     assert(f.nonEmpty)
     f.foreach { r =>
+      assert(r.n_frames == 2 + (r.media_id % 7).toInt)
       assert(r.sampled_frames == (r.n_frames + 3) / 4)
-      assert(r.sampled_bytes <= r.n_frames.toLong * 64)
+      val expect = (0 until r.n_frames).filter(_ % 4 == 0)
+        .map(i => lumSum(4, 4, r.media_id + i)).sum
+      assert(r.sampled_lum_sum == expect,
+        s"sampled pixel sums mismatch for media ${r.media_id}")
     }
   }
 
   test("resize plan preserves aspect and bounds the long side") {
     val out = Multimodal.resizePlan(
-      Multimodal.decodeImages(Multimodal.mediaTable(spark, sf)), maxSide = 100)
-    out.collect().foreach { r =>
-      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      Multimodal.decodeImages(Multimodal.imageTable(spark, sf)), maxSide = 100)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    var shrunk = 0
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(5), r.getInt(6))
       assert(math.max(ow, oh) <= 100)
-      if (math.max(w, h) <= 100) assert((ow, oh) == ((w, h)))
+      if (math.max(w, h) <= 100) assert((ow, oh) == ((w, h))) else shrunk += 1
     }
+    assert(shrunk > 0, "the dimension spread must exercise the shrink branch")
   }
 }
