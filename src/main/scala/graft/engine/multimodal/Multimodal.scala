@@ -90,6 +90,36 @@ object Multimodal {
       (w, h, sum)
     }
 
+    /** 64-bit perceptual fingerprint (average-hash family) of REAL
+      * image bytes: decode, point-sample an 8×8 grid at
+      * `(i·(w DIV 8), j·(h DIV 8))`, bit (i·8 + j) = sample ≥ 128.
+      * Packed as two 32-bit halves (lo = bits 0..31, hi = 32..63) so
+      * the BIGINT arithmetic never touches the sign bit in either
+      * engine. Production swaps point-sampling for block means + DCT
+      * (pHash proper); the index/bucketing machinery is identical. */
+    def phash(bytes: Array[Byte]): (Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes")
+      val (sx, sy) = (img.getWidth / 8, img.getHeight / 8)
+      require(sx > 0 && sy > 0, "phash needs at least 8x8 pixels")
+      var lo = 0L
+      var hi = 0L
+      var i = 0
+      while (i < 8) {
+        var j = 0
+        while (j < 8) {
+          if ((img.getRGB(i * sx, j * sy) & 0xff) >= 128) {
+            val b = i * 8 + j
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      (lo, hi)
+    }
+
     /** Aspect-preserving bound of the long side (integer floor — the
       * resize PLAN; actual resampling happens at training-prep time). */
     def resize(w: Int, h: Int, maxSide: Int): (Int, Int) = {
@@ -242,6 +272,56 @@ object Multimodal {
     sampleFrames(videoTable(s, d)).toDF().orderBy(col("media_id"))
   }
 
+  /** Per-image 64-bit perceptual hash over REALLY decoded bytes — the
+    * fingerprint table an image-dedup index persists. Map-only
+    * partition-batched decode; output is (id, lo, hi), 24 bytes/row
+    * regardless of image size. */
+  val mmPhash: Q = (s, d) => {
+    phashFrame(s, d).orderBy(col("media_id"))
+  }
+
+  /** (media_id, phash_lo, phash_hi) via one real decode pass. */
+  private def phashFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imageTable(s, d)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (lo, hi) = Codec.phash(bytes)
+          (id, lo, hi)
+        }
+      }
+      .toDF("media_id", "phash_lo", "phash_hi")
+  }
+
+  /** Perceptual near-dup pairs: Hamming(phash) ≤ 3 via LSH BANDING —
+    * the 64-bit hash splits into 4 × 16-bit bands, candidates come
+    * from a band-key equi-join (never all-pairs), then the exact
+    * Hamming distance verifies. With 4 bands a pair within distance 3
+    * has, by pigeonhole, at least one IDENTICAL band — so banding is
+    * EXACT (zero recall loss) at this threshold, and the oracle's
+    * all-pairs formulation provably agrees at any scale. The shape is
+    * dedup_simhash's (bucketed candidates + cheap verify), riding real
+    * codec output: only (band, id, lo, hi) rows shuffle, bytes never
+    * move. */
+  val mmPhashDup: Q = (s, d) => {
+    val ph = phashFrame(s, d).localCheckpoint() // one decode pass, two join sides
+    val bands = ph.select(col("media_id"), col("phash_lo"), col("phash_hi"),
+      posexplode(array(
+        expr("phash_lo % 65536L"), expr("(phash_lo DIV 65536L) % 65536L"),
+        expr("phash_hi % 65536L"), expr("(phash_hi DIV 65536L) % 65536L")))
+        .as(Seq("band", "bv")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        (expr("bit_count(x.phash_lo ^ y.phash_lo)") +
+          expr("bit_count(x.phash_hi ^ y.phash_hi)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Exact media dedup by content digest — the blob-level twin of
     * `dedup_exact` (image/audio dedup by byte identity is the first
     * pass of any multimodal pipeline: hash is computed map-side next
@@ -281,6 +361,8 @@ object Multimodal {
     "mm_shards" -> mmShards,
     "mm_decode" -> mmDecode,
     "mm_frames" -> mmFrames,
+    "mm_phash" -> mmPhash,
+    "mm_phash_dup" -> mmPhashDup,
   )
 
   /** Σ over a w×h grid of `(x + y + seed) % 256` as DuckDB list
@@ -291,6 +373,23 @@ object Multimodal {
       s"flatten(list_transform(range($w), x -> " +
       s"list_transform(range($h), y -> " +
       s"CAST((x + y + $seed) % 256 AS BIGINT))))), (a, b) -> a + b)"
+
+  /** One 32-bit phash half (bits `off`..`off`+31) from the paint rule:
+    * global bit B = i·8 + j samples pixel (i·(w//8), j·(h//8)). */
+  private def duckPhashHalf(off: Int): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(32), b -> " +
+      s"CASE WHEN (((b + $off) // 8) * (w // 8) + ((b + $off) % 8) * (h // 8)" +
+      " + media_id) % 256 >= 128 " +
+      "THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) " +
+      "ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
+
+  private val duckImg =
+    """img AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(16 + doc_id % 120 AS BIGINT) AS w,
+      |    CAST(16 + doc_id % 96 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_shards" ->
@@ -339,6 +438,30 @@ object Multimodal {
          |  CAST(CASE WHEN greatest(w, h) <= 128 THEN h
          |       ELSE (h * 128) // greatest(w, h) END AS INTEGER) AS out_height
          |FROM img ORDER BY media_id""".stripMargin,
+
+    "mm_phash" ->
+      s"""WITH $duckImg
+         |SELECT media_id,
+         |  ${duckPhashHalf(0)} AS phash_lo,
+         |  ${duckPhashHalf(32)} AS phash_hi
+         |FROM img ORDER BY media_id""".stripMargin,
+
+    // all-pairs here is EXACTLY the banded result: hamming <= 3 over 4
+    // bands forces one identical band (pigeonhole), so the Spark side's
+    // candidate generation provably loses nothing at any scale
+    "mm_phash_dup" ->
+      s"""WITH $duckImg,
+         | ph AS (
+         |  SELECT media_id,
+         |    ${duckPhashHalf(0)} AS lo,
+         |    ${duckPhashHalf(32)} AS hi
+         |  FROM img)
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+         |       AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         |ORDER BY media_a, media_b""".stripMargin,
 
     "mm_frames" ->
       s"""WITH vid AS (

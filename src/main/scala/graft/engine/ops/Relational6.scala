@@ -484,7 +484,27 @@ object Relational6 {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** Distribution window functions: `cume_dist` (share of the
+    * partition at or below the row) floor-scaled to micro-units, plus
+    * the 2nd-lowest price seen so far via `nth_value` over an explicit
+    * ROWS frame (both engines default that frame differently under
+    * ties — spelling it removes the ambiguity). The (price, orderkey)
+    * ordering is a unique sort key, so cume_dist is k/n of exact ints:
+    * one IEEE division on identical operands, floor-safe. One shuffle
+    * on the group key, window-local after that. */
+  val winCumeDist: Q = (s, d) => {
+    val wOrd = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val wRows = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        floor(cume_dist().over(wOrd) * 1e6).cast("long").as("cd_e6"),
+        nth_value($"o_totalprice", 2).over(wRows).as("second_low"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_cume_dist" -> winCumeDist,
     "join_star" -> joinStar,
     "ts_sessionize" -> tsSessionize,
     "graph_pagerank" -> graphPagerank,
@@ -506,6 +526,17 @@ object Relational6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_cume_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6,
+        |  nth_value(o_totalprice, 2) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_low
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "join_star" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

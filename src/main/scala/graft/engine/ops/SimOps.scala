@@ -107,6 +107,29 @@ object SimOps {
       .limit(5)
   }
 
+  /** MULTI-PROBE hyperplane LSH: probe the query's bucket plus its 4
+    * Hamming-1 neighbors (one hyperplane flipped) — 5 of the 16
+    * buckets. The production LSH recall knob: near neighbors that land
+    * one sign-flip away (the common miss mode — a dot product near 0)
+    * are recovered WITHOUT extra hash tables or index memory; probes
+    * trade touched partitions for recall, smoothly. Same map-only
+    * scan + bucket filter as [[simLsh]], ~5/16 of the corpus ranked. */
+  val simMultiprobe: Q = (s, d) => {
+    val ve = vecs(s, d).withColumn("bucket", expr(bucketSql))
+    val q = ve.filter($"vec_id" === 0)
+      .select($"v".as("qv"), $"nrm".as("qn"), $"bucket".as("qbucket"))
+    ve.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(expr("bucket = qbucket OR bucket = (qbucket ^ 1) " +
+        "OR bucket = (qbucket ^ 2) OR bucket = (qbucket ^ 4) " +
+        "OR bucket = (qbucket ^ 8)"))
+      .withColumn("cos_e4",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e4).cast("long"))
+      .select($"vec_id", $"cos_e4")
+      .orderBy($"cos_e4".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** IVF-style ANN: "train" centroids (deterministically: the first 8
     * vectors), assign every vector to its max-cosine centroid
     * (broadcast centroid table — map-only over the corpus), then
@@ -433,6 +456,7 @@ object SimOps {
     "sim_recall" -> simRecall,
     "sim_range" -> simRange,
     "sim_lsh" -> simLsh,
+    "sim_multiprobe" -> simMultiprobe,
     "sim_ivf" -> simIvf,
     "sim_batch_topk" -> simBatchTopk,
     "embed_group_mean" -> embedGroupMean,
@@ -671,6 +695,18 @@ object SimOps {
          |FROM b e, (SELECT v, nrm, bucket FROM b WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0 AND e.bucket = q.bucket
          |ORDER BY cos_e4 DESC, e.vec_id LIMIT 5""".stripMargin,
+
+    "sim_multiprobe" ->
+      s"""WITH $duckVecs,
+         | b AS (
+         |  SELECT vec_id, v, nrm, $duckBucket AS bucket FROM vecs)
+         |SELECT e.vec_id,
+         |  CAST(floor($duckDot / (e.nrm * q.nrm) * 10000) AS BIGINT) AS cos_e4
+         |FROM b e, (SELECT v, nrm, bucket FROM b WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0 AND (e.bucket = q.bucket
+         |  OR e.bucket = xor(q.bucket, 1) OR e.bucket = xor(q.bucket, 2)
+         |  OR e.bucket = xor(q.bucket, 4) OR e.bucket = xor(q.bucket, 8))
+         |ORDER BY cos_e4 DESC, e.vec_id LIMIT 10""".stripMargin,
 
     "sim_ivf" ->
       s"""WITH $duckVecs,

@@ -63,6 +63,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash samples the decoded 8x8 grid exactly per the paint rule") {
+    for ((w, h, seed) <- Seq((16, 16, 0L), (135, 111, 119L), (16, 112, 44L))) {
+      val (lo, hi) = Codec.phash(Codec.encodePng(w, h, seed))
+      var (elo, ehi) = (0L, 0L)
+      for (i <- 0 until 8; j <- 0 until 8) {
+        val v = (i * (w / 8) + j * (h / 8) + seed) % 256
+        if (v >= 128) {
+          val b = i * 8 + j
+          if (b < 32) elo |= 1L << b else ehi |= 1L << (b - 32)
+        }
+      }
+      assert((lo, hi) == ((elo, ehi)), s"phash mismatch for ${(w, h, seed)}")
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32),
+        "halves must never touch the sign bit")
+    }
+  }
+
   test("resize plan preserves aspect and bounds the long side") {
     val out = Multimodal.resizePlan(
       Multimodal.decodeImages(Multimodal.imageTable(spark, sf)), maxSide = 100)
