@@ -341,7 +341,41 @@ object Relational3 {
     * matched semantics and the nullable output schema). */
   val joinAsofOuter: Q = nativeAsof(outer = true)
 
+  /** Grid resampling by AS-OF join — the "state at regular instants"
+    * operator every time-series store exposes (downsampling, feature
+    * snapshots, training-time alignment): a 6-hour grid is generated
+    * per user spanning their event history, and each grid instant
+    * picks up the latest `(ts, event_id)` event at or before it
+    * through the native [[graft.engine.plans.AsOfJoin]] — one
+    * co-partitioned merge pass with one buffered row of state, NEVER
+    * the grid × history pair blow-up the composed range-join form
+    * would materialize (a year of history per grid point at 100 TB).
+    * The grid starts one step after each user's first event, so every
+    * point has a match and inner semantics lose nothing. The oracle
+    * engine has no tie-controlled ASOF join, so it spells the same
+    * semantics as join + two-stage reduction (max ts, then max
+    * event_id among that ts). */
+  val tsAsofGrid: Q = (s, d) => {
+    val Step = 21600000000L // 6 h in µs
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"))
+    val grid = ev.groupBy($"user_id")
+      .agg(expr(s"(min(ts_us) DIV $Step) * $Step").as("g0"),
+        expr(s"(max(ts_us) DIV $Step) * $Step").as("g1"))
+      .select($"user_id".as("g_user"),
+        explode(expr(s"sequence(g0 + $Step, g1 + $Step, $Step)")).as("grid_us"))
+    graft.engine.plans.AsOfJoin.frames(
+        grid, ev.select($"user_id".as("e_user"), $"event_id", $"ts_us"),
+        leftKey = "g_user", rightKey = "e_user",
+        leftTime = "grid_us", rightTime = "ts_us", rightTie = "event_id")
+      .select($"g_user".as("user_id"), $"grid_us",
+        $"event_id".as("last_event_id"), $"ts_us".as("last_ts_us"))
+      .orderBy($"user_id", $"grid_us")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_asof_grid" -> tsAsofGrid,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "join_asof_native" -> joinAsofNative,
     "join_asof_outer" -> joinAsofOuter,
@@ -366,6 +400,31 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_asof_grid" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        | b AS (
+        |  SELECT user_id,
+        |    (min(ts_us) // 21600000000) * 21600000000 AS g0,
+        |    (max(ts_us) // 21600000000) * 21600000000 AS g1
+        |  FROM e GROUP BY user_id),
+        | g AS (
+        |  SELECT user_id, unnest(generate_series(
+        |    g0 + 21600000000, g1 + 21600000000, 21600000000)) AS grid_us
+        |  FROM b),
+        | j AS (
+        |  SELECT g.user_id, g.grid_us, e.ts_us, e.event_id
+        |  FROM g JOIN e ON e.user_id = g.user_id AND e.ts_us <= g.grid_us),
+        | m AS (
+        |  SELECT user_id, grid_us, max(ts_us) AS last_ts_us
+        |  FROM j GROUP BY 1, 2)
+        |SELECT m.user_id, m.grid_us,
+        |  CAST(max(j.event_id) AS BIGINT) AS last_event_id, m.last_ts_us
+        |FROM m JOIN j ON j.user_id = m.user_id AND j.grid_us = m.grid_us
+        |  AND j.ts_us = m.last_ts_us
+        |GROUP BY m.user_id, m.grid_us, m.last_ts_us
+        |ORDER BY m.user_id, m.grid_us""".stripMargin,
+
     "agg_bitmap_distinct" ->
       "SELECT count(DISTINCT o_custkey) AS n_distinct FROM orders",
 

@@ -503,7 +503,30 @@ object Relational6 {
       .orderBy($"o_orderkey")
   }
 
+  /** Two-stage SALTED aggregation — the hot-key shuffle-skew pattern
+    * for AGGREGATES (AQE's skew handling only rewrites joins): stage 1
+    * aggregates (key, salt∈0..15) so one pathological group key — 3
+    * keys own ~all of lineitem here — splits across 16 tasks; stage 2
+    * recombines the 16 narrow partials per key. The salt is a
+    * deterministic row hash, but ANY salt distribution yields the same
+    * answer (COUNT longs and DECIMAL sums are fold-order-free), which
+    * is the correctness argument: the oracle IS the direct one-stage
+    * GROUP BY. At 100 TB this is how a 40%-of-rows key stops capping
+    * the whole stage at one task's throughput. */
+  val aggSalted: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .withColumn("salt",
+        pmod(hash($"l_orderkey", $"l_linenumber", $"l_partkey"), lit(16)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"l_quantity".cast(dec)).as("pq"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"pn").as("n_rows"), sum($"pq").cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_salted" -> aggSalted,
     "win_cume_dist" -> winCumeDist,
     "join_star" -> joinStar,
     "ts_sessionize" -> tsSessionize,
@@ -526,6 +549,14 @@ object Relational6 {
   )
 
   val oracles: Map[String, String] = Map(
+    // deliberately the DIRECT single-stage form: salting must be
+    // invisible in the result, only in the plan
+    "agg_salted" ->
+      """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "win_cume_dist" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6,
