@@ -80,6 +80,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash banding is lossless at hamming<=3: equals brute-force pairs") {
+    val hashes = Multimodal.mmPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (a, alo, ahi) <- hashes; (b, blo, bhi) <- hashes if a < b
+      d = java.lang.Long.bitCount(alo ^ blo) + java.lang.Long.bitCount(ahi ^ bhi)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.mmPhashDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      "banded candidates + verify must equal the all-pairs result (pigeonhole)")
+  }
+
   test("resize plan preserves aspect and bounds the long side") {
     val out = Multimodal.resizePlan(
       Multimodal.decodeImages(Multimodal.imageTable(spark, sf)), maxSide = 100)

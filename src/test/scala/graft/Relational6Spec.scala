@@ -307,6 +307,42 @@ class Relational6Spec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("agg_salted equals the direct one-stage aggregate, split across salts") {
+    val salted = Relational6.aggSalted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val direct = engine.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity".cast(dec)).cast("double").as("q"))
+      .orderBy($"l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(salted == direct, "salting must be invisible in the result")
+    // stage 1 really splits: >1 salt bucket per flag on this data
+    val buckets = engine.Tables.lineitem(spark, sf)
+      .withColumn("salt",
+        pmod(hash($"l_orderkey", $"l_linenumber", $"l_partkey"), lit(16)))
+      .select($"l_returnflag", $"salt").distinct().count()
+    assert(buckets > direct.length, "hot keys must spread across salts")
+  }
+
+  test("win_cume_dist: cd is a valid distribution, second_low matches a recompute") {
+    val rows = Relational6.winCumeDist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cume_dist in (0, 1e6]; exactly one row per partition reaches 1e6
+    assert(rows.forall(r => r.getLong(3) > 0 && r.getLong(3) <= 1000000L))
+    // second_low: null only on each partition's first row, else the
+    // 2nd-smallest (price, key) seen — recompute per partition
+    val byPrio = rows.groupBy(_.getString(1))
+    byPrio.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getDouble(2), r.getLong(0)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (i == 0) assert(r.isNullAt(4))
+        else assert(r.getDouble(4) == sorted(1).getDouble(2))
+      }
+    }
+  }
+
   test("data_interleave prefixes are source-balanced") {
     val rows = Relational6.dataInterleave(spark, sf).collect()
     val bySource = rows.groupBy(_.getString(1))

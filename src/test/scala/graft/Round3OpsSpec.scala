@@ -13,6 +13,36 @@ class Round3OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.session
   private val sf = "/root/testdata/sf0.001"
 
+  test("ts_asof_grid: every grid instant carries its user's latest prior event") {
+    val rows = Relational3.tsAsofGrid(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val step = 21600000000L
+    rows.foreach { r =>
+      assert(r.getLong(1) % step == 0L, "grid instants sit on step boundaries")
+      assert(r.getLong(3) <= r.getLong(1), "matched event is at or before the instant")
+    }
+    // inner as-of over a grid that starts after each user's first event
+    // drops nothing: exactly (g1-g0)/step + 1 instants per user
+    val spans = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .groupBy(col("user_id"))
+      .agg(expr(s"(max(us) DIV $step) - (min(us) DIV $step) + 1").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    assert(got == spans, "one output row per user per grid instant")
+    // spot-check the as-of pick against a direct window recompute
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.take(50).foreach { r =>
+      val best = ev.filter(e => e._1 == r.getLong(0) && e._3 <= r.getLong(1))
+        .maxBy(e => (e._3, e._2))
+      assert((r.getLong(3), r.getLong(2)) == ((best._3, best._2)),
+        s"as-of pick mismatch at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("pack_sequences: contiguous global packing, offsets within budget") {
     val rows = PipelineOps.packSequences(spark, sf).collect()
     val b = PipelineOps.PackBudget
