@@ -64,7 +64,13 @@ object Relational6 {
     * |V|-sized → auto-broadcast under local thresholds; at 100 TB the
     * rank table co-shuffles with edges on src) then one hash aggregate
     * on dst. The edge list is checkpointed once and reused by all
-    * three iterations — the standard iterative-graph lineage cut. */
+    * three iterations — the standard iterative-graph lineage cut.
+    * (Round 5 measured two alternatives — degree via src-windowed
+    * count, and a second degree-annotated checkpoint — both ≥15%
+    * slower here: the per-iteration deg hash-agg over the checkpoint
+    * is cheaper than a window sort or an extra materialization. On a
+    * real cluster, fold deg into the edge checkpoint to drop one
+    * shuffle per iteration.) */
   val graphPagerank: Q = (s, d) => {
     val pairs = Tables.lineitem(s, d)
       .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
