@@ -315,6 +315,52 @@ object SimOps {
       .limit(5)
   }
 
+  /** IVF-PQ retrieval — the production ANN composition (what a
+    * billion-vector index actually runs): the IVF coarse quantizer
+    * restricts the search to the query's 2 probed inverted lists
+    * (~2/8 of the corpus touched), and within them candidates are
+    * ranked by PQ asymmetric distance — an 8-term LUT sum over 2-byte
+    * codes, never a full-precision vector read. At 100 TB: probe
+    * selection is a broadcast, the scan reads codes, and the only
+    * full-precision vectors ever touched are the k finalists a real
+    * system would re-rank exactly. Composes [[simIvf]]'s assignment
+    * with [[simPqAdc]]'s LUT machinery under one gate. */
+  val simIvfPq: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ve = vecs(s, d).localCheckpoint()
+    val cents = ve.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val ranked = ve.crossJoin(broadcast(cents))
+      .withColumn("ccos_e6",
+        floor(expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm") * 1e6).cast("long"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos_e6".desc, $"cid")))
+    val assignment = ranked.filter($"crn" === 1).select($"vec_id", $"cid")
+    val probes = ranked.filter($"vec_id" === 0 && $"crn" <= 2)
+      .select($"cid".as("probe_cid"))
+    val cbook = pqCents(s, d)
+    val code = pqCodeSql(cbook) _
+    val qv: Array[Double] = Tables.embeddings(s, d)
+      .filter($"vec_id" === 0).select($"embedding").collect()
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val lut = Array.tabulate(8, 4) { (m, k) =>
+      (0 until 8).foldLeft(0.0) { (a, i) =>
+        val dd = qv(m * 8 + i) - cbook(k)(m * 8 + i); a + dd * dd
+      }
+    }
+    val dist = (0 until 8).map { m =>
+      s"element_at(array(${(0 until 4).map(k => s"${lut(m)(k)}D").mkString(",")}), " +
+        s"cast(${code(m)} as int) + 1)"
+    }.mkString(" + ")
+    ve.filter($"vec_id" =!= 0)
+      .join(assignment, "vec_id")
+      .join(broadcast(probes), $"cid" === $"probe_cid")
+      .select($"vec_id",
+        expr(s"cast(floor(($dist) * 1000000D) as bigint)").as("adist_e6"))
+      .orderBy($"adist_e6".asc, $"vec_id")
+      .limit(5)
+  }
+
   /** Batched exact retrieval: top-5 cosine neighbors for EACH of the
     * first 10 query vectors in one corpus pass — the batch-ANN shape
     * (broadcast the query block, one scan, per-query bounded top-k).
@@ -463,6 +509,7 @@ object SimOps {
     "embed_quantize" -> embedQuantize,
     "embed_pq" -> embedPq,
     "sim_pq_adc" -> simPqAdc,
+    "sim_ivf_pq" -> simIvfPq,
   )
 
   private val duckDot =
@@ -599,6 +646,53 @@ object SimOps {
         |SELECT vec_id, CAST(floor(dist * 1000000) AS BIGINT) AS adist_e6
         |FROM ad WHERE vec_id <> 0
         |ORDER BY adist_e6, vec_id LIMIT 5""".stripMargin,
+
+    "sim_ivf_pq" ->
+      s"""WITH $duckVecs,
+         | cents AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 8),
+         | ranked AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      CAST(floor(list_reduce(list_prepend(0.0, list_transform(
+         |        range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])), (a, b) -> a + b)
+         |        / (e.nrm * c.cnrm) * 1000000) AS BIGINT) DESC, c.cid) AS crn
+         |  FROM vecs e, cents c),
+         | assignment AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+         | probes AS (SELECT cid FROM ranked WHERE vec_id = 0 AND crn <= 2),
+         | cent AS (SELECT vec_id AS k, v AS cv FROM vecs WHERE vec_id < 4),
+         | q AS (SELECT v FROM vecs WHERE vec_id = 0),
+         | sub AS (
+         |  SELECT e.vec_id, m.m, c.k,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      i -> (e.v[m.m * 8 + i] - c.cv[m.m * 8 + i])
+         |           * (e.v[m.m * 8 + i] - c.cv[m.m * 8 + i]))),
+         |      (a, b) -> a + b) AS dist
+         |  FROM vecs e, (SELECT unnest(range(0, 8)) AS m) m, cent c),
+         | enc AS (
+         |  SELECT vec_id, m,
+         |    min(CAST(floor(dist * 1000000) AS BIGINT) * 4 + k) AS e
+         |  FROM sub GROUP BY vec_id, m),
+         | code AS (SELECT vec_id, m, e % 4 AS c FROM enc),
+         | lut AS (
+         |  SELECT m.m, c.k,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      i -> (q.v[m.m * 8 + i] - c.cv[m.m * 8 + i])
+         |           * (q.v[m.m * 8 + i] - c.cv[m.m * 8 + i]))),
+         |      (a, b) -> a + b) AS t
+         |  FROM (SELECT unnest(range(0, 8)) AS m) m, cent c, q),
+         | ad AS (
+         |  SELECT code.vec_id,
+         |    list_reduce(list_prepend(0.0, list(lut.t ORDER BY code.m)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM code JOIN lut ON lut.m = code.m AND lut.k = code.c
+         |  GROUP BY code.vec_id)
+         |SELECT ad.vec_id, CAST(floor(ad.dist * 1000000) AS BIGINT) AS adist_e6
+         |FROM ad
+         |JOIN assignment a ON a.vec_id = ad.vec_id
+         |JOIN probes p ON p.cid = a.cid
+         |WHERE ad.vec_id <> 0
+         |ORDER BY adist_e6, ad.vec_id LIMIT 5""".stripMargin,
 
     "sim_batch_topk" ->
       s"""WITH $duckVecs,

@@ -45,6 +45,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- real PNG codec: encode→decode is the identity on the rule ----
+
+  test("imageio codec round-trips arbitrary dimensions and seeds exactly") {
+    import graft.engine.multimodal.Multimodal.Codec
+    val gen = for {
+      w <- Gen.chooseNum(8, 160)
+      h <- Gen.chooseNum(8, 160)
+      seed <- Gen.chooseNum(0L, 1000000L)
+    } yield (w, h, seed)
+    check(40)(Prop.forAll(gen) { case (w, h, seed) =>
+      val expect = (for (x <- 0 until w; y <- 0 until h)
+        yield (x + y + seed) % 256).sum
+      assert(Codec.decodeImage(Codec.encodePng(w, h, seed)) == ((w, h, expect)))
+      val (lo, hi) = Codec.phash(Codec.encodePng(w, h, seed))
+      var (elo, ehi) = (0L, 0L)
+      for (i <- 0 until 8; j <- 0 until 8)
+        if ((i * (w / 8) + j * (h / 8) + seed) % 256 >= 128) {
+          val b = i * 8 + j
+          if (b < 32) elo |= 1L << b else ehi |= 1L << (b - 32)
+        }
+      assert((lo, hi) == ((elo, ehi)))
+      true
+    })
+  }
+
   // ---- native expressions ≡ declarative formulations ----
 
   test("PolyHash ≡ per-character aggregate fold for arbitrary ASCII strings") {
