@@ -285,6 +285,32 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Temperature-scaled mixture weights (the mC4/ROOTS multilingual
+    * sampling scheme): language l draws proportionally to
+    * tokens^(1/T), here T = 2 → sqrt — rare languages upweighted
+    * smoothly relative to proportional sampling, without
+    * [[mixWeights]]' hard equal-budget clamp. Cross-engine exactness:
+    * sqrt is IEEE-correctly-rounded (bit-identical on exact BIGINT
+    * token counts), and the normalizing Σ√tokens folds over the
+    * SORTED language list (a grouped double-sum's fold order is
+    * partition-dependent; a 5-element sorted-list fold is
+    * deterministic in both engines — the |languages|-sized list is
+    * control-plane data, never corpus-sized). */
+  val mixTemperature: Q = (s, d) => {
+    val per = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"lang", size(tokens($"text")).cast("long").as("toks"))
+      .groupBy($"lang").agg(sum($"toks").as("tokens"))
+    val tw = per.agg(expr(
+      "aggregate(array_sort(collect_list(struct(lang, tokens))), 0.0D, " +
+        "(a, x) -> a + sqrt(cast(x.tokens as double)))").as("tw"))
+    per.crossJoin(broadcast(tw))
+      .select($"lang", $"tokens",
+        floor(sqrt($"tokens".cast("double")) / $"tw" * 1e6).cast("long")
+          .as("frac_e6"))
+      .orderBy($"lang")
+  }
+
   /** The composed mixture pipeline: [[mixWeights]]'s per-language
     * fractions APPLIED by a deterministic multiplicative-hash draw
     * (the `sample_hash` scheme on doc_id mod 10000 buckets) — the
@@ -363,6 +389,7 @@ object TextOps {
     "tok_bpe_pairs" -> tokBpePairs,
     "pipeline_mix" -> pipelineMix,
     "mix_weights" -> mixWeights,
+    "mix_temperature" -> mixTemperature,
     "text_repetition" -> textRepetition,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
@@ -430,6 +457,22 @@ object TextOps {
         |  CAST(floor(CAST((SELECT min(tokens) FROM per) AS DOUBLE)
         |    / tokens * 10000) AS BIGINT) AS sample_frac_bp
         |FROM per ORDER BY lang""".stripMargin,
+
+    "mix_temperature" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY lang),
+        | tw AS (
+        |  SELECT list_reduce(list_prepend(0.0,
+        |    list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY lang)),
+        |    (a, b) -> a + b) AS tw
+        |  FROM per)
+        |SELECT lang, tokens,
+        |  CAST(floor(sqrt(CAST(tokens AS DOUBLE)) / tw.tw * 1000000) AS BIGINT)
+        |    AS frac_e6
+        |FROM per, tw ORDER BY lang""".stripMargin,
 
     "text_repetition" ->
       """WITH g AS (
