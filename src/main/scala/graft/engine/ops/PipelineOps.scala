@@ -236,12 +236,39 @@ object PipelineOps {
       .select($"doc_id", size($"toks").cast("long").as("n_toks")))
   }
 
+  /** Z-order clustering layout (the Delta/Iceberg `OPTIMIZE ZORDER`
+    * primitive): each row's (partkey, suppkey) interleave bit-by-bit
+    * into a Morton code, and the file/bucket a row lands in is the
+    * code's high bits — rows near each other in BOTH dimensions land
+    * in the same bucket, so a scan filtered on EITHER key prunes most
+    * buckets (min/max zone maps stay tight on both columns at once,
+    * which no single-column sort achieves). Emits the per-bucket zone
+    * map (count + min/max of both keys) — the statistics a data-
+    * skipping reader consults. Map-only code computation + one hash
+    * aggregate; at 100 TB this is the repartitionByRange(morton) write
+    * planning pass. All BIGINT bit arithmetic — cross-engine exact. */
+  val dataZorder: Q = (s, d) => {
+    val morton =
+      "aggregate(sequence(0, 15), 0L, (a, i) -> a" +
+        " + shiftleft(cast(shiftright(pk, i) & 1 as bigint), cast(2 * i as int))" +
+        " + shiftleft(cast(shiftright(sk, i) & 1 as bigint), cast(2 * i + 1 as int)))"
+    Tables.lineitem(s, d)
+      .select(($"l_partkey" % 65536L).as("pk"), ($"l_suppkey" % 65536L).as("sk"))
+      .withColumn("bucket", expr(s"($morton) DIV 262144L"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"pk").as("pk_min"), max($"pk").as("pk_max"),
+        min($"sk").as("sk_min"), max($"sk").as("sk_max"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "pack_sequences" -> packSequences,
     "pipeline_pack" -> pipelinePack,
     "pipeline_clean" -> pipelineClean,
     "agg_topk_custom" -> aggTopkCustom,
     "sim_ivf_kmeans" -> simIvfKmeans,
+    "data_zorder" -> dataZorder,
   )
 
   // ------------------------------------------------------------ oracles
@@ -343,6 +370,22 @@ object PipelineOps {
          |  FROM sig s LEFT JOIN rep r ON r.doc_id = s.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "data_zorder" ->
+      """WITH k AS (
+        |  SELECT l_partkey % 65536 AS pk, l_suppkey % 65536 AS sk
+        |  FROM lineitem),
+        | z AS (
+        |  SELECT pk, sk,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(16),
+        |      i -> (((pk >> CAST(i AS INTEGER)) & 1) << CAST(2 * i AS INTEGER))
+        |         + (((sk >> CAST(i AS INTEGER)) & 1) << CAST(2 * i + 1 AS INTEGER)))),
+        |      (a, b) -> a + b) // 262144 AS bucket
+        |  FROM k)
+        |SELECT bucket, CAST(count(1) AS BIGINT) AS n_rows,
+        |  min(pk) AS pk_min, max(pk) AS pk_max,
+        |  min(sk) AS sk_min, max(sk) AS sk_max
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id,
