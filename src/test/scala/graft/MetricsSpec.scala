@@ -55,6 +55,37 @@ class MetricsSpec extends AnyFunSuite {
       s"LSH ($mh) should shuffle less than the exact inverted index ($exact)")
   }
 
+  test("phash near-dup shuffles fingerprints, never image bytes") {
+    // the dedup pipeline's bytes-stay-put claim, measured: what moves
+    // through the band join is (band, bv, id, lo, hi) rows — a few
+    // hundred bytes per IMAGE — while the PNG content (tens of KB per
+    // image at real resolutions) is consumed map-side at the decode
+    val images = graft.engine.multimodal.Multimodal.imageTable(spark, sf)
+    val contentBytes = images.select(sum(octet_length(col("content"))))
+      .head().getLong(0)
+    val s = Metrics.shuffleStats(
+      graft.engine.multimodal.Multimodal.mmPhashDup(spark, sf))
+    assert(s.bytesWritten > 0L)
+    assert(s.bytesWritten < contentBytes,
+      s"phash dedup shuffled $s vs $contentBytes content bytes — " +
+        "the binary column leaked into the shuffle")
+  }
+
+  test("as-of grid resampling shuffles each side once, not the pair blow-up") {
+    val grid = graft.engine.ops.Relational3.tsAsofGrid(spark, sf)
+    val nOut = grid.count()
+    val nEvents = Tables.events(spark, sf).count()
+    val s = Metrics.shuffleStats(grid)
+    // the merge consumes one hash exchange per side (grid rows +
+    // events) plus the final order; the composed range-join form would
+    // shuffle ~every (grid, prior-event) PAIR — orders of magnitude
+    // more rows than grid + events
+    assert(s.recordsWritten > 0L)
+    assert(s.recordsWritten <= 2L * (nOut + nEvents),
+      s"as-of grid shuffled ${s.recordsWritten} records for $nOut grid " +
+        s"rows + $nEvents events — pair materialization leaked in")
+  }
+
   test("partitioned write + filtered read prunes to matching directories only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
