@@ -486,7 +486,48 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Substring-duplication window width (tokens). */
+  val SubstrK = 8
+
+  /** Exact-substring duplication profile (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * metric, token-windowed): every positional [[SubstrK]]-token
+    * window is hashed; a window whose hash occurs ≥2 times anywhere
+    * in the corpus (another document OR another position of the same
+    * document — self-repetition is still duplication) is "duplicated",
+    * and each document reports its duplicated-window fraction in
+    * basis points. The suffix-array step of the paper collapses to a
+    * fixed-width rolling window here, which is what makes the op
+    * embarrassingly distributable: explode windows → one hash
+    * aggregate for global occurrence counts → one per-doc aggregate.
+    * Only (doc_id, window-hash) rows ever shuffle — the 31-base
+    * polynomial hash keeps the shuffled key 8 bytes instead of the
+    * window text, and a mod-P collision is identical in both engines
+    * (the oracle hashes the same way), so the gate stays exact. */
+  val dedupSubstring: Q = (s, d) => {
+    ensureRegistered(s)
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", $"text")
+      .repartition($"doc_id")
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= SubstrK)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(toks) - ${SubstrK - 1}), " +
+          s"i -> graft_polyhash(concat_ws(' ', slice(toks, i, $SubstrK))))"))
+        .as("g"))
+      .localCheckpoint() // two consumers: occurrence counts + per-doc tally
+    val occ = grams.groupBy($"g").agg(count(lit(1)).as("occ"))
+    grams.join(occ, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"occ" >= 2, 1L).otherwise(0L)).as("dup"))
+      .withColumn("dup_bp", expr("dup * 10000 DIV n_windows"))
+      .select($"doc_id", $"n_windows", $"dup_bp")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_substring" -> dedupSubstring,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_contamination" -> dedupContamination,
     "dedup_near" -> dedupNear,
@@ -512,6 +553,23 @@ object DedupOps {
       |  WHERE len(toks) >= 3)""".stripMargin
 
   private val oracles0: Map[String, String] = Map(
+    "dedup_substring" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         | grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${SubstrK - 2}),
+         |    i -> ${duckCharHash(s"array_to_string(t[i : i + ${SubstrK - 1}], ' ')")})) AS g
+         |  FROM toks WHERE len(t) >= $SubstrK),
+         | occ AS (SELECT g, count(1) AS occ FROM grams GROUP BY g),
+         | per AS (
+         |  SELECT doc_id, count(1) AS n_windows,
+         |    sum(CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END) AS dup
+         |  FROM grams JOIN occ USING (g) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+         |  CAST(dup * 10000 // n_windows AS BIGINT) AS dup_bp
+         |FROM per ORDER BY doc_id""".stripMargin,
+
     "dedup_paragraph" -> {
       val charhash =
         "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +

@@ -1,0 +1,262 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Seventh relational batch (round 5): exponentially-weighted moving
+  * average in exact binary-weight integer arithmetic, neighbor-set
+  * Jaccard link scoring (common-neighbors similarity), peak-preserving
+  * time-series downsampling, and per-source language-diversity
+  * profiling (Gini–Simpson / effective-category counts).
+  *
+  * Determinism contract as ever (SURVEY §7.3): epoch-µs/BIGINT
+  * arithmetic only. The EWMA uses power-of-two decay weights so the
+  * weighted average is a pure integer expression (`num DIV den`);
+  * diversity avoids `ln` entirely (libm `log` is not correctly
+  * rounded, unlike `sqrt`, so cross-engine last-ulp parity is NOT
+  * guaranteed) by reporting the Gini–Simpson index and the effective
+  * number of categories 1/Σp² — both exact integer forms.
+  */
+object Relational7 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** EWMA smoothing depth: the current value plus 7 lags. */
+  val EwmaK = 8
+
+  /** Per-user EWMA of `events.value` (milli-units) with binary decay
+    * — weight 2⁷ on the newest sample halving to 2⁰ on the oldest of
+    * 8, renormalized over however many lags exist near the partition
+    * head. Because the weights are integers, the smoothed value is
+    * `Σ wᵢ·vᵢ DIV Σ wᵢ` in pure BIGINT: bit-identical across engines
+    * and insensitive to evaluation order, where the classic float
+    * recurrence `s = α·x + (1−α)·s` drifts by ulps.
+    *
+    * ONE shuffle: all 7 `lag` windows share the user_id hash +
+    * (ts_us, event_id) sort, so Catalyst plans a single exchange and
+    * a single per-partition sort — the bounded-lag formulation is
+    * also what keeps this embarrassingly parallel at 100 TB (a true
+    * infinite-horizon EWMA is a sequential scan per user; 8 lags is
+    * a window frame). */
+  val winEwma: Q = (s, d) => {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val base = Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+    val lagged = (1 until EwmaK).foldLeft(base) { (df, i) =>
+      df.withColumn(s"l$i", lag($"v_mu", i).over(w))
+    }
+    val terms = (0 until EwmaK).map { i =>
+      val weight = 1L << (EwmaK - 1 - i)
+      val v = if (i == 0) "v_mu" else s"l$i"
+      (s"CASE WHEN $v IS NULL THEN 0 ELSE $v * ${weight}L END",
+        s"CASE WHEN $v IS NULL THEN 0 ELSE ${weight}L END")
+    }
+    lagged
+      .withColumn("ewma_mu", expr(
+        s"(${terms.map(_._1).mkString(" + ")}) DIV " +
+          s"(${terms.map(_._2).mkString(" + ")})"))
+      .select($"user_id", $"event_id", $"v_mu", $"ewma_mu")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Df cap for [[graphJaccard]] candidate generation: a part
+    * supplied by F suppliers contributes C(F,2) pair rows, so one
+    * ubiquitous "boilerplate" part would make the self-join quadratic
+    * at 100 TB. Capping mirrors [[DedupOps.NearMaxShingleDf]]: a
+    * dropped part only lowers the computed intersection (the oracle
+    * applies the identical cap). 5× the supplier count at sf0.1, so
+    * test-scale results are unchanged. */
+  val JaccardMaxPartDf = 5000
+
+  /** Neighbor-set Jaccard between suppliers in the supplier↔part
+    * bipartite graph induced by lineitem — the common-neighbors /
+    * link-prediction primitive (two suppliers are similar when they
+    * supply the same parts). Same sub-quadratic posting-list shape as
+    * the shingle dedups: distinct edges → self-equi-join on part →
+    * per-pair intersection count → degree join → exact integer
+    * Jaccard `inter·10⁴ DIV (na + nb − inter)`. Candidates are
+    * generated ONLY for pairs sharing ≥1 part (all others have
+    * Jaccard 0), and hot parts are df-capped, so the join never goes
+    * all-pairs. Top-20 by (jacc_bp, sa, sb) — a total order, so LIMIT
+    * is deterministic. */
+  val graphJaccard: Q = (s, d) => {
+    val edges = Tables.lineitem(s, d)
+      .select($"l_suppkey".as("sk"), $"l_partkey".as("p"))
+      .distinct()
+    val deg = edges.groupBy($"sk").agg(count(lit(1)).as("n"))
+    val hot = edges.groupBy($"p").agg(count(lit(1)).as("df"))
+      .filter($"df" > JaccardMaxPartDf).select($"p")
+    val kept = edges.join(broadcast(hot), Seq("p"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(deg.select($"sk".as("sa"), $"n".as("na")), "sa")
+      .join(deg.select($"sk".as("sb"), $"n".as("nb")), "sb")
+      .withColumn("jacc_bp",
+        expr("(inter * 10000) DIV (na + nb - inter)"))
+      .select($"sa", $"sb", $"inter", $"jacc_bp")
+      .orderBy($"jacc_bp".desc, $"sa", $"sb")
+      .limit(20)
+  }
+
+  /** Peak-preserving hourly downsample of the event stream: per hour
+    * bucket keep the single most anomalous sample — argmax of
+    * |v·n − Σv| (the deviation-from-mean scaled by the bucket count
+    * `n`, which keeps the comparison in exact BIGINT instead of
+    * dividing to a float mean). Ties break to the smallest event_id.
+    * The LTTB-style visual downsample a telemetry pipeline runs
+    * before plotting/archiving, minus LTTB's sequential
+    * previous-point dependence — this variant is one window pass, so
+    * it parallelizes by bucket at any scale.
+    *
+    * ONE shuffle: count/sum/max windows and the final argmax
+    * aggregate all cluster by bucket_us. */
+  val tsDownsample: Q = (s, d) => {
+    val w = Window.partitionBy($"bucket_us")
+    Tables.events(s, d)
+      .select($"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+      .withColumn("bucket_us",
+        expr("ts_us DIV 3600000000 * 3600000000"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sum_mu", sum($"v_mu").over(w))
+      .withColumn("dev", abs($"v_mu" * $"n" - $"sum_mu"))
+      .withColumn("maxd", max($"dev").over(w))
+      .filter($"dev" === $"maxd")
+      .groupBy($"bucket_us")
+      .agg(min($"event_id").as("event_id"),
+        min_by($"v_mu", $"event_id").as("v_mu"),
+        max($"dev").as("dev"),
+        max($"n").as("n_in_bucket"))
+      .orderBy($"bucket_us")
+  }
+
+  /** Per-source language-diversity profile of the corpus — the
+    * mixture designer's "is this source monolingual?" check. Reports
+    * exact integer diversity measures: Gini–Simpson index
+    * `(N² − Σc²)·10⁶ DIV N²` (probability two random docs differ in
+    * language) and the effective number of languages `N²·10⁴ DIV Σc²`
+    * (inverse Simpson — 1.0 when monolingual, k when k langs are
+    * uniform). Shannon entropy is deliberately NOT emitted: libm `ln`
+    * is not correctly rounded, so floor-scaling it is a cross-engine
+    * half-ulp hazard, while these forms are closed under integer
+    * arithmetic. Two map-side-combined hash aggregates on keys that
+    * nest ((source, lang) → source), so the second is shuffle-free
+    * under the first's partitioning. */
+  val aggDiversity: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum($"c" * $"c").as("ss"))
+      .withColumn("simpson_e6",
+        expr("(n_docs * n_docs - ss) * 1000000 DIV (n_docs * n_docs)"))
+      .withColumn("eff_langs_e4",
+        expr("n_docs * n_docs * 10000 DIV ss"))
+      .select($"source", $"n_docs", $"n_langs", $"simpson_e6",
+        $"eff_langs_e4")
+      .orderBy($"source")
+
+  val queries: Map[String, Q] = Map(
+    "win_ewma" -> winEwma,
+    "graph_jaccard" -> graphJaccard,
+    "ts_downsample" -> tsDownsample,
+    "agg_diversity" -> aggDiversity,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_ewma" -> {
+      val lags = (1 until EwmaK)
+        .map(i => s"lag(v_mu, $i) OVER w AS l$i").mkString(",\n        |    ")
+      val num = (0 until EwmaK).map { i =>
+        val weight = 1L << (EwmaK - 1 - i)
+        val v = if (i == 0) "v_mu" else s"l$i"
+        s"CASE WHEN $v IS NULL THEN 0 ELSE $v * $weight END"
+      }.mkString(" + ")
+      val den = (0 until EwmaK).map { i =>
+        val weight = 1L << (EwmaK - 1 - i)
+        val v = if (i == 0) "v_mu" else s"l$i"
+        s"CASE WHEN $v IS NULL THEN 0 ELSE $weight END"
+      }.mkString(" + ")
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_mu
+        |  FROM events),
+        | l AS (
+        |  SELECT user_id, event_id, v_mu,
+        |    $lags
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, event_id, v_mu,
+        |  CAST(($num) // ($den) AS BIGINT) AS ewma_mu
+        |FROM l ORDER BY user_id, event_id""".stripMargin
+    },
+
+    "graph_jaccard" ->
+      s"""WITH edges AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS p FROM lineitem),
+        | deg AS (SELECT sk, count(1) AS n FROM edges GROUP BY sk),
+        | hot AS (SELECT p FROM edges GROUP BY p
+        |         HAVING count(1) > $JaccardMaxPartDf),
+        | kept AS (SELECT * FROM edges WHERE p NOT IN (SELECT p FROM hot)),
+        | pairs AS (
+        |  SELECT a.sk AS sa, b.sk AS sb, count(1) AS inter
+        |  FROM kept a JOIN kept b ON a.p = b.p AND a.sk < b.sk
+        |  GROUP BY a.sk, b.sk)
+        |SELECT sa, sb, CAST(inter AS BIGINT) AS inter,
+        |  CAST(inter * 10000 // (da.n + db.n - inter) AS BIGINT) AS jacc_bp
+        |FROM pairs JOIN deg da ON da.sk = sa JOIN deg db ON db.sk = sb
+        |ORDER BY jacc_bp DESC, sa, sb LIMIT 20""".stripMargin,
+
+    "ts_downsample" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_mu
+        |  FROM events),
+        | b AS (
+        |  SELECT event_id, v_mu,
+        |    ts_us // 3600000000 * 3600000000 AS bucket_us
+        |  FROM e),
+        | scored AS (
+        |  SELECT event_id, v_mu, bucket_us,
+        |    count(1) OVER w AS n,
+        |    sum(v_mu) OVER w AS sum_mu
+        |  FROM b WINDOW w AS (PARTITION BY bucket_us)),
+        | dev AS (
+        |  SELECT event_id, v_mu, bucket_us, n,
+        |    abs(v_mu * n - sum_mu) AS dev,
+        |    max(abs(v_mu * n - sum_mu))
+        |      OVER (PARTITION BY bucket_us) AS maxd
+        |  FROM scored)
+        |SELECT bucket_us,
+        |  CAST(min(event_id) AS BIGINT) AS event_id,
+        |  arg_min(v_mu, event_id) AS v_mu,
+        |  CAST(max(dev) AS BIGINT) AS dev,
+        |  CAST(max(n) AS BIGINT) AS n_in_bucket
+        |FROM dev WHERE dev = maxd
+        |GROUP BY bucket_us ORDER BY bucket_us""".stripMargin,
+
+    "agg_diversity" ->
+      """WITH per AS (
+        |  SELECT source, lang, count(1) AS c
+        |  FROM documents GROUP BY source, lang),
+        | agg AS (
+        |  SELECT source,
+        |    CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(1) AS BIGINT) AS n_langs,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM per GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  CAST((n_docs * n_docs - ss) * 1000000 // (n_docs * n_docs)
+        |    AS BIGINT) AS simpson_e6,
+        |  CAST(n_docs * n_docs * 10000 // ss AS BIGINT) AS eff_langs_e4
+        |FROM agg ORDER BY source""".stripMargin,
+  )
+}

@@ -384,7 +384,47 @@ object TextOps {
           "/ (sum(cnt) * sum(cnt)) * 10000D) as bigint)").as("collision_bp"))
       .orderBy($"doc_id")
 
+  /** Function words for the Gopher stopword rule, drawn from the
+    * synthetic corpus's high-frequency vocabulary (the real pipeline
+    * would use the language's closed-class words — the rule is "a
+    * natural-language document contains common function words", and
+    * what is "common" is corpus-relative). */
+  val GopherStopwords: Seq[String] =
+    Seq("data", "table", "row", "value", "query", "join", "key", "column")
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1),
+    * each an exact integer/boolean predicate so the gate carries no
+    * float: word count in [10, 1000]; mean word length in [3, 10]
+    * spelled as `3n ≤ Σlen ≤ 10n` (integer-exact — never divide);
+    * ≥80% of words contain an alphabetic char (`5·n_alpha ≥ 4·n`);
+    * ≥2 function words. `pass` is the conjunction — the row filter a
+    * pre-training pipeline applies before tokenization. Map-only: one
+    * projection over the scan, no shuffle but the presentation sort. */
+  val textGopherRules: Q = (s, d) => {
+    val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_words", size($"toks").cast("long"))
+      .withColumn("sum_len", expr(
+        "aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+      .withColumn("n_alpha", expr(
+        "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS BIGINT)"))
+      .withColumn("n_stop", expr(
+        s"CAST(size(filter(toks, x -> x IN ($stopList))) AS BIGINT)"))
+      .withColumn("ok_nwords", $"n_words" >= 10 && $"n_words" <= 1000)
+      .withColumn("ok_wordlen",
+        $"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10)
+      .withColumn("ok_alpha", $"n_alpha" * 5 >= $"n_words" * 4)
+      .withColumn("ok_stop", $"n_stop" >= 2)
+      .withColumn("pass",
+        $"ok_nwords" && $"ok_wordlen" && $"ok_alpha" && $"ok_stop")
+      .select($"doc_id", $"n_words", $"ok_nwords", $"ok_wordlen",
+        $"ok_alpha", $"ok_stop", $"pass")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_gopher_rules" -> textGopherRules,
     "text_char_diversity" -> textCharDiversity,
     "tok_bpe_pairs" -> tokBpePairs,
     "pipeline_mix" -> pipelineMix,
@@ -403,6 +443,33 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_rules" -> {
+      val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        | f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+        |      (a, x) -> a + x) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks,
+        |      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(toks,
+        |      x -> list_contains([$stopList], x))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  n_words >= 10 AND n_words <= 1000 AS ok_nwords,
+        |  sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS ok_wordlen,
+        |  n_alpha * 5 >= n_words * 4 AS ok_alpha,
+        |  n_stop >= 2 AS ok_stop,
+        |  (n_words >= 10 AND n_words <= 1000)
+        |    AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+        |    AND (n_alpha * 5 >= n_words * 4) AND (n_stop >= 2) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin
+    },
+
     "text_char_diversity" ->
       """SELECT doc_id,
         |  CAST(count(1) AS BIGINT) AS n_distinct_chars,

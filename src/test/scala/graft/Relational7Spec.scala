@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.ops.{DedupOps, Relational7, TextOps}
+
+/** Semantics + plan-shape guards for the round-5 batch: integer EWMA,
+  * neighbor-Jaccard link scores, peak-preserving downsampling,
+  * diversity profiling, substring-duplication fractions, and the
+  * Gopher quality rules. */
+class Relational7Spec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("win_ewma covers every event; a user's first sample is its own EWMA") {
+    val rows = Relational7.winEwma(spark, sf).collect()
+    val events = engine.Tables.events(spark, sf).count()
+    assert(rows.length == events)
+    // per user, the earliest event (no lags) must have ewma == v
+    val first = rows.groupBy(_.getLong(0)).values.map(_.minBy(_.getLong(1)))
+    // event_id order == arrival order in the synthetic data, so the
+    // min-event_id row per user has no preceding lags
+    first.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2),
+        s"first sample of user ${r.getLong(0)} must be unsmoothed")
+    }
+    // smoothing never leaves the envelope of the last 8 samples:
+    // a weighted mean is bounded by min/max of its inputs
+    val byUser = rows.groupBy(_.getLong(0)).values
+    byUser.foreach { urs =>
+      val sorted = urs.sortBy(_.getLong(1))
+      sorted.indices.foreach { i =>
+        val window = sorted.slice(math.max(0, i - 7), i + 1).map(_.getLong(2))
+        val e = sorted(i).getLong(3)
+        assert(e >= window.min - 1 && e <= window.max + 1,
+          "EWMA escapes its sample envelope")
+      }
+    }
+  }
+
+  test("win_ewma plans ONE data exchange (all lag windows share user hash)") {
+    val p = finalPlan(Relational7.winEwma(spark, sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
+  }
+
+  test("graph_jaccard scores are exact-integer, bounded and sorted") {
+    val rows = Relational7.graphJaccard(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (inter, bp) = (r.getLong(2), r.getLong(3))
+      assert(inter >= 1, "candidates share at least one part")
+      assert(bp >= 1 && bp <= 10000, s"jaccard bp out of range: $bp")
+      assert(r.getLong(0) < r.getLong(1), "pairs oriented sa < sb")
+    }
+    val bps = rows.map(_.getLong(3)).toSeq
+    assert(bps == bps.sortBy(-_), "descending by jacc_bp")
+  }
+
+  test("ts_downsample keeps exactly the argmax-deviation sample per hour") {
+    import org.apache.spark.sql.functions._
+    val got = Relational7.tsDownsample(spark, sf).collect()
+    // recompute the expected survivor per bucket on the driver (sf0.001
+    // events are 1k rows)
+    val ev = engine.Tables.events(spark, sf)
+      .select(col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byBucket = ev.groupBy { case (_, ts, _) =>
+      ts / 3600000000L * 3600000000L }
+    assert(got.length == byBucket.size, "one row per non-empty hour")
+    got.foreach { r =>
+      val (bucket, eid, vmu, dev) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val rowsIn = byBucket(bucket)
+      val n = rowsIn.length.toLong
+      val s = rowsIn.map(_._3).sum
+      val devs = rowsIn.map { case (id, _, v) => (id, v, (v * n - s).abs) }
+      val maxd = devs.map(_._3).max
+      val expectId = devs.filter(_._3 == maxd).map(_._1).min
+      assert(dev == maxd && eid == expectId
+        && vmu == devs.find(_._1 == expectId).get._2,
+        s"bucket $bucket picked wrong survivor")
+    }
+  }
+
+  test("agg_diversity: effective languages within [1, n_langs], exact bounds") {
+    val rows = Relational7.aggDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nLangs, simpson, eff) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(simpson >= 0 && simpson < 1000000)
+      assert(eff >= 10000 && eff <= nLangs * 10000,
+        s"inverse Simpson must lie in [1, n_langs]: $eff vs $nLangs")
+    }
+  }
+
+  test("dedup_substring fractions are bounded and duplication is mutual") {
+    val rows = DedupOps.dedupSubstring(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "only docs with >= 1 window appear")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000)
+    }
+    // a duplicated window occurs >= 2 times globally, so the corpus
+    // either has zero duplicated windows or at least two
+    val totalDup = rows.map(r => r.getLong(2) * r.getLong(1) / 10000).sum
+    assert(totalDup == 0 || totalDup >= 2)
+  }
+
+  test("text_gopher_rules: pass is exactly the conjunction of its flags") {
+    val rows = TextOps.textGopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = (2 to 5).map(r.getBoolean)
+      assert(r.getBoolean(6) == flags.forall(identity))
+    }
+    // the rule set must discriminate on this corpus (not all-true/false)
+    val passes = rows.count(_.getBoolean(6))
+    assert(passes > 0 && passes < rows.length,
+      s"gopher rules must split the corpus, got $passes/${rows.length}")
+  }
+}
