@@ -355,7 +355,85 @@ object Multimodal {
         (col("cum_before") % ShardBytes).as("shard_off"))
       .orderBy(col("media_id"))
 
+  /** Samples per analysis frame for [[mmAudio]]. */
+  val AudioFrameSamples = 256
+
+  /** Real-bytes "audio" table (the `audio`-kind ids of [[mediaTable]]):
+    * signed 16-bit little-endian PCM packed through `ByteBuffer` — the
+    * wire format a WAV data chunk carries. The waveform is an integer
+    * PRN (`(id·31 + i)·2654435761 mod 2¹⁶ − 2¹⁵`), closed-form, so an
+    * oracle recomputes every decoded feature from the rule; a real
+    * corpus swaps the synthesizer for file bytes, the decode path is
+    * already the real thing. (The Knuth-constant product stays far
+    * inside int64 for any plausible media_id — overflow would need
+    * id ≈ 10⁸.) */
+  def audioTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 1024 + (id % 1024).toInt
+          val bb = java.nio.ByteBuffer.allocate(n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) {
+            bb.putShort((((id * 31 + i) * 2654435761L % 65536) - 32768).toShort)
+            i += 1
+          }
+          (id, bb.array())
+        }
+      }
+      .toDF("media_id", "content")
+      .select(col("media_id"), lit("audio").as("kind"), col("content"))
+  }
+
+  /** Audio feature extraction over REAL PCM bytes: wrap the blob as a
+    * little-endian `ShortBuffer` (the decode), frame at
+    * [[AudioFrameSamples]], and emit exact-integer features — sample
+    * count, frame count, peak amplitude, total energy Σx², and the
+    * loudest frame's energy (the clipping / silence / VAD signals an
+    * audio-corpus pipeline computes before transcription). All sums
+    * are BIGINT (|x| < 2¹⁵ so Σx² fits with 10⁹ headroom); map-only,
+    * one decoder pass per partition, bytes never shuffle. */
+  val mmAudio: Q = (s, d) => {
+    import s.implicits._
+    audioTable(s, d)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val sb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val n = sb.remaining()
+          val nf = (n + AudioFrameSamples - 1) / AudioFrameSamples
+          var peak = 0L; var esum = 0L; var maxFrame = 0L
+          var f = 0
+          while (f < nf) {
+            var fe = 0L
+            var i = f * AudioFrameSamples
+            val end = math.min(n, (f + 1) * AudioFrameSamples)
+            while (i < end) {
+              val v = sb.get(i).toLong
+              if (v.abs > peak) peak = v.abs
+              fe += v * v
+              i += 1
+            }
+            esum += fe
+            if (fe > maxFrame) maxFrame = fe
+            f += 1
+          }
+          (id, n.toLong, nf.toLong, peak, esum, maxFrame)
+        }
+      }
+      .toDF("media_id", "n_samples", "n_frames", "peak_abs",
+        "energy_sum", "max_frame_energy")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_audio" -> mmAudio,
     "mm_meta" -> mmMeta,
     "mm_dedup" -> mmDedup,
     "mm_shards" -> mmShards,
@@ -392,6 +470,33 @@ object Multimodal {
       |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recomputes the decoded PCM features from the waveform rule — the
+    // Spark side must round-trip real little-endian s16 bytes to match
+    "mm_audio" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(1024 + doc_id % 1024 AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         | syn AS (
+         |  SELECT media_id, n,
+         |    list_transform(range(0, n),
+         |      i -> (media_id * 31 + i) * 2654435761 % 65536 - 32768) AS x,
+         |    (n + ${AudioFrameSamples - 1}) // $AudioFrameSamples AS nf
+         |  FROM ids)
+         |SELECT media_id,
+         |  n AS n_samples,
+         |  CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(list_max(list_transform(x, v -> abs(v))) AS BIGINT) AS peak_abs,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(x, v -> v * v)), (a, b) -> a + b) AS BIGINT)
+         |    AS energy_sum,
+         |  CAST(list_max(list_transform(range(0, nf), f ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(x[f * $AudioFrameSamples + 1 :
+         |        least((f + 1) * $AudioFrameSamples, n)], v -> v * v)),
+         |      (a, b) -> a + b))) AS BIGINT) AS max_frame_energy
+         |FROM syn ORDER BY media_id""".stripMargin,
+
     "mm_shards" ->
       s"""WITH m AS (
          |  SELECT doc_id AS media_id,

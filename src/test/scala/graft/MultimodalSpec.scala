@@ -94,6 +94,22 @@ class MultimodalSpec extends AnyFunSuite {
       "banded candidates + verify must equal the all-pairs result (pigeonhole)")
   }
 
+  test("mm_audio decodes real s16le PCM bytes back to the waveform rule") {
+    val rows = Multimodal.mmAudio(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, nf) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(n == 1024 + id % 1024, "sample count from the synth rule")
+      assert(nf == (n + 255) / 256, "ceil frame count")
+      // recompute features from the closed-form waveform on the driver
+      val xs = (0L until n).map(i => (id * 31 + i) * 2654435761L % 65536 - 32768)
+      assert(r.getLong(3) == xs.map(_.abs).max, "peak amplitude")
+      assert(r.getLong(4) == xs.map(v => v * v).sum, "total energy")
+      val maxFrame = xs.grouped(256).map(_.map(v => v * v).sum).max
+      assert(r.getLong(5) == maxFrame, "loudest frame energy")
+    }
+  }
+
   test("resize plan preserves aspect and bounds the long side") {
     val out = Multimodal.resizePlan(
       Multimodal.decodeImages(Multimodal.imageTable(spark, sf)), maxSide = 100)
