@@ -87,6 +87,8 @@ object Relational7 {
     val edges = Tables.lineitem(s, d)
       .select($"l_suppkey".as("sk"), $"l_partkey".as("p"))
       .distinct()
+      .localCheckpoint() // 4 consumers (deg, hot, both join sides):
+                         // dedup the scan+shuffle once, not per use
     val deg = edges.groupBy($"sk").agg(count(lit(1)).as("n"))
     val hot = edges.groupBy($"p").agg(count(lit(1)).as("df"))
       .filter($"df" > JaccardMaxPartDf).select($"p")
