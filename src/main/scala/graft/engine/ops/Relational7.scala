@@ -167,11 +167,90 @@ object Relational7 {
         $"eff_langs_e4")
       .orderBy($"source")
 
+  private val Dec = org.apache.spark.sql.types.DecimalType(18, 2)
+
+  /** TPC-H Q6 shape (forecast revenue change): one predicate-heavy
+    * scan + a single global decimal sum — the canonical
+    * filter-pushdown benchmark. All three predicates push into the
+    * parquet reader (`PushedFilters`), the projection prunes to 4
+    * columns, and the map-side partial sum leaves one decimal per
+    * partition for the final exchange. Money follows the validated
+    * discipline: DOUBLE → DECIMAL(18,2) per term, exact decimal
+    * multiply/sum, cast to DOUBLE only at presentation. */
+  val aggTpchQ6: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01")
+        && $"l_shipdate" < lit("1997-01-01")
+        && $"l_discount" >= 0.05 && $"l_discount" <= 0.07
+        && $"l_quantity" < 24)
+      .agg(sum($"l_extendedprice".cast(Dec) * $"l_discount".cast(Dec))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * date-bounded orders ⋈ late-shipping lineitem, revenue per order,
+    * top 10. The fact-chain joins shuffle on the key chain
+    * (custkey → orderkey) exactly like [[Relational6.joinStar]]; the
+    * revenue sort key is the EXACT decimal (cast to double only for
+    * presentation), with l_orderkey as tiebreak, so the LIMIT is a
+    * total order and TakeOrdered replaces a global sort. */
+  val joinTpchQ3: Q = (s, d) => {
+    val rev = $"l_extendedprice".cast(Dec) *
+      (lit(1).cast(Dec) - $"l_discount".cast(Dec))
+    Tables.customer(s, d)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+      .join(Tables.orders(s, d)
+          .filter($"o_orderdate" < lit("1998-07-01"))
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, d)
+          .filter($"l_shipdate" > lit("1998-07-01"))
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey",
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("order_us"))
+      .agg(sum(rev).as("rev_dec"))
+      .orderBy($"rev_dec".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"order_us",
+        $"rev_dec".cast("double").as("revenue"))
+  }
+
+  /** Minimum total quantity for [[joinTpchQ18]]'s large orders. */
+  val Q18MinQty = 150L
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * quantity exceeds [[Q18MinQty]], joined back to orders+customer,
+    * top 100 by quantity. The HAVING aggregate runs FIRST on the
+    * narrow (orderkey, quantity) projection — at 100 TB the filter
+    * discards ~99% of orders before any wide row is assembled, which
+    * is the whole point of the shape. l_quantity is integral (1..50
+    * doubles), so the sum is order-invariant-exact in IEEE and the
+    * BIGINT cast is safe cross-engine. */
+  val joinTpchQ18: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").cast("long").as("total_qty"))
+      .filter($"total_qty" > Q18MinQty)
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("order_us")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_name"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"l_orderkey", $"order_us",
+        $"total_qty")
+      .orderBy($"total_qty".desc, $"l_orderkey")
+      .limit(100)
+
   val queries: Map[String, Q] = Map(
     "win_ewma" -> winEwma,
     "graph_jaccard" -> graphJaccard,
     "ts_downsample" -> tsDownsample,
     "agg_diversity" -> aggDiversity,
+    "agg_tpch_q6" -> aggTpchQ6,
+    "join_tpch_q3" -> joinTpchQ3,
+    "join_tpch_q18" -> joinTpchQ18,
   )
 
   val oracles: Map[String, String] = Map(
@@ -244,6 +323,46 @@ object Relational7 {
         |  CAST(max(n) AS BIGINT) AS n_in_bucket
         |FROM dev WHERE dev = maxd
         |GROUP BY bucket_us ORDER BY bucket_us""".stripMargin,
+
+    "agg_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(1) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "join_tpch_q3" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, epoch_us(o_orderdate) AS order_us,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS rev_dec
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-07-01'
+        |    AND l_shipdate > TIMESTAMP '1998-07-01'
+        |  GROUP BY l_orderkey, epoch_us(o_orderdate)
+        |  ORDER BY rev_dec DESC, l_orderkey LIMIT 10)
+        |SELECT l_orderkey, order_us, CAST(rev_dec AS DOUBLE) AS revenue
+        |FROM g""".stripMargin,
+
+    "join_tpch_q18" ->
+      s"""WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(l_quantity) > $Q18MinQty)
+        |SELECT c_name, c_custkey, l_orderkey,
+        |  epoch_us(o_orderdate) AS order_us, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, l_orderkey LIMIT 100""".stripMargin,
 
     "agg_diversity" ->
       """WITH per AS (

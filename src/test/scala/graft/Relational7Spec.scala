@@ -115,6 +115,41 @@ class Relational7Spec extends AnyFunSuite {
     assert(totalDup == 0 || totalDup >= 2)
   }
 
+  test("agg_tpch_q6 pushes all three predicates into the parquet scan") {
+    val df = Relational7.aggTpchQ6(spark, sf)
+    // executedPlan.toString truncates PushedFilters at 100 chars;
+    // formatted explain prints the full pushed list
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"Q6 predicates must reach the scan:\n$p")
+    // projection prunes to exactly the 4 referenced columns
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length == 4, s"pruned read schema, got: $read")
+    val r = df.collect().head
+    assert(r.getLong(1) > 0, "the predicate window matches rows")
+  }
+
+  test("join_tpch_q3 takes the top-10 orders by exact decimal revenue") {
+    val rows = Relational7.joinTpchQ3(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).toSeq
+    assert(revs == revs.sortBy(-_), "descending revenue")
+    val p = Relational7.joinTpchQ3(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "bounded top-k must plan TakeOrdered, not a global sort")
+  }
+
+  test("join_tpch_q18 keeps only orders above the quantity threshold") {
+    val rows = Relational7.joinTpchQ18(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getLong(4) > Relational7.Q18MinQty))
+    val qtys = rows.map(_.getLong(4)).toSeq
+    assert(qtys == qtys.sortBy(-_), "descending total quantity")
+  }
+
   test("text_gopher_rules: pass is exactly the conjunction of its flags") {
     val rows = TextOps.textGopherRules(spark, sf).collect()
     assert(rows.nonEmpty)
