@@ -167,6 +167,105 @@ object Relational7 {
         $"eff_langs_e4")
       .orderBy($"source")
 
+  /** Rolling least-squares slope over the trailing [[EwmaK]] samples
+    * per user, in EXACT integer arithmetic: x = position within the
+    * frame (oldest available = 0), y = value milli-units, and
+    * `slope_e6 = (mΣxy − ΣxΣy)·10⁶ DIV (mΣx² − (Σx)²)` — the local
+    * trend detector beside [[winEwma]]'s level. Within a user
+    * partition lag i is null iff the row has fewer than i
+    * predecessors, so the available lags are always the contiguous
+    * suffix 0..m−1 and the closed-form power sums over 0..m−1 apply.
+    * Rows with m < 2 emit 0 (a single point has no slope). Same ONE
+    * user-hash exchange as the EWMA — the window frame is the whole
+    * scale story (a true expanding regression is a sequential scan).
+    * Both engines truncate integral division toward zero, negative
+    * slopes included (agg_linreg's validated discipline). */
+  val winSlope: Q = (s, d) => {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val base = Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+    val lagged = (1 until EwmaK).foldLeft(base) { (df, i) =>
+      df.withColumn(s"l$i", lag($"v_mu", i).over(w))
+    }
+    def term(i: Int): String = if (i == 0) "v_mu" else s"l$i"
+    val m = (0 until EwmaK)
+      .map(i => s"CASE WHEN ${term(i)} IS NULL THEN 0 ELSE 1 END")
+      .mkString(" + ")
+    val sy = (0 until EwmaK)
+      .map(i => s"coalesce(${term(i)}, 0L)").mkString(" + ")
+    // x of lag i = m - 1 - i (newest sample sits at the frame's end)
+    val sxy = (0 until EwmaK)
+      .map(i => s"CASE WHEN ${term(i)} IS NULL THEN 0L " +
+        s"ELSE (m - 1 - $i) * ${term(i)} END").mkString(" + ")
+    lagged
+      .withColumn("m", expr(s"CAST(($m) AS BIGINT)"))
+      .withColumn("sy", expr(s"CAST(($sy) AS BIGINT)"))
+      .withColumn("sxy", expr(s"CAST(($sxy) AS BIGINT)"))
+      .withColumn("sx", expr("m * (m - 1) DIV 2"))
+      .withColumn("sxx", expr("(m - 1) * m * (2 * m - 1) DIV 6"))
+      .withColumn("slope_e6", expr(
+        "CASE WHEN m < 2 THEN 0L ELSE " +
+          "(m * sxy - sx * sy) * 1000000 DIV (m * sxx - sx * sx) END"))
+      .select($"user_id", $"event_id", $"v_mu", $"slope_e6")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Epoch cap for [[mixEpochs]] (the "max repeats" knob — past ~4
+    * epochs of a small source, repetition hurts more than balance
+    * helps, per the data-constrained scaling literature). */
+  val MaxEpochs = 10L
+
+  /** Uniform-mixing epoch schedule: how many times to repeat each
+    * language's corpus so every language contributes (close to) the
+    * LARGEST language's token count — `epochs = ceil(maxT / T)`
+    * capped at [[MaxEpochs]], plus the effective post-repeat token
+    * count. The repeat-factor twin of `mix_weights`' downsampling
+    * (upsample small sources instead of downsampling big ones);
+    * ceil spelled `(maxT + T − 1) DIV T`, all BIGINT, no floats
+    * anywhere. Tiny aggregate (one row per language) with the max
+    * joined back as a 1-row broadcast. */
+  val mixEpochs: Q = (s, d) => {
+    import graft.engine.ops.TextFeatures.tokens
+    val per = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .groupBy($"lang")
+      .agg(sum(size(tokens($"text")).cast("long")).as("tokens"))
+    val maxT = per.agg(max($"tokens").as("max_t"))
+    per.join(broadcast(maxT))
+      .withColumn("epochs",
+        expr(s"least((max_t + tokens - 1) DIV tokens, $MaxEpochs)"))
+      .withColumn("effective_tokens", $"epochs" * $"tokens")
+      .select($"lang", $"tokens", $"epochs", $"effective_tokens")
+      .orderBy($"lang")
+  }
+
+  /** EXACT stratified 80/10/10 split: within each source, docs rank
+    * by (Knuth-hash, doc_id) and the first ⌊0.8n⌋ go to train, the
+    * next ⌊0.1n⌋ to valid, the rest to test — per-stratum counts are
+    * exact by construction, where the global-hash split
+    * (`data_split`) only approximates proportions within small
+    * strata. The cost of exactness is one rank window per source
+    * (`data_split` is map-only) — the classic trade; both are
+    * deterministic under repartitioning. One source-hash exchange. */
+  val dataSplitStratified: Q = (s, d) => {
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h", $"doc_id")
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        expr("(doc_id * 2654435761) % 4294967296").as("h"))
+      .withColumn("rk", row_number().over(wSrc).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("split",
+        when($"rk" <= expr("n * 8 DIV 10"), "train")
+          .when($"rk" <= expr("n * 8 DIV 10 + n DIV 10"), "valid")
+          .otherwise("test"))
+      .select($"doc_id", $"source", $"split")
+      .orderBy($"doc_id")
+  }
+
   private val Dec = org.apache.spark.sql.types.DecimalType(18, 2)
 
   /** TPC-H Q6 shape (forecast revenue change): one predicate-heavy
@@ -245,9 +344,12 @@ object Relational7 {
 
   val queries: Map[String, Q] = Map(
     "win_ewma" -> winEwma,
+    "win_slope" -> winSlope,
     "graph_jaccard" -> graphJaccard,
     "ts_downsample" -> tsDownsample,
     "agg_diversity" -> aggDiversity,
+    "mix_epochs" -> mixEpochs,
+    "data_split_stratified" -> dataSplitStratified,
     "agg_tpch_q6" -> aggTpchQ6,
     "join_tpch_q3" -> joinTpchQ3,
     "join_tpch_q18" -> joinTpchQ18,
@@ -323,6 +425,74 @@ object Relational7 {
         |  CAST(max(n) AS BIGINT) AS n_in_bucket
         |FROM dev WHERE dev = maxd
         |GROUP BY bucket_us ORDER BY bucket_us""".stripMargin,
+
+    "win_slope" -> {
+      val lags = (1 until EwmaK)
+        .map(i => s"lag(v_mu, $i) OVER w AS l$i").mkString(",\n        |    ")
+      def term(i: Int): String = if (i == 0) "v_mu" else s"l$i"
+      val m = (0 until EwmaK)
+        .map(i => s"CASE WHEN ${term(i)} IS NULL THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      val sy = (0 until EwmaK)
+        .map(i => s"COALESCE(${term(i)}, 0)").mkString(" + ")
+      val sxy = (0 until EwmaK)
+        .map(i => s"CASE WHEN ${term(i)} IS NULL THEN 0 " +
+          s"ELSE (m - 1 - $i) * ${term(i)} END").mkString(" + ")
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_mu
+        |  FROM events),
+        | l AS (
+        |  SELECT user_id, event_id, v_mu,
+        |    $lags
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        | t AS (
+        |  SELECT user_id, event_id,
+        |    CAST($m AS BIGINT) AS m,
+        |    CAST($sy AS BIGINT) AS sy
+        |  FROM l),
+        | t2 AS (
+        |  SELECT l.user_id, l.event_id, l.v_mu, t.m, t.sy,
+        |    CAST($sxy AS BIGINT) AS sxy,
+        |    t.m * (t.m - 1) // 2 AS sx,
+        |    (t.m - 1) * t.m * (2 * t.m - 1) // 6 AS sxx
+        |  FROM l JOIN t ON l.user_id = t.user_id AND l.event_id = t.event_id)
+        |SELECT user_id, event_id, v_mu,
+        |  CAST(CASE WHEN m < 2 THEN 0 ELSE
+        |    (m * sxy - sx * sy) * 1000000 // (m * sxx - sx * sx) END
+        |    AS BIGINT) AS slope_e6
+        |FROM t2 ORDER BY user_id, event_id""".stripMargin
+    },
+
+    "mix_epochs" ->
+      s"""WITH per AS (
+        |  SELECT lang,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |      AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang),
+        | mx AS (SELECT max(tokens) AS max_t FROM per)
+        |SELECT lang, tokens,
+        |  CAST(least((max_t + tokens - 1) // tokens, $MaxEpochs) AS BIGINT)
+        |    AS epochs,
+        |  CAST(least((max_t + tokens - 1) // tokens, $MaxEpochs) * tokens
+        |    AS BIGINT) AS effective_tokens
+        |FROM per, mx ORDER BY lang""".stripMargin,
+
+    "data_split_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        | r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+        |    count(1) OVER (PARTITION BY source) AS n
+        |  FROM h)
+        |SELECT doc_id, source,
+        |  CASE WHEN rk <= n * 8 // 10 THEN 'train'
+        |       WHEN rk <= n * 8 // 10 + n // 10 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "agg_tpch_q6" ->
       """SELECT

@@ -115,6 +115,65 @@ class Relational7Spec extends AnyFunSuite {
     assert(totalDup == 0 || totalDup >= 2)
   }
 
+  test("win_slope recomputes exactly from the closed-form power sums") {
+    val got = Relational7.winSlope(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent driver-side recompute over the raw events
+    import org.apache.spark.sql.functions._
+    val ev = engine.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 7), i + 1).map(_._4)
+        val m = frame.length.toLong
+        val expected = if (m < 2) 0L else {
+          val sy = frame.sum
+          val sxy = frame.zipWithIndex.map { case (y, x) => x * y }.sum
+          val sx = m * (m - 1) / 2
+          val sxx = (m - 1) * m * (2 * m - 1) / 6
+          (m * sxy - sx * sy) * 1000000L / (m * sxx - sx * sx)
+        }
+        assert(got((uid, ordered(i)._2))._2 == expected,
+          s"slope mismatch for user $uid event ${ordered(i)._2}")
+      }
+    }
+  }
+
+  test("mix_epochs: largest language stays at 1 epoch, others upsample") {
+    val rows = Relational7.mixEpochs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxT = rows.map(_.getLong(1)).max
+    rows.foreach { r =>
+      val (t, e, eff) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(e == math.min((maxT + t - 1) / t, Relational7.MaxEpochs))
+      assert(eff == e * t)
+      if (t == maxT) assert(e == 1L)
+    }
+    assert(rows.map(_.getLong(2)).max > 1L,
+      "the corpus mix must actually exercise upsampling")
+  }
+
+  test("data_split_stratified: per-source fractions are EXACT") {
+    val rows = Relational7.dataSplitStratified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val n = docs.length.toLong
+      val bySplit = docs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      assert(bySplit.getOrElse("train", 0L) == n * 8 / 10)
+      assert(bySplit.getOrElse("valid", 0L) == n / 10)
+      assert(bySplit.getOrElse("test", 0L) == n - n * 8 / 10 - n / 10)
+    }
+    // deterministic under re-execution
+    val again = Relational7.dataSplitStratified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("agg_tpch_q6 pushes all three predicates into the parquet scan") {
     val df = Relational7.aggTpchQ6(spark, sf)
     // executedPlan.toString truncates PushedFilters at 100 chars;
