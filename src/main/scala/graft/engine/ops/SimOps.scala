@@ -421,6 +421,59 @@ object SimOps {
       .orderBy($"qid")
   }
 
+  /** Prefix dimensions evaluated by [[simMatryoshka]]. */
+  val MatryoshkaDims = Seq(8, 16, 32)
+
+  /** Matryoshka truncation evaluation: recall@5 of cosine rankings
+    * computed on the first 8/16/32 of 64 dimensions against the
+    * full-dimension ranking — the dimension-vs-quality curve that
+    * decides how much of an MRL-style embedding a retrieval tier can
+    * drop (a 8× narrower vector is an 8× cheaper index). ONE scored
+    * pass computes the full cosine plus every prefix cosine from the
+    * same broadcast query block (prefix dots/norms are `graft_dot`
+    * over `slice(v)`, so the IEEE fold order matches the oracle's
+    * ascending list fold exactly); each dim then ranks and semi-joins
+    * hits against the full-dim top-5. Scores floor-scaled BIGINT
+    * (§7.3f2), vec_id tie-breaks — fully deterministic. */
+  val simMatryoshka: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ve = vecs(s, d)
+    val qs = ve.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored0 = ve.filter($"vec_id" >= 10)
+      .crossJoin(broadcast(qs))
+      .withColumn("cos_full_e4",
+        floor(expr(dotSql) / ($"nrm" * $"qn") * 1e4).cast("long"))
+    val scored = MatryoshkaDims.foldLeft(scored0) { (df, dim) =>
+      df.withColumn(s"cos_${dim}_e4",
+        floor(expr(s"graft_dot(slice(v, 1, $dim), slice(qv, 1, $dim))") /
+          (expr(s"sqrt(graft_dot(slice(v, 1, $dim), slice(v, 1, $dim)))") *
+            expr(s"sqrt(graft_dot(slice(qv, 1, $dim), slice(qv, 1, $dim)))"))
+          * 1e4).cast("long"))
+    }.select(($"qid" +: $"vec_id" +: $"cos_full_e4" +:
+        MatryoshkaDims.map(dim => col(s"cos_${dim}_e4"))): _*)
+      .localCheckpoint() // one dot-product pass feeds all 4 rankings
+    val wFull = Window.partitionBy($"qid")
+      .orderBy($"cos_full_e4".desc, $"vec_id")
+    val exact5 = scored.withColumn("rn", row_number().over(wFull))
+      .filter($"rn" <= 5).select($"qid", $"vec_id")
+    val hitsPerDim = MatryoshkaDims.map { dim =>
+      val wd = Window.partitionBy($"qid")
+        .orderBy(col(s"cos_${dim}_e4").desc, $"vec_id")
+      val top5 = scored.withColumn("rn", row_number().over(wd))
+        .filter($"rn" <= 5).select($"qid", $"vec_id")
+      exact5.join(top5, Seq("qid", "vec_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("hits"))
+        .select(lit(dim.toLong).as("dim"), $"qid", $"hits")
+    }.reduce(_ unionByName _)
+    val grid = MatryoshkaDims
+      .map(dim => qs.select(lit(dim.toLong).as("dim"), $"qid"))
+      .reduce(_ unionByName _)
+    grid.join(hitsPerDim, Seq("dim", "qid"), "left")
+      .select($"dim", $"qid", coalesce($"hits", lit(0L)).as("hits_at_5"))
+      .orderBy($"dim", $"qid")
+  }
+
   /** Hybrid-retrieval rank fusion: reciprocal-rank fusion (RRF) of two
     * rankings of the same candidate pool — cosine similarity and L2
     * distance — for query vector 0. RRF score = Σ 1/(60 + rank), here
@@ -510,6 +563,7 @@ object SimOps {
     "embed_pq" -> embedPq,
     "sim_pq_adc" -> simPqAdc,
     "sim_ivf_pq" -> simIvfPq,
+    "sim_matryoshka" -> simMatryoshka,
   )
 
   private val duckDot =
@@ -534,6 +588,52 @@ object SimOps {
       |    (a, b) -> a + b) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_matryoshka" -> {
+      def pdot(dim: Int, a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+          s"i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      def pnorm(dim: Int, a: String): String = s"sqrt(${pdot(dim, a, a)})"
+      val fullDot =
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v) + 1), " +
+          "i -> e.v[i] * q.qv[i])), (x, y) -> x + y)"
+      val prefixCols = MatryoshkaDims.map { dim =>
+        s"    CAST(floor(${pdot(dim, "e.v", "q.qv")} / " +
+          s"(${pnorm(dim, "e.v")} * ${pnorm(dim, "q.qv")}) * 10000) " +
+          s"AS BIGINT) AS c$dim"
+      }.mkString(",\n        |")
+      val perDim = MatryoshkaDims.map { dim =>
+        s""" r$dim AS (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY c$dim DESC, vec_id) AS rn FROM scored),
+        | t$dim AS (SELECT qid, vec_id FROM r$dim WHERE rn <= 5),
+        | h$dim AS (
+        |  SELECT CAST($dim AS BIGINT) AS dim, e5.qid, count(1) AS hits
+        |  FROM exact5 e5 JOIN t$dim USING (qid, vec_id) GROUP BY e5.qid)"""
+      }.mkString(",\n        |")
+      val hitsUnion = MatryoshkaDims.map(d => s"SELECT * FROM h$d")
+        .mkString(" UNION ALL ")
+      s"""WITH $duckVecs,
+        | q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
+        |       FROM vecs WHERE vec_id < 10),
+        | scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    CAST(floor($fullDot / (e.nrm * q.qn) * 10000) AS BIGINT) AS cf,
+        |$prefixCols
+        |  FROM vecs e, q WHERE e.vec_id >= 10),
+        | rf AS (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cf DESC, vec_id) AS rn FROM scored),
+        | exact5 AS (SELECT qid, vec_id FROM rf WHERE rn <= 5),
+        |$perDim,
+        | grid AS (
+        |  SELECT CAST(d.d AS BIGINT) AS dim, q.qid
+        |  FROM q, (SELECT unnest([${MatryoshkaDims.mkString(", ")}]) AS d) d)
+        |SELECT g.dim, g.qid,
+        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_at_5
+        |FROM grid g LEFT JOIN ($hitsUnion) h USING (dim, qid)
+        |ORDER BY dim, qid""".stripMargin
+    },
+
     "sim_knn_classify" ->
       s"""WITH lv AS (
          |  SELECT vec_id, label, v,

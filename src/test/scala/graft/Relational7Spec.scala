@@ -209,6 +209,19 @@ class Relational7Spec extends AnyFunSuite {
     assert(qtys == qtys.sortBy(-_), "descending total quantity")
   }
 
+  test("sim_matryoshka: recall is bounded and improves with prefix width") {
+    val rows = graft.engine.ops.SimOps.simMatryoshka(spark, sf).collect()
+    assert(rows.length == graft.engine.ops.SimOps.MatryoshkaDims.length * 10)
+    rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 5))
+    val meanByDim = rows.groupBy(_.getLong(0)).view
+      .mapValues(rs => rs.map(_.getLong(2)).sum.toDouble / rs.length).toMap
+    // 32 of 64 dims must approximate the full ranking at least as well
+    // as 8 of 64 on average — the curve the op exists to measure
+    assert(meanByDim(32L) >= meanByDim(8L),
+      s"recall curve inverted: $meanByDim")
+    assert(meanByDim(32L) > 0, "wide prefixes must recover some of top-5")
+  }
+
   test("text_gopher_rules: pass is exactly the conjunction of its flags") {
     val rows = TextOps.textGopherRules(spark, sf).collect()
     assert(rows.nonEmpty)
