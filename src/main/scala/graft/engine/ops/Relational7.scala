@@ -212,6 +212,59 @@ object Relational7 {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** CUSUM changepoint detection per user, in EXACT integers: the
+    * classic cumulative-sum statistic `S_t = Σ_{i≤t}(vᵢ − mean)`
+    * scaled by n — `n·S_t = n·cumsum_t − t·Σv` — so the argmax |S|
+    * comparison never touches a float mean (the same
+    * multiply-through-by-n trick as [[tsDownsample]]). The emitted
+    * row per user is where the series' level most plausibly shifted
+    * (the telemetry/drift alarm primitive); position also reported as
+    * basis points through the series. Ties break to the smallest
+    * event_id. ONE user-hash exchange: ordered running sum, unordered
+    * totals, and the final argmax aggregate all cluster on user_id. */
+  val tsChangepoint: Q = (s, d) => {
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wAll = Window.partitionBy($"user_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+      .withColumn("cums", sum($"v_mu").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sy", sum($"v_mu").over(wAll))
+      .withColumn("dev", abs($"n" * $"cums" - $"t" * $"sy"))
+      .withColumn("maxd", max($"dev").over(wAll))
+      .filter($"dev" === $"maxd")
+      .groupBy($"user_id")
+      .agg(min($"event_id").as("cp_event_id"),
+        min_by($"t", $"event_id").as("tSel"),
+        max($"n").as("nAll"),
+        max($"dev").as("dev_max"))
+      .select($"user_id", $"cp_event_id",
+        expr("tSel * 10000 DIV nAll").as("cp_pos_bp"), $"dev_max")
+      .orderBy($"user_id")
+  }
+
+  /** Per-event running drawdown (peak-to-current drop) per user, all
+    * BIGINT: running max of the milli-value minus the current value —
+    * the resource-leak / regression-watch signal over any metric
+    * series. One ordered window over the user hash, map-local after
+    * the single exchange. */
+  val winDrawdown: Q = (s, d) => {
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+      .withColumn("peak_mu", max($"v_mu").over(wOrd))
+      .withColumn("dd_mu", $"peak_mu" - $"v_mu")
+      .select($"user_id", $"event_id", $"v_mu", $"peak_mu", $"dd_mu")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Epoch cap for [[mixEpochs]] (the "max repeats" knob — past ~4
     * epochs of a small source, repetition hurts more than balance
     * helps, per the data-constrained scaling literature). */
@@ -350,6 +403,8 @@ object Relational7 {
     "agg_diversity" -> aggDiversity,
     "mix_epochs" -> mixEpochs,
     "data_split_stratified" -> dataSplitStratified,
+    "ts_changepoint" -> tsChangepoint,
+    "win_drawdown" -> winDrawdown,
     "agg_tpch_q6" -> aggTpchQ6,
     "join_tpch_q3" -> joinTpchQ3,
     "join_tpch_q18" -> joinTpchQ18,
@@ -463,6 +518,45 @@ object Relational7 {
         |    AS BIGINT) AS slope_e6
         |FROM t2 ORDER BY user_id, event_id""".stripMargin
     },
+
+    "ts_changepoint" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_mu
+        |  FROM events),
+        | st AS (
+        |  SELECT user_id, event_id,
+        |    sum(v_mu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cums,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS BIGINT) AS t,
+        |    count(1) OVER (PARTITION BY user_id) AS n,
+        |    sum(v_mu) OVER (PARTITION BY user_id) AS sy
+        |  FROM e),
+        | dev AS (
+        |  SELECT user_id, event_id, t, n,
+        |    abs(n * cums - t * sy) AS dev,
+        |    max(abs(n * cums - t * sy))
+        |      OVER (PARTITION BY user_id) AS maxd
+        |  FROM st)
+        |SELECT user_id,
+        |  CAST(min(event_id) AS BIGINT) AS cp_event_id,
+        |  CAST(arg_min(t, event_id) * 10000 // max(n) AS BIGINT) AS cp_pos_bp,
+        |  CAST(max(dev) AS BIGINT) AS dev_max
+        |FROM dev WHERE dev = maxd
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "win_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_mu
+        |  FROM events)
+        |SELECT user_id, event_id, v_mu,
+        |  max(v_mu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS peak_mu,
+        |  max(v_mu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) - v_mu AS dd_mu
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
 
     "mix_epochs" ->
       s"""WITH per AS (

@@ -209,6 +209,54 @@ class Relational7Spec extends AnyFunSuite {
     assert(qtys == qtys.sortBy(-_), "descending total quantity")
   }
 
+  test("ts_changepoint finds the exact integer-CUSUM argmax per user") {
+    import org.apache.spark.sql.functions._
+    val got = Relational7.tsChangepoint(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = engine.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.keySet == ev.map(_._1).toSet, "one changepoint per user")
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val n = ordered.length.toLong
+      val sy = ordered.map(_._4).sum
+      var cum = 0L
+      val devs = ordered.zipWithIndex.map { case (r, i) =>
+        cum += r._4
+        (r._2, i + 1L, (n * cum - (i + 1L) * sy).abs)
+      }
+      val maxd = devs.map(_._3).max
+      val (eid, t, _) = devs.filter(_._3 == maxd).minBy(_._1)
+      assert(got(uid) == ((eid, t * 10000 / n, maxd)),
+        s"user $uid changepoint mismatch")
+    }
+  }
+
+  test("win_drawdown: drawdown is nonnegative, zero exactly at new peaks") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = Relational7.winDrawdown(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the window orders by event TIME; recover it for the re-check
+    val tsOf = engine.Tables.events(spark, sf)
+      .select(col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).values.foreach { urs =>
+      val ordered = urs.sortBy(r => (tsOf(r.getLong(1)), r.getLong(1)))
+      var peak = Long.MinValue
+      ordered.foreach { r =>
+        val (v, p, dd) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        peak = math.max(peak, v)
+        assert(p == peak, "running peak")
+        assert(dd == peak - v && dd >= 0)
+      }
+    }
+  }
+
   test("sim_matryoshka: recall is bounded and improves with prefix width") {
     val rows = graft.engine.ops.SimOps.simMatryoshka(spark, sf).collect()
     assert(rows.length == graft.engine.ops.SimOps.MatryoshkaDims.length * 10)
