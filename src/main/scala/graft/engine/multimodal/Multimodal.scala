@@ -432,7 +432,43 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Scene-cut luminance-delta threshold (8-bit sum units over a 4×4
+    * frame: 16 pixels × up to 255 → deltas land in [0, 4080]; the
+    * paint rule steps +1/pixel between frames except at 255→0 wraps,
+    * so deltas cluster at |16 − 256·wraps| — 200 cuts exactly at
+    * "≥1 pixel wrapped", which splits the corpus). */
+  val SceneCutThreshold = 200L
+
+  /** Scene-cut detection over REAL per-frame decodes: every adjacent
+    * frame pair's absolute luminance delta, a cut where the delta
+    * exceeds [[SceneCutThreshold]] — the shot-segmentation pass a
+    * video-corpus pipeline runs before sampling one keyframe per shot
+    * (cutting at scene boundaries beats fixed-stride sampling for
+    * caption alignment). Decodes EVERY frame block (mm_frames decodes
+    * a stride sample), map-only, bytes never shuffle; the oracle
+    * replays the paint rule per frame, so a single misdecoded pixel
+    * shifts a delta and fails the gate. */
+  val mmSceneCut: Q = (s, d) => {
+    import s.implicits._
+    videoTable(s, d)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val lums = bytes.grouped(FrameBlockBytes)
+            .map(f => Codec.decodeImage(f)._3).toArray
+          val deltas = lums.indices.drop(1)
+            .map(i => (lums(i) - lums(i - 1)).abs)
+          val cuts = deltas.count(_ > SceneCutThreshold).toLong
+          val maxDelta = if (deltas.isEmpty) 0L else deltas.max
+          (id, lums.length.toLong, cuts, maxDelta)
+        }
+      }
+      .toDF("media_id", "n_frames", "n_cuts", "max_delta")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_scene_cut" -> mmSceneCut,
     "mm_audio" -> mmAudio,
     "mm_meta" -> mmMeta,
     "mm_dedup" -> mmDedup,
@@ -470,6 +506,30 @@ object Multimodal {
       |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // replays the paint rule per frame: lum(f) is closed-form, so cuts
+    // and deltas are recomputable without touching a codec
+    "mm_scene_cut" ->
+      s"""WITH vid AS (
+         |  SELECT doc_id AS media_id, CAST(2 + doc_id % 7 AS BIGINT) AS nf
+         |  FROM documents WHERE doc_id % 3 = 2),
+         | lums AS (
+         |  SELECT media_id, nf, f.f AS f,
+         |    ${duckLumSum("4", "4", "media_id + f.f")} AS lum
+         |  FROM vid, (SELECT unnest(range(0, 8)) AS f) f
+         |  WHERE f.f < nf),
+         | del AS (
+         |  SELECT media_id, nf,
+         |    abs(lum - lag(lum) OVER (PARTITION BY media_id ORDER BY f))
+         |      AS delta
+         |  FROM lums)
+         |SELECT media_id,
+         |  CAST(max(nf) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN delta > $SceneCutThreshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cuts,
+         |  CAST(max(delta) AS BIGINT) AS max_delta
+         |FROM del WHERE delta IS NOT NULL
+         |GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     // recomputes the decoded PCM features from the waveform rule — the
     // Spark side must round-trip real little-endian s16 bytes to match
     "mm_audio" ->

@@ -110,6 +110,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_scene_cut recomputes every adjacent-frame delta from real decodes") {
+    val rows = Multimodal.mmSceneCut(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nf, cuts, maxDelta) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nf == 2 + id % 7, "frame count from the synth rule")
+      // paint rule: lum(f) = sum over 4x4 of (x + y + id + f) % 256
+      val lums = (0L until nf).map { f =>
+        (for (x <- 0 until 4; y <- 0 until 4)
+          yield (x + y + id + f) % 256).sum
+      }
+      val deltas = lums.sliding(2).map(p => (p(1) - p(0)).abs).toSeq
+      assert(cuts == deltas.count(_ > Multimodal.SceneCutThreshold))
+      assert(maxDelta == deltas.max)
+    }
+    assert(rows.exists(_.getLong(2) > 0), "some videos must have cuts")
+    assert(rows.exists(_.getLong(2) == 0), "and some must not")
+  }
+
   test("resize plan preserves aspect and bounds the long side") {
     val out = Multimodal.resizePlan(
       Multimodal.decodeImages(Multimodal.imageTable(spark, sf)), maxSide = 100)
