@@ -1,0 +1,132 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Eighth relational batch (round 5): two more canonical TPC-H query
+  * shapes — Q14 (promo revenue share: the broadcast-dimension CASE
+  * aggregation) and Q10 (returned-item customer revenue: the
+  * aggregate-then-enrich top-N).
+  *
+  * Money discipline as validated in [[Relational7]]: DOUBLE →
+  * DECIMAL(18,2) per term, exact decimal multiply, then ×10⁴ →
+  * BIGINT so every sum is an order-invariant integer sum (bit-equal
+  * across Spark and DuckDB regardless of partitioning). Ratios are
+  * floor-scaled integers computed in DECIMAL(38,0)/HUGEINT so they
+  * cannot overflow at any scale factor (SURVEY §7.3f2 — never
+  * `round()` on a computed double in a hash-gated column).
+  */
+object Relational8 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dec = org.apache.spark.sql.types.DecimalType(18, 2)
+
+  /** Exact revenue `extendedprice·(1−discount)` in 10⁻⁴ currency
+    * units: DECIMAL(18,2)·DECIMAL(18,2) has scale 4, so ×10⁴ is an
+    * integral decimal and the BIGINT cast is exact (truncation and
+    * round-half-up agree on integral values — cross-engine safe). */
+  private def revE4 = ($"l_extendedprice".cast(Dec) *
+    (lit(1).cast(Dec) - $"l_discount".cast(Dec)) * 10000).cast("long")
+
+  /** TPC-H Q14 shape (promotion effect): one quarter of lineitem ⋈
+    * part, revenue split by whether the part is a PROMO type, share
+    * reported as floor(promo/total·10⁶).
+    *
+    * Scale story: the date filter pushes into the parquet scan; part
+    * is a dimension (|part| ≪ |lineitem| at every SF) so the join is
+    * an explicit broadcast — zero shuffle of the fact side; the CASE
+    * aggregation is map-side-combined to one row per partition. The
+    * share divides the two BIGINT sums in DECIMAL(38,0) (HUGEINT in
+    * the oracle), so promo_e4·10⁶ cannot overflow even at 100 TB
+    * where total_e4 ~ 10¹⁸. */
+  val aggTpchQ14: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1997-01-01")
+        && $"l_shipdate" < lit("1997-04-01"))
+      .select($"l_partkey", revE4.as("rev_e4"))
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", $"rev_e4").otherwise(0L))
+          .cast("long").as("promo_e4"),
+        sum($"rev_e4").cast("long").as("total_e4"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("promo_share_e6", expr(
+        "CAST((CAST(promo_e4 AS DECIMAL(38,0)) * 1000000) DIV " +
+          "CAST(total_e4 AS DECIMAL(38,0)) AS BIGINT)"))
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue of RETURNED
+    * lineitems per customer for one order quarter, enriched with
+    * customer + nation, top 20.
+    *
+    * Scale story: aggregate FIRST on the narrow (custkey, rev_e4)
+    * pair — the fact-side shuffle carries 16 bytes/row and collapses
+    * to ≤|customer| rows before any wide customer row is assembled;
+    * the customer join then shuffles only the aggregated frame, and
+    * nation is broadcast. The top-20 sorts on the exact integer
+    * revenue with custkey as tiebreak, so the LIMIT is a total order
+    * and Spark plans TakeOrdered instead of a global sort. */
+  val joinTpchQ10: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", revE4.as("rev_e4"))
+      .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1997-01-01")
+            && $"o_orderdate" < lit("1997-04-01"))
+          .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"rev_e4").cast("long").as("rev_e4"))
+      .join(Tables.customer(s, d)
+          .select($"c_custkey", $"c_name", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)
+          .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"rev_e4")
+      .orderBy($"rev_e4".desc, $"c_custkey")
+      .limit(20)
+
+  val queries: Map[String, Q] = Map(
+    "agg_tpch_q14" -> aggTpchQ14,
+    "join_tpch_q10" -> joinTpchQ10,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_tpch_q14" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |           * 10000 AS BIGINT) AS rev_e4,
+        |         p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01')
+        |SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT)
+        |    AS promo_e4,
+        |  CAST(SUM(rev_e4) AS BIGINT) AS total_e4,
+        |  count(1) AS n_rows,
+        |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS HUGEINT)
+        |       * 1000000 // CAST(SUM(rev_e4) AS HUGEINT) AS BIGINT)
+        |    AS promo_share_e6
+        |FROM f""".stripMargin,
+    "join_tpch_q10" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |           * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, rev_e4
+        |FROM r
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.ops.Relational8
+
+/** Semantics + plan-shape guards for the Q14/Q10 TPC-H shapes. */
+class Relational8Spec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("agg_tpch_q14: share is consistent with its own numerator/denominator") {
+    val r = Relational8.aggTpchQ14(spark, sf).collect().head
+    val promo = r.getAs[Long]("promo_e4")
+    val total = r.getAs[Long]("total_e4")
+    val share = r.getAs[Long]("promo_share_e6")
+    assert(total > 0 && promo >= 0 && promo <= total)
+    assert(share == promo * 1000000L / total,
+      "floor-scaled share must equal integer division of its own sums")
+    assert(r.getAs[Long]("n_rows") > 0)
+  }
+
+  test("agg_tpch_q14 broadcasts the part dimension (no fact-side shuffle join)") {
+    val p = finalPlan(Relational8.aggTpchQ14(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("join_tpch_q10: top-20 ordering is total and revenue recomputes exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational8.joinTpchQ10(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    // strictly descending by (rev_e4, -custkey): the tiebreak makes it total
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ra, rb) = (a.getAs[Long]("rev_e4"), b.getAs[Long]("rev_e4"))
+      assert(ra > rb || (ra == rb &&
+        a.getAs[Long]("c_custkey") < b.getAs[Long]("c_custkey")))
+    case _ => ()
+    }
+    // independent recompute of one customer's revenue in exact cents
+    val top = rows.head
+    val l = engine.Tables.lineitem(spark, sf)
+    val o = engine.Tables.orders(spark, sf)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val expect = l.filter(col("l_returnflag") === "R")
+      .join(o.filter(col("o_orderdate") >= lit("1997-01-01")
+          && col("o_orderdate") < lit("1997-04-01")
+          && col("o_custkey") === top.getAs[Long]("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum((col("l_extendedprice").cast(dec)
+        * (lit(1).cast(dec) - col("l_discount").cast(dec))
+        * 10000).cast("long")).cast("long"))
+      .collect().head.getLong(0)
+    assert(expect == top.getAs[Long]("rev_e4"))
+  }
+
+  test("join_tpch_q10 plans TakeOrdered, not a global sort") {
+    val p = finalPlan(Relational8.joinTpchQ10(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+}
