@@ -1,6 +1,7 @@
 package graft.engine.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -89,9 +90,67 @@ object Relational8 {
       .orderBy($"rev_e4".desc, $"c_custkey")
       .limit(20)
 
+  /** Rolling-median frame: 6 preceding rows + current. */
+  val MedianK = 7
+
+  /** Exact rolling median of `events.value` (milli-units) over the
+    * last [[MedianK]] samples per user — the robust-smoothing twin of
+    * [[Relational7.winEwma]] (a median ignores the spike a mean
+    * chases). The lower median `sorted[(n+1) div 2]` keeps the result
+    * an actual sample value, so the whole computation stays in BIGINT
+    * — no cross-engine float hazard an averaged even-count median
+    * would introduce.
+    *
+    * Scale story: the bounded ROWS frame means ONE exchange on
+    * user_id + one per-partition sort; each row then sorts k=7
+    * elements (O(k log k) per row, constant memory) — at 100 TB this
+    * is embarrassingly parallel, unlike a true percentile window
+    * (unbounded frame) which would buffer whole partitions. */
+  val winRollingMedian: Q = (s, d) => {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-(MedianK - 1), 0)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+      .withColumn("arr", collect_list($"v_mu").over(w))
+      .select($"user_id", $"event_id", $"v_mu",
+        expr("element_at(sort_array(arr), CAST((size(arr) + 1) DIV 2 AS INT))")
+          .as("med_mu"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Hour-of-day seasonal profile + residual: mean value per
+    * (event_type, hour-of-day) as an integer DIV, joined back so each
+    * event carries its seasonal expectation and the de-seasonalized
+    * residual — the decomposition step every time-series anomaly
+    * pipeline runs before thresholding ([[Relational5]]'s ts_anomaly
+    * flags z-scores; this removes the diurnal cycle first).
+    *
+    * Scale story: the profile aggregate is map-side-combined down to
+    * |types|·24 rows — broadcast back, so the fact side never
+    * shuffles (hour is pure integer arithmetic on epoch-µs; no
+    * timezone/calendar dependence to diverge cross-engine). */
+  val tsSeasonal: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .select($"event_id", $"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+      .withColumn("hr", expr("ts_us DIV 3600000000 % 24"))
+    val prof = base.groupBy($"event_type", $"hr")
+      .agg(sum($"v_mu").as("s_mu"), count(lit(1)).as("n"))
+      .select($"event_type", $"hr", expr("s_mu DIV n").as("seas_mu"))
+    base.join(broadcast(prof), Seq("event_type", "hr"))
+      .select($"event_id", $"event_type", $"hr", $"v_mu", $"seas_mu",
+        ($"v_mu" - $"seas_mu").as("resid_mu"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_tpch_q14" -> aggTpchQ14,
     "join_tpch_q10" -> joinTpchQ10,
+    "win_rolling_median" -> winRollingMedian,
+    "ts_seasonal" -> tsSeasonal,
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,5 +187,35 @@ object Relational8 {
         |  JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY rev_e4 DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "win_rolling_median" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_mu
+        |  FROM events),
+        | l AS (
+        |  SELECT user_id, event_id, v_mu,
+        |    list(v_mu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN ${MedianK - 1} PRECEDING AND CURRENT ROW) AS arr
+        |  FROM e)
+        |SELECT user_id, event_id, v_mu,
+        |  list_sort(arr)[(len(arr) + 1) // 2] AS med_mu
+        |FROM l ORDER BY user_id, event_id""".stripMargin,
+    "ts_seasonal" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_mu
+        |  FROM events),
+        | b AS (
+        |  SELECT event_id, event_type, v_mu,
+        |    ts_us // 3600000000 % 24 AS hr
+        |  FROM e),
+        | prof AS (
+        |  SELECT event_type, hr,
+        |    CAST(CAST(SUM(v_mu) AS HUGEINT) // count(1) AS BIGINT) AS seas_mu
+        |  FROM b GROUP BY event_type, hr)
+        |SELECT event_id, b.event_type, b.hr, v_mu, seas_mu,
+        |  v_mu - seas_mu AS resid_mu
+        |FROM b JOIN prof ON b.event_type = prof.event_type AND b.hr = prof.hr
+        |ORDER BY event_id""".stripMargin,
   )
 }

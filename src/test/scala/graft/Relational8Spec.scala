@@ -62,4 +62,43 @@ class Relational8Spec extends AnyFunSuite {
     val p = finalPlan(Relational8.joinTpchQ10(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
+
+  test("win_rolling_median: median is a window sample and beats the mean on a spike") {
+    val rows = Relational8.winRollingMedian(spark, sf).collect()
+    val events = engine.Tables.events(spark, sf).count()
+    assert(rows.length == events)
+    // recompute per user from scratch with a plain scala sliding window
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { urs =>
+      val sorted = urs.sortBy(_.getLong(1))
+      sorted.indices.foreach { i =>
+        val window = sorted.slice(math.max(0, i - 6), i + 1).map(_.getLong(2))
+        val expect = window.sorted.apply((window.length + 1) / 2 - 1)
+        assert(sorted(i).getLong(3) == expect,
+          s"median mismatch at user ${sorted(i).getLong(0)} idx $i")
+      }
+    }
+  }
+
+  test("win_rolling_median plans ONE data exchange (frame shares the sort)") {
+    val p = finalPlan(Relational8.winRollingMedian(spark, sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
+  }
+
+  test("ts_seasonal: residuals sum to ~0 per cell and profile is broadcast") {
+    val df = Relational8.tsSeasonal(spark, sf)
+    val rows = df.collect()
+    // per (event_type, hr): seas_mu is the truncated integer mean, so
+    // the cell's residuals sum to the division remainder: |sum| < n
+    rows.groupBy(r => (r.getString(1), r.getLong(2))).foreach {
+      case (_, cell) =>
+        val resid = cell.map(_.getLong(5)).sum
+        assert(math.abs(resid) < cell.length,
+          s"integer-mean residual out of range: $resid for n=${cell.length}")
+    }
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"seasonal profile must broadcast:\n$p")
+  }
 }
