@@ -146,11 +146,59 @@ object Relational8 {
       .orderBy($"event_id")
   }
 
+  /** A bigram must occur this often in the reference subcorpus to
+    * count as "in-model" for [[textLmBigram]]. 10 sits at the knee
+    * for the synthetic corpus (whose ~30-word shared vocabulary
+    * saturates the bigram space: at 3 every language scores ~1.0, at
+    * 20 almost nothing survives); real corpora separate at far lower
+    * thresholds because vocabularies don't overlap. */
+  val LmMinRefCount = 10
+
+  /** Count-based bigram LM scoring (the KenLM-perplexity-filter
+    * analog in exact integer form): induce a reference bigram set
+    * from the ENGLISH documents (occurrence count ≥
+    * [[LmMinRefCount]]), then score EVERY document by the fraction
+    * of its bigram occurrences the reference contains. Text that
+    * resembles the reference distribution scores high (on the
+    * synthetic corpus the en docs self-train to a measurable ~7%
+    * advantage; on a real corpus the gap is categorical) — the
+    * train-on-clean / apply-to-all asymmetry that distinguishes this
+    * from [[Relational6.tokVocabCoverage]]'s self-referential
+    * unigram coverage.
+    *
+    * Scale story: bigram counting is map-side-combined; the
+    * score-side probe is a bigram-keyed equi-join (NOT a broadcast —
+    * a 100 TB corpus's reference bigram table is itself huge), where
+    * hot bigrams ("of the") are exactly the AQE-skew-split case; the
+    * per-doc roll-up shuffles only (doc_id, matched) pairs. Docs
+    * with < 2 tokens survive via explode_outer and score −1. */
+  val textLmBigram: Q = (s, d) => {
+    val bigramsSql = "CASE WHEN size(toks) >= 2 THEN transform(" +
+      "sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', " +
+      "element_at(toks, i + 1))) ELSE array() END"
+    val bg = Tables.documents(s, d)
+      .select($"doc_id", $"lang", TextFeatures.tokens($"text").as("toks"))
+      .select($"doc_id", $"lang", explode_outer(expr(bigramsSql)).as("bg"))
+    val ref = bg.filter($"lang" === "en" && $"bg".isNotNull)
+      .groupBy($"bg").agg(count(lit(1)).as("n"))
+      .filter($"n" >= LmMinRefCount)
+      .select($"bg", lit(1L).as("in_ref"))
+    bg.join(ref, Seq("bg"), "left")
+      .groupBy($"doc_id")
+      .agg(count($"bg").as("n_bigrams"),
+        count($"in_ref").as("n_seen"))
+      .withColumn("score_e4", expr(
+        "CASE WHEN n_bigrams = 0 THEN -1 " +
+          "ELSE (n_seen * 10000) DIV n_bigrams END"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_tpch_q14" -> aggTpchQ14,
     "join_tpch_q10" -> joinTpchQ10,
     "win_rolling_median" -> winRollingMedian,
     "ts_seasonal" -> tsSeasonal,
+    "text_lm_bigram" -> textLmBigram,
   )
 
   val oracles: Map[String, String] = Map(
@@ -217,5 +265,32 @@ object Relational8 {
         |  v_mu - seas_mu AS resid_mu
         |FROM b JOIN prof ON b.event_type = prof.event_type AND b.hr = prof.hr
         |ORDER BY event_id""".stripMargin,
+    "text_lm_bigram" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        | bgs AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        | ref AS (
+        |  SELECT bg FROM bgs WHERE lang = 'en'
+        |  GROUP BY bg HAVING count(1) >= $LmMinRefCount),
+        | scored AS (
+        |  SELECT t.doc_id,
+        |    count(b.bg) AS n_bigrams,
+        |    COALESCE(SUM(CASE WHEN r.bg IS NOT NULL THEN 1 ELSE 0 END), 0)
+        |      AS n_seen
+        |  FROM t
+        |    LEFT JOIN bgs b ON t.doc_id = b.doc_id
+        |    LEFT JOIN ref r ON b.bg = r.bg
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(n_seen AS BIGINT) AS n_seen,
+        |  CAST(CASE WHEN n_bigrams = 0 THEN -1
+        |       ELSE n_seen * 10000 // n_bigrams END AS BIGINT) AS score_e4
+        |FROM scored ORDER BY doc_id""".stripMargin,
   )
 }

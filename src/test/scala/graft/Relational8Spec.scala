@@ -101,4 +101,28 @@ class Relational8Spec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"seasonal profile must broadcast:\n$p")
   }
+
+  test("text_lm_bigram: every doc scored, scores bounded, en self-trains higher") {
+    val rows = Relational8.textLmBigram(spark, sf).collect()
+    val docs = engine.Tables.documents(spark, sf)
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val (n, seen, score) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(seen <= n)
+      if (n == 0) assert(score == -1L)
+      else assert(score == seen * 10000L / n && score >= 0 && score <= 10000)
+    }
+    // the reference is trained on en docs, so en must not score below
+    // the corpus mean (self-training advantage)
+    import org.apache.spark.sql.functions._
+    val byLang = Relational8.textLmBigram(spark, sf)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("score_e4") >= 0)
+      .groupBy(col("lang")).agg(avg(col("score_e4")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val others = byLang.filterNot(_._1 == "en").values
+    assert(byLang("en") >= others.sum / others.size,
+      s"en must score at least the non-en mean: $byLang")
+  }
 }
