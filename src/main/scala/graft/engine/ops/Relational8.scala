@@ -193,12 +193,65 @@ object Relational8 {
       .orderBy($"doc_id")
   }
 
+  /** Minimum in-core degree for [[graphKcore]]. 12 cascades over 4
+    * peel rounds on the sf0.01 co-occurrence graph (lower K converges
+    * in 2 — no cascade to exercise). */
+  val KCoreK = 12
+
+  /** Peel-round bound: the oracle unrolls exactly this many rounds,
+    * and the Spark loop stops early at the fixpoint, so the two agree
+    * whenever the peel depth fits (4 ≤ 8 at the gated SF; the bound
+    * is a knob, not an algorithmic cap — degeneracy peel depth grows
+    * slowly, O(log n) on real-world graphs). */
+  val KCoreMaxRounds = 8
+
+  /** K-core decomposition of the part co-occurrence graph by
+    * iterative peeling: drop every node with degree < [[KCoreK]],
+    * recompute degrees, repeat to fixpoint — the classic dense-
+    * subgraph / community-seed primitive ([[Relational4]] counts its
+    * triangles, [[Relational7]] scores its links; this extracts its
+    * load-bearing skeleton).
+    *
+    * Scale story per round: ONE map-side-combined degree aggregate +
+    * two semi-joins keyed on the edge endpoints (never a broadcast —
+    * the survivor set is |V|-sized), with [[Checkpoints.cut]] pinning
+    * each round's edges so lineage stays flat; convergence costs one
+    * count() action per round on the just-checkpointed frame. Same
+    * deterministic 25% order sample as graph_triangles (disclosed,
+    * algorithm sample-free). */
+  val graphKcore: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter($"l_orderkey" % 4 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    var e = Checkpoints.cut(li.as("a")
+      .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct())
+    var n = e.count()
+    var r = 0
+    var done = false
+    while (r < KCoreMaxRounds && !done) {
+      val keep = e.select($"u".as("n")).unionAll(e.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("dg"))
+        .filter($"dg" >= KCoreK).select($"n")
+      val next = Checkpoints.cut(
+        e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"))
+      val m = next.count()
+      done = m == n
+      e = next; n = m; r += 1
+    }
+    e.select($"u".as("n")).unionAll(e.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+      .orderBy($"n")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_tpch_q14" -> aggTpchQ14,
     "join_tpch_q10" -> joinTpchQ10,
     "win_rolling_median" -> winRollingMedian,
     "ts_seasonal" -> tsSeasonal,
     "text_lm_bigram" -> textLmBigram,
+    "graph_kcore" -> graphKcore,
   )
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +345,33 @@ object Relational8 {
         |  CAST(CASE WHEN n_bigrams = 0 THEN -1
         |       ELSE n_seen * 10000 // n_bigrams END AS BIGINT) AS score_e4
         |FROM scored ORDER BY doc_id""".stripMargin,
+    "graph_kcore" -> {
+      // unroll the peel: e0 = co-occurrence edges, then R rounds of
+      // (degree filter -> edge restriction); the Spark side stops at
+      // its fixpoint, which equals round R whenever depth <= R
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so an
+      // unrolled 8-round peel would expand e0 ~3^8 times (and ran the
+      // process out of file handles re-opening lineitem.parquet)
+      val rounds = (1 to KCoreMaxRounds).map { i =>
+        s""" k$i AS MATERIALIZED (
+           |  SELECT n FROM (SELECT u AS n FROM e${i - 1}
+           |                 UNION ALL SELECT v FROM e${i - 1})
+           |  GROUP BY n HAVING count(1) >= $KCoreK),
+           | e$i AS MATERIALIZED (
+           |  SELECT u, v FROM e${i - 1}
+           |  WHERE u IN (SELECT n FROM k$i) AND v IN (SELECT n FROM k$i))"""
+          .stripMargin
+      }.mkString(",")
+      s"""WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey % 4 = 0),
+        | e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),$rounds
+        |SELECT n, CAST(count(1) AS BIGINT) AS deg
+        |FROM (SELECT u AS n FROM e$KCoreMaxRounds
+        |      UNION ALL SELECT v FROM e$KCoreMaxRounds)
+        |GROUP BY n ORDER BY n""".stripMargin
+    },
   )
 }

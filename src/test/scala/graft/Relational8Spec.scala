@@ -125,4 +125,28 @@ class Relational8Spec extends AnyFunSuite {
     assert(byLang("en") >= others.sum / others.size,
       s"en must score at least the non-en mean: $byLang")
   }
+
+  test("graph_kcore: result is a fixpoint (every core node has deg >= K in core)") {
+    val rows = Relational8.graphKcore(spark, sf).collect()
+    // fixpoint property: one more peel must change nothing — i.e. no
+    // remaining node may sit below K (unless the core emptied)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= Relational8.KCoreK,
+        s"node ${r.getLong(0)} below K in the reported core")
+    }
+    // the core is a subgraph: every reported degree is bounded by the
+    // node's degree in the unpeeled graph
+    import org.apache.spark.sql.functions._
+    val li = engine.Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val full = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val deg0 = full.select(col("u").as("n"))
+      .unionAll(full.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d0"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) <= deg0(r.getLong(0))))
+  }
 }
