@@ -539,7 +539,7 @@ object DedupOps {
     "dedup_clusters_star" -> dedupClustersStar,
   )
 
-  private def duckCharHash(arg: String): String =
+  private[ops] def duckCharHash(arg: String): String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
       s"list_filter(string_split($arg, ''), c -> c <> ''), " +
       "c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007)"

@@ -245,6 +245,51 @@ object Relational8 {
       .orderBy($"n")
   }
 
+  /** Count-min sketch geometry: [[CmsDepth]] independent hash rows ×
+    * [[CmsWidth]] buckets — 4×256 keeps the sketch a 1 KB-scale
+    * constant at EVERY input size (that is the point of a sketch). */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-min sketch heavy-hitter estimation over `l_partkey`: build
+    * the d×w counter table (bucket = polyhash(j:key) mod w per hash
+    * row j), then read the top-20 true-count keys back out of the
+    * sketch (estimate = min over rows of the key's counter) and
+    * report estimate vs truth. Deterministic end-to-end — the hashes
+    * are the engine's own cross-engine `graft_polyhash`, so the
+    * ORACLE BUILDS THE IDENTICAL SKETCH and the gate stays
+    * hash-exact, unlike approx_count_distinct whose HLL internals are
+    * engine-private (the reason agg_approx_distinct is the inventory's
+    * no-oracle row). CMS guarantees est ≥ true (spec-asserted).
+    *
+    * Scale story: the build explodes d rows per input but map-side
+    * combine collapses each partition to ≤ d·w cells before the
+    * shuffle, so the exchange is O(partitions·d·w) regardless of
+    * input rows; the probe side broadcasts the d·w-row sketch
+    * (constant-sized by construction) — at 100 TB this is exactly
+    * how you'd sketch a quadrillion-row key column. */
+  val aggCountmin: Q = (s, d) => {
+    graft.engine.ops.TextFeatures.ensureRegistered(s)
+    val hashSql = s"graft_polyhash(concat(CAST(j AS STRING), ':', " +
+      s"CAST(pk AS STRING))) % $CmsWidth"
+    val ins = Tables.lineitem(s, d).select($"l_partkey".as("pk"))
+    val cells = ins
+      .select($"pk", explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .select($"j", expr(hashSql).as("b"))
+      .groupBy($"j", $"b").agg(count(lit(1)).as("c"))
+    val keys = ins.groupBy($"pk").agg(count(lit(1)).as("true_cnt"))
+      .orderBy($"true_cnt".desc, $"pk").limit(20)
+    keys
+      .select($"pk", $"true_cnt",
+        explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .withColumn("b", expr(hashSql))
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy($"pk", $"true_cnt").agg(min($"c").as("est_cnt"))
+      .select($"pk", $"true_cnt", $"est_cnt",
+        ($"est_cnt" - $"true_cnt").as("over_cnt"))
+      .orderBy($"true_cnt".desc, $"pk")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_tpch_q14" -> aggTpchQ14,
     "join_tpch_q10" -> joinTpchQ10,
@@ -252,6 +297,7 @@ object Relational8 {
     "ts_seasonal" -> tsSeasonal,
     "text_lm_bigram" -> textLmBigram,
     "graph_kcore" -> graphKcore,
+    "agg_countmin" -> aggCountmin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,6 +418,27 @@ object Relational8 {
         |FROM (SELECT u AS n FROM e$KCoreMaxRounds
         |      UNION ALL SELECT v FROM e$KCoreMaxRounds)
         |GROUP BY n ORDER BY n""".stripMargin
+    },
+    "agg_countmin" -> {
+      val h = DedupOps.duckCharHash(
+        "concat(CAST(j.j AS VARCHAR), ':', CAST(pk AS VARCHAR))")
+      s"""WITH js AS (SELECT unnest(range($CmsDepth)) AS j),
+        | ins AS (SELECT l_partkey AS pk FROM lineitem),
+        | cells AS MATERIALIZED (
+        |  SELECT j.j AS j, $h % $CmsWidth AS b, count(1) AS c
+        |  FROM ins, js j GROUP BY 1, 2),
+        | keys AS (
+        |  SELECT pk, count(1) AS true_cnt FROM ins GROUP BY pk
+        |  ORDER BY true_cnt DESC, pk LIMIT 20),
+        | probes AS (
+        |  SELECT pk, true_cnt, j.j AS j, $h % $CmsWidth AS b
+        |  FROM keys, js j)
+        |SELECT p.pk, CAST(p.true_cnt AS BIGINT) AS true_cnt,
+        |  CAST(min(c.c) AS BIGINT) AS est_cnt,
+        |  CAST(min(c.c) - p.true_cnt AS BIGINT) AS over_cnt
+        |FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b
+        |GROUP BY p.pk, p.true_cnt
+        |ORDER BY true_cnt DESC, pk""".stripMargin
     },
   )
 }

@@ -149,4 +149,18 @@ class Relational8Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) <= deg0(r.getLong(0))))
   }
+
+  test("agg_countmin: CMS never underestimates and the sketch is broadcast") {
+    val df = Relational8.aggCountmin(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (t, e, o) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(e >= t, s"CMS underestimated key ${r.getLong(0)}: est=$e true=$t")
+      assert(o == e - t)
+    }
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d×w sketch must broadcast to the probe side:\n$p")
+  }
 }
