@@ -290,6 +290,41 @@ object Relational8 {
       .orderBy($"true_cnt".desc, $"pk")
   }
 
+  /** Histogram bucket width (cents) for [[aggMedianSelect]]'s first
+    * pass: $1000 buckets → ~100 buckets over this data's price range. */
+  val MedianBucketC = 100000L
+
+  /** EXACT global median (lower median, the (n+1)/2-th order
+    * statistic) of lineitem price WITHOUT a global sort — the
+    * two-pass distributed selection: (1) a map-side-combined
+    * histogram over [[MedianBucketC]]-wide buckets, cumulated
+    * driver-side (bucket-count-sized collect, the sanctioned
+    * control-plane pattern); (2) a TakeOrdered of only the k-th
+    * bucket's rows. A naive `ORDER BY c LIMIT k` globally sorts — at
+    * 100 TB that is the difference between one narrow aggregate +
+    * one small scan and an O(n log n) full-data exchange. If a
+    * single bucket were still too large, the same split recurses
+    * inside it (narrower buckets) — the knob is documented, not
+    * needed at any tested SF. Exact integer cents end-to-end; the
+    * oracle's `quantile_disc(0.5)` is the same (n+1)/2-th statistic. */
+  val aggMedianSelect: Q = (s, d) => {
+    val v = Tables.lineitem(s, d)
+      .select(($"l_extendedprice".cast(Dec) * 100).cast("long").as("c"))
+    val hist = v.groupBy(expr(s"c DIV $MedianBucketC").as("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .collect().sortBy(_.getLong(0))
+    val total = hist.map(_.getLong(1)).sum
+    val k = (total + 1) / 2
+    val cumBefore = hist.scanLeft(0L)(_ + _.getLong(1))
+    val idx = cumBefore.indexWhere(_ >= k) - 1 // last bucket with cum < k
+    val (bkt, before) = (hist(idx).getLong(0), cumBefore(idx))
+    val kLocal = (k - before).toInt
+    v.filter(expr(s"c DIV $MedianBucketC") === bkt)
+      .orderBy($"c").limit(kLocal)
+      .agg(max($"c").as("median_c"))
+      .select(lit(total).as("n_rows"), lit(k).as("k"), $"median_c")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_tpch_q14" -> aggTpchQ14,
     "join_tpch_q10" -> joinTpchQ10,
@@ -298,6 +333,7 @@ object Relational8 {
     "text_lm_bigram" -> textLmBigram,
     "graph_kcore" -> graphKcore,
     "agg_countmin" -> aggCountmin,
+    "agg_median_select" -> aggMedianSelect,
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,5 +476,12 @@ object Relational8 {
         |GROUP BY p.pk, p.true_cnt
         |ORDER BY true_cnt DESC, pk""".stripMargin
     },
+    "agg_median_select" ->
+      """SELECT CAST(count(1) AS BIGINT) AS n_rows,
+        |  CAST((count(1) + 1) // 2 AS BIGINT) AS k,
+        |  quantile_disc(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |    0.5) AS median_c
+        |FROM lineitem""".stripMargin,
   )
 }

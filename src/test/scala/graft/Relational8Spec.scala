@@ -163,4 +163,25 @@ class Relational8Spec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the d×w sketch must broadcast to the probe side:\n$p")
   }
+
+  test("agg_median_select equals the brute-force sorted median, without a global sort") {
+    import org.apache.spark.sql.functions._
+    val r = Relational8.aggMedianSelect(spark, sf).collect().head
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val all = engine.Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice").cast(dec) * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val k = (all.length + 1) / 2
+    assert(r.getAs[Long]("n_rows") == all.length)
+    assert(r.getAs[Long]("k") == k)
+    assert(r.getAs[Long]("median_c") == all(k - 1),
+      "two-pass selection must equal the k-th order statistic")
+    // the selection plan touches only ONE bucket's rows in pass 2: the
+    // filtered TakeOrdered must not be a full-relation global sort
+    val df2 = Relational8.aggMedianSelect(spark, sf)
+    df2.collect()
+    val p = df2.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pass 2 must be a bounded TakeOrdered, not a global sort:\n$p")
+  }
 }
