@@ -325,6 +325,40 @@ object Relational8 {
       .select(lit(total).as("n_rows"), lit(k).as("k"), $"median_c")
   }
 
+  /** Dedup-aware mixture reweighting: source sampling weights from
+    * EFFECTIVE (post-exact-dedup) token counts — each distinct
+    * normalized text counts its tokens once however many copies a
+    * source holds, so a source that puffs itself up with duplicates
+    * gets the weight of its unique content (the composition of
+    * dedup_exact and mix_weights a real mixture designer runs;
+    * counting raw tokens overweights exactly the sources dedup will
+    * later shrink).
+    *
+    * Scale story: the dedup aggregate groups on (source,
+    * polyhash(norm_text)) — 16-byte rows shuffle, never full texts;
+    * per-source rollup is map-side combined; the corpus total is a
+    * 1-row broadcast cross-join. Weights are floor-scaled basis
+    * points, DIV on BIGINT. */
+  val mixDedupWeights: Q = (s, d) => {
+    TextFeatures.ensureRegistered(s)
+    val docs = Tables.documents(s, d)
+      .select($"source",
+        expr(TextFeatures.charHashSql(
+          "regexp_replace(trim(lower(text)), '\\\\s+', ' ')")).as("h"),
+        size(TextFeatures.tokens($"text")).cast("long").as("n_toks"))
+    val uniq = docs.groupBy($"source", $"h")
+      .agg(count(lit(1)).as("n_docs"), min($"n_toks").as("n_toks"))
+    val src = uniq.groupBy($"source")
+      .agg(sum($"n_toks").cast("long").as("eff_toks"),
+        sum($"n_docs").cast("long").as("n_docs"),
+        count(lit(1)).as("n_uniq"))
+    val tot = src.agg(sum($"eff_toks").cast("long").as("t"))
+    src.crossJoin(broadcast(tot))
+      .select($"source", $"eff_toks", $"n_docs", $"n_uniq",
+        expr("(eff_toks * 10000) DIV t").as("weight_bp"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_tpch_q14" -> aggTpchQ14,
     "join_tpch_q10" -> joinTpchQ10,
@@ -334,6 +368,7 @@ object Relational8 {
     "graph_kcore" -> graphKcore,
     "agg_countmin" -> aggCountmin,
     "agg_median_select" -> aggMedianSelect,
+    "mix_dedup_weights" -> mixDedupWeights,
   )
 
   val oracles: Map[String, String] = Map(
@@ -483,5 +518,24 @@ object Relational8 {
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
         |    0.5) AS median_c
         |FROM lineitem""".stripMargin,
+    "mix_dedup_weights" -> {
+      val h = DedupOps.duckCharHash(
+        "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")
+      s"""WITH docs AS (
+        |  SELECT source, $h AS h,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_toks
+        |  FROM documents),
+        | uniq AS (
+        |  SELECT source, h, count(1) AS n_docs, min(n_toks) AS n_toks
+        |  FROM docs GROUP BY source, h),
+        | src AS (
+        |  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS eff_toks,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_docs, count(1) AS n_uniq
+        |  FROM uniq GROUP BY source),
+        | tot AS (SELECT CAST(SUM(eff_toks) AS BIGINT) AS t FROM src)
+        |SELECT source, eff_toks, n_docs, n_uniq,
+        |  CAST(eff_toks * 10000 // t AS BIGINT) AS weight_bp
+        |FROM src, tot ORDER BY source""".stripMargin
+    },
   )
 }

@@ -184,4 +184,24 @@ class Relational8Spec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"pass 2 must be a bounded TakeOrdered, not a global sort:\n$p")
   }
+
+  test("mix_dedup_weights: weights sum to ~10000 bp and dups never raise a weight") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational8.mixDedupWeights(spark, sf).collect()
+    val bpSum = rows.map(_.getAs[Long]("weight_bp")).sum
+    val n = rows.length
+    // floor-scaled integer weights: total in (10000 - n, 10000]
+    assert(bpSum <= 10000 && bpSum > 10000 - n, s"bp sum $bpSum")
+    // effective tokens never exceed raw tokens per source
+    val raw = engine.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(sum(size(graft.engine.ops.TextFeatures.tokens(col("text"))))
+        .cast("long").as("raw"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eff_toks") <= raw(r.getString(0)),
+        s"effective tokens exceed raw for ${r.getString(0)}")
+      assert(r.getAs[Long]("n_uniq") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
