@@ -359,6 +359,47 @@ object Relational8 {
       .orderBy($"source")
   }
 
+  /** Bucket count for [[joinBucketed]] — both sides must agree for
+    * exchange-free co-location. */
+  val BucketN = 8
+
+  /** CO-LOCATED join via Spark BUCKETED TABLES: both fact sides are
+    * written `bucketBy(8, orderkey)` + `sortBy` into the session
+    * warehouse once per scale dir, after which the join plans a
+    * SortMergeJoin with ZERO Exchange — the bucketed scan itself
+    * satisfies the join's clustering requirement (spec-asserted).
+    * This is the storage-level answer to the repeated-join workload
+    * at 100 TB: pay one bucketed write, then every subsequent
+    * orderkey join of these tables shuffles NOTHING — the difference
+    * between an O(fact) network exchange per query and none. The
+    * other join rows demonstrate runtime strategies (broadcast,
+    * bloom, salt, AQE skew); this one demonstrates layout, the knob
+    * that dominates when the same keys join daily.
+    *
+    * Determinism: the bucketed write is only a physical layout —
+    * the joined result is the plain join's row multiset, and the
+    * presentation aggregates per priority in exact decimal money. */
+  val joinBucketed: Q = (s, d) => {
+    val tag = math.abs(d.hashCode).toString
+    val (to, tl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    if (!s.catalog.tableExists(to)) {
+      Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+        .write.format("parquet")
+        .bucketBy(BucketN, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(to)
+      Tables.lineitem(s, d).select($"l_orderkey", revE4.as("rev_e4"))
+        .write.format("parquet")
+        .bucketBy(BucketN, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(tl)
+    }
+    s.table(to)
+      .join(s.table(tl), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(sum($"rev_e4").cast("long").as("rev_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_tpch_q14" -> aggTpchQ14,
     "join_tpch_q10" -> joinTpchQ10,
@@ -369,6 +410,7 @@ object Relational8 {
     "agg_countmin" -> aggCountmin,
     "agg_median_select" -> aggMedianSelect,
     "mix_dedup_weights" -> mixDedupWeights,
+    "join_bucketed" -> joinBucketed,
   )
 
   val oracles: Map[String, String] = Map(
@@ -537,5 +579,14 @@ object Relational8 {
         |  CAST(eff_toks * 10000 // t AS BIGINT) AS weight_bp
         |FROM src, tot ORDER BY source""".stripMargin
     },
+    "join_bucketed" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    * 10000 AS BIGINT)) AS BIGINT) AS rev_e4,
+        |  count(1) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -204,4 +204,47 @@ class Relational8Spec extends AnyFunSuite {
       assert(r.getAs[Long]("n_uniq") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("join_bucketed: the co-located join itself plans NO exchange") {
+    import org.apache.spark.sql.functions._
+    // at spec scale the orders side is broadcast-sized, which would
+    // (correctly) dodge the SortMergeJoin this test exists to prove;
+    // disable auto-broadcast to exercise the bucketed-layout property
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    val df = try {
+      val df0 = Relational8.joinBucketed(spark, sf)
+      df0.collect()
+      df0
+    } finally spark.conf.set(key, saved)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$p")
+    // the ONLY exchange allowed is the final 5-row priority rollup /
+    // presentation sort — the join inputs read pre-bucketed, so no
+    // exchange may appear below the join
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"bucketed join inputs must not re-shuffle:\n$p")
+    // and the result equals the plain (shuffled) join
+    val tag = math.abs(sf.hashCode).toString
+    val plain = engine.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(engine.Tables.lineitem(spark, sf)
+          .withColumn("rev_e4", (col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              - col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            * 10000).cast("long"))
+          .select(col("l_orderkey"), col("rev_e4")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("rev_e4")).cast("long").as("rev_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+      .collect()
+    assert(df.collect().toSeq == plain.toSeq)
+  }
 }
