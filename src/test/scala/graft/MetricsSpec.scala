@@ -71,6 +71,36 @@ class MetricsSpec extends AnyFunSuite {
         "the binary column leaked into the shuffle")
   }
 
+  test("bigram LM scoring never shuffles document text") {
+    // the induce-then-probe pipeline moves (doc_id, bigram) and
+    // (bigram, count) rows — bounded by corpus bigram occurrences ×
+    // their width — while the text column is consumed map-side by the
+    // tokenizer; text leaking into an exchange would show up as
+    // shuffle bytes ≈ corpus bytes
+    val textBytes = Tables.documents(spark, sf)
+      .select(sum(octet_length(col("text")))).head().getLong(0)
+    val s = Metrics.shuffleStats(
+      graft.engine.ops.Relational8.textLmBigram(spark, sf))
+    assert(s.bytesWritten > 0L)
+    assert(s.bytesWritten < textBytes * 3,
+      s"bigram LM shuffled $s vs $textBytes text bytes — expected only " +
+        "narrow (id, bigram) rows in the exchanges")
+  }
+
+  test("count-min sketch build shuffles O(d×w×partitions) cells, not O(rows)") {
+    val li = Tables.lineitem(spark, sf)
+    val rows = li.count()
+    val s = Metrics.shuffleStats(
+      graft.engine.ops.Relational8.aggCountmin(spark, sf))
+    // build cells + top-20 key aggregate + probe rows; the d-fold
+    // exploded input must collapse in the map-side combine, so the
+    // total stays well under the d×rows a combine-less build would move
+    assert(s.recordsWritten > 0L)
+    assert(s.recordsWritten < rows,
+      s"CMS shuffled ${s.recordsWritten} records for $rows input rows — " +
+        "the d-fold explode leaked into the exchange uncombined")
+  }
+
   test("as-of grid resampling shuffles each side once, not the pair blow-up") {
     val grid = graft.engine.ops.Relational3.tsAsofGrid(spark, sf)
     val nOut = grid.count()
