@@ -400,7 +400,44 @@ object Relational8 {
       .orderBy($"o_orderpriority")
   }
 
+  /** Hampel outlier multiplier: flag when |x − med| > k·MAD, spelled
+    * in integers as `|x − med| > HampelK · mad`. */
+  val HampelK = 3L
+
+  /** Hampel filter over the [[MedianK]]-sample rolling frame: an
+    * event is an outlier when it deviates from its frame's median by
+    * more than [[HampelK]]× the frame's median absolute deviation —
+    * the robust outlier detector (a z-score's mean AND stddev are
+    * both dragged by the very spike being tested; median/MAD are
+    * not; ts_anomaly keeps the z-score form for comparison). Both
+    * the median and the MAD are lower medians of ≤K integers, so the
+    * whole path is BIGINT and the flag is an exact integer
+    * inequality — no float, no threshold rounding hazard.
+    *
+    * Scale story: identical to [[winRollingMedian]] — one exchange,
+    * one sort, O(K log K) per row from the same collected frame (the
+    * MAD reuses the already-collected array, not a second window). */
+  val winHampel: Q = (s, d) => {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-(MedianK - 1), 0)
+    val med = "element_at(sort_array(arr), CAST((size(arr) + 1) DIV 2 AS INT))"
+    val mad = "element_at(sort_array(transform(arr, x -> abs(x - med_mu)))," +
+      " CAST((size(arr) + 1) DIV 2 AS INT))"
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
+      .withColumn("arr", collect_list($"v_mu").over(w))
+      .withColumn("med_mu", expr(med))
+      .withColumn("mad_mu", expr(mad))
+      .select($"user_id", $"event_id", $"v_mu", $"med_mu", $"mad_mu",
+        (abs($"v_mu" - $"med_mu") > lit(HampelK) * $"mad_mu")
+          .cast("int").as("outlier"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_hampel" -> winHampel,
     "agg_tpch_q14" -> aggTpchQ14,
     "join_tpch_q10" -> joinTpchQ10,
     "win_rolling_median" -> winRollingMedian,
@@ -588,5 +625,26 @@ object Relational8 {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "win_hampel" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_mu
+        |  FROM events),
+        | l AS (
+        |  SELECT user_id, event_id, v_mu,
+        |    list(v_mu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN ${MedianK - 1} PRECEDING AND CURRENT ROW) AS arr
+        |  FROM e),
+        | m AS (
+        |  SELECT user_id, event_id, v_mu, arr,
+        |    list_sort(arr)[(len(arr) + 1) // 2] AS med_mu
+        |  FROM l)
+        |SELECT user_id, event_id, v_mu, med_mu,
+        |  list_sort(list_transform(arr, x -> abs(x - med_mu)))
+        |    [(len(arr) + 1) // 2] AS mad_mu,
+        |  CAST(abs(v_mu - med_mu) > $HampelK *
+        |    list_sort(list_transform(arr, x -> abs(x - med_mu)))
+        |      [(len(arr) + 1) // 2] AS INTEGER) AS outlier
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -247,4 +247,25 @@ class Relational8Spec extends AnyFunSuite {
       .collect()
     assert(df.collect().toSeq == plain.toSeq)
   }
+
+  test("win_hampel: flags recompute from scratch and median spikes don't self-mask") {
+    val rows = Relational8.winHampel(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { urs =>
+      val sorted = urs.sortBy(_.getLong(1))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 6), i + 1).map(_.getLong(2))
+        def lowerMed(xs: Seq[Long]) = xs.sorted.apply((xs.length + 1) / 2 - 1)
+        val med = lowerMed(frame)
+        val mad = lowerMed(frame.map(x => math.abs(x - med)))
+        val r = sorted(i)
+        assert(r.getLong(3) == med && r.getLong(4) == mad)
+        val expect = if (math.abs(r.getLong(2) - med) > Relational8.HampelK * mad) 1 else 0
+        assert(r.getInt(5) == expect)
+      }
+    }
+    // the detector must actually fire somewhere and not everywhere
+    val n = rows.count(_.getInt(5) == 1)
+    assert(n > 0 && n < rows.length, s"outliers flagged: $n of ${rows.length}")
+  }
 }
