@@ -308,7 +308,12 @@ object Relational7 {
     val wN = org.apache.spark.sql.expressions.Window.partitionBy($"source")
     Tables.documents(s, d)
       .select($"doc_id", $"source",
-        expr("(doc_id * 2654435761) % 4294967296").as("h"))
+        // doc_id wraps mod 2^31 BEFORE the Knuth multiply so the
+        // product tops out at (2^31-1)*2654435761 < 2^63: the raw
+        // product overflows int64 for doc_id >~ 3.5e9, where Spark
+        // (non-ANSI) silently wraps negative while DuckDB raises —
+        // a cross-engine divergence at 100 TB id ranges.
+        expr("((doc_id % 2147483648) * 2654435761) % 4294967296").as("h"))
       .withColumn("rk", row_number().over(wSrc).cast("long"))
       .withColumn("n", count(lit(1)).over(wN))
       .withColumn("split",
@@ -575,7 +580,7 @@ object Relational7 {
     "data_split_stratified" ->
       """WITH h AS (
         |  SELECT doc_id, source,
-        |    (doc_id * 2654435761) % 4294967296 AS h
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
         |  FROM documents),
         | r AS (
         |  SELECT doc_id, source,

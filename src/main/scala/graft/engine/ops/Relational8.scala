@@ -313,16 +313,24 @@ object Relational8 {
     val hist = v.groupBy(expr(s"c DIV $MedianBucketC").as("bkt"))
       .agg(count(lit(1)).as("n"))
       .collect().sortBy(_.getLong(0))
-    val total = hist.map(_.getLong(1)).sum
-    val k = (total + 1) / 2
-    val cumBefore = hist.scanLeft(0L)(_ + _.getLong(1))
-    val idx = cumBefore.indexWhere(_ >= k) - 1 // last bucket with cum < k
-    val (bkt, before) = (hist(idx).getLong(0), cumBefore(idx))
-    val kLocal = (k - before).toInt
-    v.filter(expr(s"c DIV $MedianBucketC") === bkt)
-      .orderBy($"c").limit(kLocal)
-      .agg(max($"c").as("median_c"))
-      .select(lit(total).as("n_rows"), lit(k).as("k"), $"median_c")
+    if (hist.isEmpty) {
+      // Empty input: no k-th statistic exists — mirror the oracle's
+      // quantile over zero rows (NULL median) instead of indexing at -2.
+      v.sparkSession.range(1)
+        .select(lit(0L).as("n_rows"), lit(0L).as("k"),
+          lit(null).cast("long").as("median_c"))
+    } else {
+      val total = hist.map(_.getLong(1)).sum
+      val k = (total + 1) / 2
+      val cumBefore = hist.scanLeft(0L)(_ + _.getLong(1))
+      val idx = cumBefore.indexWhere(_ >= k) - 1 // last bucket with cum < k
+      val (bkt, before) = (hist(idx).getLong(0), cumBefore(idx))
+      val kLocal = (k - before).toInt
+      v.filter(expr(s"c DIV $MedianBucketC") === bkt)
+        .orderBy($"c").limit(kLocal)
+        .agg(max($"c").as("median_c"))
+        .select(lit(total).as("n_rows"), lit(k).as("k"), $"median_c")
+    }
   }
 
   /** Dedup-aware mixture reweighting: source sampling weights from
@@ -380,9 +388,25 @@ object Relational8 {
     * the joined result is the plain join's row multiset, and the
     * presentation aggregates per priority in exact decimal money. */
   val joinBucketed: Q = (s, d) => {
-    val tag = math.abs(d.hashCode).toString
+    // Collision-resistant tag: abs(hashCode) could collide across scale
+    // dirs (and abs(Int.MinValue) is negative); a SHA-256 prefix cannot.
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val (to, tl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    // The in-memory catalog dies with the JVM while the warehouse dir
+    // persists, so `tableExists` alone is a trap: a fresh session would
+    // hit "managed table location already exists". Reuse only a table
+    // THIS session registered; otherwise clear any stale warehouse path
+    // (DROP covers a registered-but-being-replaced table, the FS delete
+    // covers the orphaned dir from a previous JVM) and rewrite.
     if (!s.catalog.tableExists(to)) {
+      Seq(to, tl).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, t.toLowerCase)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
         .write.format("parquet")
         .bucketBy(BucketN, "o_orderkey").sortBy("o_orderkey")

@@ -34,11 +34,16 @@ object Relational9 {
     *
     * The composite (source, doc_id) order rides one zero-padded sort
     * key so the range partitioner sees a single column; doc_id is
-    * unique so the key is too (§7.3 unique-sort-key rule). */
+    * unique so the key is too (§7.3 unique-sort-key rule). The
+    * separator is U+0001 — BELOW every printable identifier char —
+    * so prefix-colliding sources (`src1` vs `src10`) concat-sort in
+    * the same order as the (source, doc_id) tuple: with ':' (0x3A,
+    * above '0') `src10:` sorted before `src1:` and every global_idx
+    * in between was silently shifted. */
   val dataEnumerate: Q = (s, d) => {
     val keyed = Tables.documents(s, d)
       .select($"doc_id", $"source",
-        concat($"source", lit(":"), lpad($"doc_id".cast("string"), 12, "0"))
+        concat($"source", lit("\u0001"), lpad($"doc_id".cast("string"), 12, "0"))
           .as("k"))
       .withColumn("one", lit(1L))
     PipelineOps.cumBefore(keyed, "k", "one")
@@ -72,13 +77,13 @@ object Relational9 {
     * window lays out the bins. */
   val dataCompactPlan: Q = (s, d) =>
     Tables.documents(s, d)
-      .groupBy($"source", ($"doc_id" / lit(CompactStripe)).cast("long").as("file_id"))
+      .groupBy($"source", expr(s"doc_id DIV $CompactStripe").as("file_id"))
       .agg(sum($"n_chars").as("f_bytes"), count(lit(1)).as("n_docs"))
       .withColumn("cum_before", coalesce(
         sum($"f_bytes").over(Window.partitionBy($"source").orderBy($"file_id")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"source", $"file_id", $"n_docs", $"f_bytes",
-        ($"cum_before" / lit(CompactTarget)).cast("long").as("bin_id"),
+        expr(s"cum_before DIV $CompactTarget").as("bin_id"),
         ($"cum_before" % lit(CompactTarget)).as("bin_off"))
       .orderBy($"source", $"file_id")
 
@@ -163,12 +168,22 @@ object Relational9 {
   val HllAlphaE6 = 718272L
 
   /** HyperLogLog distinct-count twin with an ORACLE-EXACT register
-    * table: bucket and rank come from two salted applications of the
-    * engine's own `graft_polyhash` (values < 2^30), so DuckDB builds
+    * table: bucket and rank are two disjoint 32-bit slices of ONE md5
+    * digest per key (hex chars 1–8 and 9–16), so DuckDB builds
     * bit-identical registers and even the approximate estimate is
     * hash-gated — the same trick that promoted `agg_countmin`, filling
     * the gap that keeps builtin `agg_approx_distinct` no-oracle (HLL++
     * internals aren't portable; this one's are, by construction).
+    *
+    * md5, NOT `graft_polyhash`: a polynomial rolling hash is an
+    * EQUALITY hash — same-length keys land in a few contiguous
+    * magnitude bands, so its leading-zero rank takes ~3 distinct
+    * values and the estimate came out 42% low. HLL consumes hash BITS;
+    * only an avalanching digest is uniform bit-by-bit (even two Lehmer
+    * rounds on the polyhash still left 30% bias — measured, not
+    * guessed). Cross-engine: Spark `conv(substr(md5(…)),16,10)`,
+    * DuckDB `CAST('0x'||substr(md5(…)) AS BIGINT)` — same digest, same
+    * slices.
     *
     * rho is the 30-bit leading-zero rank spelled with binary-string
     * length (31 − len(bin(h)), h=0 → 31) — identical in both engines;
@@ -187,10 +202,12 @@ object Relational9 {
   val aggHll: Q = (s, d) => {
     val ins = Tables.lineitem(s, d).select($"l_orderkey".cast("string").as("k"))
     val regs = ins
+      .select(expr("md5(concat('hll:', k))").as("hx"))
       .select(
-        expr(s"graft_polyhash(concat('hb:', k)) % $HllM").as("b"),
-        expr("31 - IF(graft_polyhash(concat('hr:', k)) = 0, 0, " +
-          "length(bin(graft_polyhash(concat('hr:', k)))))").as("rho"))
+        expr(s"CAST(conv(substr(hx, 1, 8), 16, 10) AS BIGINT) % $HllM").as("b"),
+        expr("CAST(conv(substr(hx, 9, 8), 16, 10) AS BIGINT) % 1073741824")
+          .as("h"))
+      .select($"b", expr("31 - IF(h = 0, 0, length(bin(h)))").as("rho"))
       .groupBy($"b").agg(max($"rho").as("r"))
     val universe = ins.sparkSession.range(HllM).select($"id".as("b"))
     val est = universe.join(regs, Seq("b"), "left")
@@ -283,24 +300,26 @@ object Relational9 {
         |  CAST(sum(t) AS BIGINT) AS proj_mu
         |FROM terms GROUP BY vec_id, k ORDER BY vec_id, k""".stripMargin
     },
-    "agg_hll" -> {
-      val hb = duckPoly("concat('hb:', k)")
-      val hr = duckPoly("concat('hr:', k)")
+    "agg_hll" ->
       s"""WITH ins AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        | hx AS (SELECT md5(concat('hll:', k)) AS hx FROM ins),
+        | hv AS (
+        |  SELECT CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % $HllM AS b,
+        |    CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT) % 1073741824 AS h
+        |  FROM hx),
         | hs AS (
-        |  SELECT $hb % $HllM AS b,
-        |    31 - (CASE WHEN $hr = 0 THEN 0
-        |          ELSE length(bin($hr)) END) AS rho
-        |  FROM ins),
+        |  SELECT b,
+        |    31 - (CASE WHEN h = 0 THEN 0 ELSE length(bin(h)) END) AS rho
+        |  FROM hv),
         | regs AS (SELECT b, max(rho) AS r FROM hs GROUP BY b),
-        | full AS (
+        | filled AS (
         |  SELECT u.b, coalesce(regs.r, 0) AS r
         |  FROM (SELECT unnest(range($HllM)) AS b) u
         |    LEFT JOIN regs ON regs.b = u.b),
         | agg AS (
         |  SELECT CAST(sum(CAST(1 AS BIGINT) << (31 - r)) AS BIGINT) AS s_inv,
         |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
-        |  FROM full),
+        |  FROM filled),
         | ex AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
         |        FROM ins)
         |SELECT CAST($HllM AS BIGINT) AS m, v_zero, s_inv,
@@ -310,7 +329,6 @@ object Relational9 {
         |  CAST(abs(CAST((CAST($HllAlphaE6 AS HUGEINT) * $HllM * $HllM * 2147483648)
         |    // (CAST(s_inv AS HUGEINT) * 1000000) AS BIGINT) - exact_distinct)
         |    * 10000 // exact_distinct AS BIGINT) AS err_bp
-        |FROM agg, ex""".stripMargin
-    },
+        |FROM agg, ex""".stripMargin,
   )
 }
