@@ -33,12 +33,16 @@ object Tables {
     else cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** The driver writes `events.ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long
-    * (legacy.parquet.nanosAsLong) and truncate to microseconds with
-    * integer division (`DIV`, not `/`, to stay in long arithmetic —
-    * 1.7e18 ns overflows double precision), then present as
-    * TIMESTAMP_NTZ to match DuckDB's naive microsecond timestamps.
+  /** `events.ts` normalized to TIMESTAMP_NTZ microseconds (DuckDB's
+    * naive timestamp), whatever physical type the generator wrote.
+    * Generations of the testdata have used BOTH encodings: parquet
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so it
+    * is read as raw nanos via legacy.parquet.nanosAsLong and truncated
+    * with integer division (`DIV`, not `/`: 1.7e18 ns overflows double
+    * precision) — and plain TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark already surfaces as TIMESTAMP_NTZ and needs no
+    * conversion. Dispatch on the loaded schema, not the generator
+    * version, so either dataset works.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -52,9 +56,14 @@ object Tables {
       // work on foreign sessions that skipped GraftSession — and then
       // it is a deliberate, documented session-wide choice.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts",
-          timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     })
   }
 

@@ -180,13 +180,23 @@ class ControlStreamSpec extends AnyFunSuite {
     // stream the real events through a file source by pointing at the
     // parquet directly (batch schema == stream schema)
     val events = graft.engine.Tables.events(spark, sf)
-    val streamed = spark.readStream.schema(
-      spark.read.parquet(s"$sf/events.parquet").schema)
+    val batchSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    // same schema dispatch as Tables.events: nanos-as-long generations
+    // need the DIV truncation, micros generations arrive as
+    // TIMESTAMP_NTZ — cast to TIMESTAMP (session tz is UTC, values
+    // identical) because EventTimeWatermark rejects NTZ event time
+    val streamed = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
     val q = ControlStream.windowedCounts(streamed)
       .writeStream.format("memory").queryName("win_counts")
       .outputMode("complete").start()
