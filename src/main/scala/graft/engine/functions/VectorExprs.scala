@@ -70,6 +70,45 @@ object VectorOps {
     h
   }
 
+  /** 16-bit Morton (Z-order) interleave of two keys' low bits —
+    * matches the declarative
+    * `aggregate(sequence(0,15), 0L, (a,i) -> a + shiftleft((pk>>i)&1, 2i)
+    * + shiftleft((sk>>i)&1, 2i+1))` fold and the DuckDB list_reduce
+    * twin bit for bit. */
+  def morton16(pk: Long, sk: Long): Long = {
+    var m = 0L
+    var i = 0
+    while (i < 16) {
+      m |= ((pk >> i) & 1L) << (2 * i)
+      m |= ((sk >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    m
+  }
+
+  /** Integer matrix–vector multiply: `rows` output elements, each
+    * `out(k) = Σ_j m(k·dim + j) · v(j)` with `dim = v.length` — the
+    * row-major flattened matrix times the vector, in index order.
+    * Matches `transform(sequence(0, rows-1), k -> aggregate(
+    * sequence(0, dim-1), 0L, (acc, j) -> acc + m[k·dim+j] · v[j]))`.
+    * CONTRACT: non-null long arrays, m.length == rows·v.length. */
+  def matvec(v: ArrayData, m: ArrayData, rows: Int): ArrayData = {
+    val x = v.toLongArray()
+    val w = m.toLongArray()
+    val dim = x.length
+    val out = new Array[Long](rows)
+    var k = 0
+    while (k < rows) {
+      var s = 0L
+      var j = 0
+      val base = k * dim
+      while (j < dim) { s += w(base + j) * x(j); j += 1 }
+      out(k) = s
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Register the expressions as SQL functions (idempotent, session
     * scoped) so `expr("graft_dot(a, b)")` works everywhere. */
   def register(spark: SparkSession): Unit = {
@@ -80,6 +119,10 @@ object VectorOps {
       exprs => PolyHash(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_l2",
       exprs => L2Distance(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_morton",
+      exprs => MortonInterleave(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_matvec",
+      exprs => IntMatVec(exprs(0), exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -126,6 +169,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_l2"),
       new ExpressionInfo(classOf[L2Distance].getName, "graft_l2"),
       (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "graft_morton"),
+      (exprs: Seq[Expression]) => MortonInterleave(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[IntMatVec].getName, "graft_matvec"),
+      (exprs: Seq[Expression]) => IntMatVec(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -181,6 +230,51 @@ case class L2Distance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Distance =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd 16-bit Morton interleave over two long keys (the Z-order
+  * clustering code — `data_zorder`'s hot loop: the declarative
+  * aggregate-over-sequence fold runs one boxed lambda per bit per row). */
+case class MortonInterleave(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.morton16(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.engine.functions.VectorOps.morton16($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonInterleave =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd integer matrix–vector multiply (`embed_rp`'s hot loop:
+  * the nested transform/aggregate spelling runs rows·dim boxed lambda
+  * invocations per input row — 1024 for the 16×64 JL projection). */
+case class IntMatVec(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any, m: Any, rows: Any): Any =
+    VectorOps.matvec(v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData],
+      rows.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, m, r) =>
+      s"graft.engine.functions.VectorOps.matvec($v, $m, $r)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): IntMatVec =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Codegen'd polynomial rolling string hash (engine-stable fingerprint). */

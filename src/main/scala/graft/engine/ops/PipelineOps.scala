@@ -248,10 +248,13 @@ object PipelineOps {
     * aggregate; at 100 TB this is the repartitionByRange(morton) write
     * planning pass. All BIGINT bit arithmetic — cross-engine exact. */
   val dataZorder: Q = (s, d) => {
-    val morton =
-      "aggregate(sequence(0, 15), 0L, (a, i) -> a" +
-        " + shiftleft(cast(shiftright(pk, i) & 1 as bigint), cast(2 * i as int))" +
-        " + shiftleft(cast(shiftright(sk, i) & 1 as bigint), cast(2 * i + 1 as int)))"
+    // native codegen'd interleave (functions.MortonInterleave) — the
+    // declarative aggregate-over-sequence fold ran one boxed lambda
+    // per bit per row (interpreted higher-order functions), which
+    // dominated this query's runtime; bit-parity with the fold (and
+    // the oracle's list_reduce twin) is property-tested in PlanSpec
+    val morton = "graft_morton(pk, sk)"
+    ensureRegistered(s)
     Tables.lineitem(s, d)
       .select(($"l_partkey" % 65536L).as("pk"), ($"l_suppkey" % 65536L).as("sk"))
       .withColumn("bucket", expr(s"($morton) DIV 262144L"))

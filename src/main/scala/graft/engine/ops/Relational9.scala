@@ -146,19 +146,34 @@ object Relational9 {
     * 64 elements, zero shuffle (the spec asserts shuffle-free);
     * dimension reduction before an ANN stage is exactly where you
     * cannot afford a pass that shuffles. */
-  val embedRp: Q = (s, d) =>
+  val embedRp: Q = (s, d) => {
+    TextFeatures.ensureRegistered(s)
+    // the ±1 sign matrix is CONSTANT — derive it once driver-side from
+    // the same engine hash the oracle mirrors (VectorOps.polyHash ==
+    // graft_polyhash by construction) and inline it as a literal, so
+    // the per-row work is ONE native codegen'd integer matvec
+    // (functions.IntMatVec) instead of rows·dims = 1024 interpreted
+    // lambda steps (the nested transform/aggregate spelling — measured
+    // ~10× slower); bit-parity with the declarative fold is
+    // property-tested in Relational9Spec
+    val signs = (0 until RpDims).flatMap { k =>
+      (0 until 64).map { j =>
+        if (graft.engine.functions.VectorOps.polyHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"rp:$k:$j"))
+          % 2 == 0) 1L else -1L
+      }
+    }
+    val mLit = "array(" + signs.map(_ + "L").mkString(",") + ")"
     Tables.embeddings(s, d)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("v_mu"))
-      .select($"vec_id", posexplode(expr(
-        s"""transform(sequence(0, ${RpDims - 1}), k ->
-           |  aggregate(sequence(0, 63), 0L, (acc, j) ->
-           |    acc + IF(graft_polyhash(concat('rp:', k, ':', j)) % 2 = 0, 1L, -1L)
-           |          * element_at(v_mu, j + 1)))""".stripMargin))
-        .as(Seq("k", "proj_mu")))
+      .select($"vec_id",
+        posexplode(expr(s"graft_matvec(v_mu, $mLit, $RpDims)"))
+          .as(Seq("k", "proj_mu")))
       .select($"vec_id", $"k".cast("long").as("k"), $"proj_mu")
       .orderBy($"vec_id", $"k")
+  }
 
   // ---------------------------------------------------------------- hyperloglog
 

@@ -115,6 +115,44 @@ class PropertySpec extends AnyFunSuite {
     assert(l2.filter($"native_l2" =!= $"declarative_l2").count() == 0)
   }
 
+  test("MortonInterleave ≡ aggregate-over-sequence fold, bit-for-bit") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    val keys = Seq.tabulate(500)(i => ((i * 2654435761L) % 65536L,
+      (i * 40503L + 17) % 65536L))
+    val df = keys.toDF("pk", "sk")
+      .withColumn("native", expr("graft_morton(pk, sk)"))
+      .withColumn("declarative", expr(
+        "aggregate(sequence(0, 15), 0L, (a, i) -> a" +
+          " + shiftleft(cast(shiftright(pk, i) & 1 as bigint), cast(2 * i as int))" +
+          " + shiftleft(cast(shiftright(sk, i) & 1 as bigint), cast(2 * i + 1 as int)))"))
+    assert(df.filter($"native" =!= $"declarative").count() == 0)
+    // spot values: even bits carry pk, odd bits carry sk
+    assert(VectorOps.morton16(65535L, 0L) == 0x55555555L)
+    assert(VectorOps.morton16(0L, 65535L) == 0xAAAAAAAAL)
+    assert(VectorOps.morton16(1L, 0L) == 1L)
+    assert(VectorOps.morton16(0L, 1L) == 2L)
+    assert(VectorOps.morton16(3L, 3L) == 15L)
+  }
+
+  test("IntMatVec ≡ nested transform/aggregate fold, bit-for-bit") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    val rows = 16
+    val vecs = Seq.tabulate(30)(i => Seq.tabulate(64)(j =>
+      ((i * 64 + j) * 40503L % 2000001L) - 1000000L))
+    val m = Seq.tabulate(rows * 64)(k => if (k % 3 == 0) 1L else -1L)
+    val mLit = "array(" + m.map(_ + "L").mkString(",") + ")"
+    val df = vecs.toDF("v")
+      .withColumn("native", expr(s"graft_matvec(v, $mLit, $rows)"))
+      .withColumn("declarative", expr(
+        s"""transform(sequence(0, ${rows - 1}), k ->
+           |  aggregate(sequence(0, 63), 0L, (acc, j) ->
+           |    acc + element_at($mLit, k * 64 + j + 1) * element_at(v, j + 1)))"""
+          .stripMargin))
+    assert(df.filter($"native" =!= $"declarative").count() == 0)
+  }
+
   test("approx_count_distinct within 5% of exact (SURVEY §7.3g)") {
     import spark.implicits._
     val d = "/root/testdata/sf0.01"
