@@ -109,6 +109,44 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Sliding-window token hashes: for each position i in 0..n−k, the
+    * [[polyHash]] of `toks(i..i+k−1)` joined with a single space —
+    * value-identical to
+    * `transform(sequence(1, n−k+1), i -> polyhash(concat_ws(' ',
+    * slice(toks, i, k))))` (and the oracle's array_to_string twin),
+    * without allocating the joined string per window. Empty result
+    * when n < k. CONTRACT: non-null string elements. */
+  def winHash(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val strs = new Array[String](n)
+    var t = 0
+    while (t < n) { strs(t) = toks.getUTF8String(t).toString; t += 1 }
+    val P = 1000000007L
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var w = 0
+      while (w < k) {
+        if (w > 0) h = (h * 31 + ' '.toInt) % P
+        val s = strs(i + w)
+        var ci = 0
+        while (ci < s.length) {
+          val cp = s.codePointAt(ci)
+          ci += Character.charCount(cp)
+          h = (h * 31 + cp) % P
+        }
+        w += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Register the expressions as SQL functions (idempotent, session
     * scoped) so `expr("graft_dot(a, b)")` works everywhere. */
   def register(spark: SparkSession): Unit = {
@@ -123,6 +161,8 @@ object VectorOps {
       exprs => MortonInterleave(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_matvec",
       exprs => IntMatVec(exprs(0), exprs(1), exprs(2)), "built-in")
+    registry.createOrReplaceTempFunction("graft_winhash",
+      exprs => WindowHash(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -175,6 +215,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_matvec"),
       new ExpressionInfo(classOf[IntMatVec].getName, "graft_matvec"),
       (exprs: Seq[Expression]) => IntMatVec(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((FunctionIdentifier("graft_winhash"),
+      new ExpressionInfo(classOf[WindowHash].getName, "graft_winhash"),
+      (exprs: Seq[Expression]) => WindowHash(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -275,6 +318,28 @@ case class IntMatVec(first: Expression, second: Expression, third: Expression)
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): IntMatVec =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Codegen'd sliding-window token hash (`dedup_substring`'s hot loop:
+  * the transform-over-sequence spelling allocates a joined string and
+  * runs an interpreted lambda per window). */
+case class WindowHash(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(toks: Any, k: Any): Any =
+    VectorOps.winHash(toks.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.engine.functions.VectorOps.winHash($t, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WindowHash =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd polynomial rolling string hash (engine-stable fingerprint). */

@@ -511,10 +511,11 @@ object DedupOps {
       .repartition($"doc_id")
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= SubstrK)
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(1, size(toks) - ${SubstrK - 1}), " +
-          s"i -> graft_polyhash(concat_ws(' ', slice(toks, i, $SubstrK))))"))
-        .as("g"))
+      // native sliding-window hash (functions.WindowHash): value-
+      // identical to the transform/concat_ws/polyhash spelling the
+      // oracle mirrors (PropertySpec parity test), without the
+      // per-window joined-string allocation + interpreted lambda
+      .select($"doc_id", explode(expr(s"graft_winhash(toks, $SubstrK)")).as("g"))
       .localCheckpoint() // two consumers: occurrence counts + per-doc tally
     val occ = grams.groupBy($"g").agg(count(lit(1)).as("occ"))
     grams.join(occ, Seq("g"))

@@ -153,6 +153,20 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter($"native" =!= $"declarative").count() == 0)
   }
 
+  test("WindowHash ≡ transform/concat_ws/polyhash spelling, bit-for-bit") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    val docs = Seq.tabulate(40)(i =>
+      Seq.tabulate(3 + i % 20)(j => s"tok${(i * 31 + j * 7) % 13}"))
+    val df = docs.toDF("toks")
+      .withColumn("native", expr("graft_winhash(toks, 8)"))
+      .withColumn("declarative", expr(
+        "CASE WHEN size(toks) >= 8 THEN transform(sequence(1, size(toks) - 7), " +
+          "i -> graft_polyhash(concat_ws(' ', slice(toks, i, 8)))) " +
+          "ELSE array() END"))
+    assert(df.filter(expr("native <> declarative")).count() == 0)
+  }
+
   test("approx_count_distinct within 5% of exact (SURVEY §7.3g)") {
     import spark.implicits._
     val d = "/root/testdata/sf0.01"
