@@ -273,10 +273,18 @@ object Relational8 {
     val hashSql = s"graft_polyhash(concat(CAST(j AS STRING), ':', " +
       s"CAST(pk AS STRING))) % $CmsWidth"
     val ins = Tables.lineitem(s, d).select($"l_partkey".as("pk"))
-    val cells = ins
-      .select($"pk", explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
-      .select($"j", expr(hashSql).as("b"))
-      .groupBy($"j", $"b").agg(count(lit(1)).as("c"))
+    // typed CmsAggregator build (functions.CmsAggregator): the d×w
+    // counter table IS the partial-aggregate state — one flat-array
+    // sketch per task, elementwise merge — instead of fanning every
+    // row out d× through explode before the hash aggregate. Cells are
+    // IDENTICAL (same polyhash("j:key") buckets, parity
+    // property-tested), so the oracle's sketch is unchanged.
+    val cmsUdaf = udaf(new graft.engine.functions.CmsAggregator(CmsDepth, CmsWidth))
+    val cells = ins.agg(cmsUdaf($"pk").as("cells"))
+      .select(posexplode($"cells").as(Seq("i", "c")))
+      .select(expr(s"CAST(i DIV $CmsWidth AS INT)").as("j"),
+        ($"i" % CmsWidth).cast("long").as("b"), $"c")
+      .filter($"c" > 0)
     val keys = ins.groupBy($"pk").agg(count(lit(1)).as("true_cnt"))
       .orderBy($"true_cnt".desc, $"pk").limit(20)
     keys

@@ -167,6 +167,33 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter(expr("native <> declarative")).count() == 0)
   }
 
+  test("CmsAggregator cells ≡ the declarative explode-build, per cell") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    val (d, w) = (4, 64)
+    val keys = Seq.tabulate(3000)(i => (i * 2654435761L) % 37L)
+    val df = keys.toDF("pk")
+    val cms = org.apache.spark.sql.functions.udaf(
+      new graft.engine.functions.CmsAggregator(d, w))
+    val viaAgg = df
+      .agg(cms($"pk").as("cells"))
+      .select(org.apache.spark.sql.functions.posexplode($"cells").as(Seq("i", "c")))
+      .select(expr(s"CAST(i DIV $w AS INT)").as("j"),
+        ($"i" % w).cast("long").as("b"), $"c")
+      .filter($"c" > 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaExplode = df
+      .select($"pk", org.apache.spark.sql.functions.explode(
+        expr(s"sequence(0, ${d - 1})")).as("j"))
+      .select($"j", expr(
+        s"graft_polyhash(concat(CAST(j AS STRING), ':', CAST(pk AS STRING))) % $w").as("b"))
+      .groupBy($"j", $"b").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaAgg == viaExplode,
+      "the typed sketch build must produce identical cells")
+  }
+
   test("approx_count_distinct within 5% of exact (SURVEY §7.3g)") {
     import spark.implicits._
     val d = "/root/testdata/sf0.01"
