@@ -172,4 +172,28 @@ class MetricsSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
   }
+
+  test("power-iteration aggregate shuffles O(dims × partitions), not O(rows)") {
+    import spark.implicits._
+    // the round-8 scale claim for embed_pca_power: the per-iteration
+    // shuffle is dimension-sized whatever the corpus size — measure
+    // one iteration's aggregate (map-only dot + 64-group aggregate)
+    graft.engine.ops.TextFeatures.ensureRegistered(spark)
+    val x = Tables.embeddings(spark, sf).select(
+      expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("v_mu"))
+    val rows = x.count()
+    val vLit = "array(" + Seq.fill(64)("1000000L").mkString(",") + ")"
+    val u = x.withColumn("dot", expr(
+        s"aggregate(zip_with(v_mu, $vLit, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"))
+      .select(posexplode($"v_mu").as(Seq("j", "xj")), $"dot")
+      .groupBy($"j")
+      .agg(sum($"xj".cast("decimal(38,0)") * $"dot").as("u"))
+    val s = Metrics.shuffleStats(u)
+    val parts = x.rdd.getNumPartitions
+    assert(s.recordsWritten > 0L)
+    assert(s.recordsWritten <= 64L * parts,
+      s"iteration shuffled ${s.recordsWritten} rows — the 64-group " +
+        s"map-side combine failed (corpus is $rows vectors)")
+  }
 }
