@@ -96,6 +96,12 @@ object VectorOps {
     val x = v.toLongArray()
     val w = m.toLongArray()
     val dim = x.length
+    // fail loudly on a contract violation: a ragged/short vector would
+    // otherwise misalign every matrix row and return silently wrong
+    // projections (the declarative element_at spelling nulls/errors)
+    require(w.length == rows * dim,
+      s"graft_matvec: matrix has ${w.length} elements, expected " +
+        s"rows×dim = $rows×$dim = ${rows * dim}")
     val out = new Array[Long](rows)
     var k = 0
     while (k < rows) {
@@ -148,9 +154,18 @@ object VectorOps {
   }
 
   /** Register the expressions as SQL functions (idempotent, session
-    * scoped) so `expr("graft_dot(a, b)")` works everywhere. */
+    * scoped) so `expr("graft_dot(a, b)")` works everywhere. A session
+    * built with [[GraftExtensions]] already has them injected — detect
+    * that and skip, so per-query safety-net calls don't churn the
+    * registry (each createOrReplaceTempFunction logs a "replaced a
+    * previously registered function" warning). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    val names = Seq("graft_dot", "graft_polyhash", "graft_l2",
+      "graft_morton", "graft_matvec", "graft_winhash", "graft_bloom_agg",
+      "graft_might_contain")
+    if (names.forall(n => registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_polyhash",

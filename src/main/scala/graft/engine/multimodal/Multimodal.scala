@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.engine.ops.Checkpoints
 
 /** Multimodal column plumbing (north-star): media as opaque `binary`
   * columns with typed metadata, processed in partition-batches.
@@ -305,7 +306,7 @@ object Multimodal {
     * codec output: only (band, id, lo, hi) rows shuffle, bytes never
     * move. */
   val mmPhashDup: Q = (s, d) => {
-    val ph = phashFrame(s, d).localCheckpoint() // one decode pass, two join sides
+    val ph = phashFrame(s, d).transform(Checkpoints.cut) // one decode pass, two join sides
     val bands = ph.select(col("media_id"), col("phash_lo"), col("phash_hi"),
       posexplode(array(
         expr("phash_lo % 65536L"), expr("(phash_lo DIV 65536L) % 65536L"),

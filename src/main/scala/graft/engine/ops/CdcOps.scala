@@ -86,7 +86,7 @@ object CdcOps {
       .select($"event_id", $"ts")
       .repartitionByRange($"ts", $"event_id")
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val sizes = ranged.groupBy($"pid")
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

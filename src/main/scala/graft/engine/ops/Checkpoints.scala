@@ -24,9 +24,17 @@ object Checkpoints {
     val s = df.sparkSession
     s.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        // setCheckpointDir appends a per-context UUID subdir; set once
-        if (s.sparkContext.getCheckpointDir.isEmpty)
-          s.sparkContext.setCheckpointDir(dir)
+        // setCheckpointDir appends a per-context UUID subdir, so the
+        // context dir is "live" iff it sits under the CONFIGURED dir —
+        // re-point when the conf changed (the knob is runtime conf and
+        // must win over stale SparkContext state). getCheckpointDir
+        // returns a fs-qualified path; strip the scheme for the check.
+        val cfg = dir.stripSuffix("/")
+        val live = s.sparkContext.getCheckpointDir.exists { c =>
+          val cn = c.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+          cn == cfg || cn.startsWith(cfg + "/")
+        }
+        if (!live) s.sparkContext.setCheckpointDir(cfg)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -55,7 +55,7 @@ object DedupOps {
       .withColumn("toks", tokens($"text"))
       .withColumn("sh", expr(shingleSetSql("toks")))
       .select($"doc_id", $"sh", size($"sh").as("n"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
   }
 
   /** Max document frequency for a shingle to participate in
@@ -102,7 +102,7 @@ object DedupOps {
     // materialize the filtered posting list once: the self-join otherwise
     // duplicates the whole explode→df-aggregate→join subtree per side
     // (self-join aliasing defeats exchange reuse under AQE)
-    val kept = ex.join(shared, Seq("g")).localCheckpoint()
+    val kept = ex.join(shared, Seq("g")).transform(Checkpoints.cut)
     val inter = kept.as("x").join(kept.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -132,7 +132,7 @@ object DedupOps {
     val ex = base.select($"doc_id", explode($"sh").as("g"))
     val shared = ex.groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= NearMaxShingleDf).select($"g")
-    val kept = ex.join(shared, Seq("g")).localCheckpoint()
+    val kept = ex.join(shared, Seq("g")).transform(Checkpoints.cut)
     kept.as("x").join(kept.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -278,7 +278,7 @@ object DedupOps {
     // what keeps every embedding oracle cross-engine exact); checkpoint
     // so the join doesn't re-cast 64 floats per CANDIDATE (projection
     // collapse)
-    val ve = SimOps.vecs(s, d).localCheckpoint()
+    val ve = SimOps.vecs(s, d).transform(Checkpoints.cut)
     val probeCols = (0 until EmbedProbes).map(p =>
       lit(C - 1) - expr(s"element_at(encs, ${C - p}) % 100"))
     // carry (v, nrm) INTO the bucket join: the assigned frame is
@@ -468,7 +468,7 @@ object DedupOps {
           "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10))) END"))
         .as(Seq("idx", "para")))
       .withColumn("h", expr("graft_polyhash(para)"))
-      .localCheckpoint() // feeds both the survivor pick and the totals
+      .transform(Checkpoints.cut) // feeds both the survivor pick and the totals
     val survivors = paras
       .groupBy($"h")
       .agg(min(struct($"doc_id", $"idx", $"para")).as("s"))
@@ -516,7 +516,7 @@ object DedupOps {
       // oracle mirrors (PropertySpec parity test), without the
       // per-window joined-string allocation + interpreted lambda
       .select($"doc_id", explode(expr(s"graft_winhash(toks, $SubstrK)")).as("g"))
-      .localCheckpoint() // two consumers: occurrence counts + per-doc tally
+      .transform(Checkpoints.cut) // two consumers: occurrence counts + per-doc tally
     val occ = grams.groupBy($"g").agg(count(lit(1)).as("occ"))
     grams.join(occ, Seq("g"))
       .groupBy($"doc_id")

@@ -44,7 +44,7 @@ object KMeans {
 
   /** Train on `df` with columns (id: long, v: array<double>). */
   def fit(df: DataFrame, k: Int, iters: Int): Model = {
-    val vecs = df.select($"id", $"v").localCheckpoint()
+    val vecs = df.select($"id", $"v").transform(Checkpoints.cut)
     var centroids: Array[Array[Double]] = vecs.orderBy($"id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     var objective = Double.MinValue

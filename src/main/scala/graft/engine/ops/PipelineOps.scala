@@ -51,7 +51,7 @@ object PipelineOps {
   private def tokedDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).repartition($"doc_id")
       .select($"doc_id", $"lang", $"text", tokens($"text").as("toks"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
 
   /** Per-doc verdicts over a tokenized corpus frame (unordered). */
   private def cleanVerdict(docs: DataFrame): DataFrame = {
@@ -136,7 +136,7 @@ object PipelineOps {
     * keeps its previous centroid (oracle: COALESCE over a left join). */
   val simIvfKmeans: Q = (s, d) => {
     ensureRegistered(s)
-    val ve = SimOps.vecs(s, d).localCheckpoint()
+    val ve = SimOps.vecs(s, d).transform(Checkpoints.cut)
     val model = KMeans.fit(ve.select($"vec_id".as("id"), $"v"), K, Iters)
     val cus = model.centroids.map(KMeans.unit)
     // same sortable-BIGINT encoding as fit()'s assignment step:
@@ -195,7 +195,7 @@ object PipelineOps {
     val t = df
       .repartitionByRange(col(id))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin the sampled range boundaries (see cdc_progress)
+      .transform(Checkpoints.cut) // pin the sampled range boundaries (see cdc_progress)
     val sizes = t.groupBy($"pid").agg(sum(col(v)).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = sizes.map(_._1) // pid -> total v before this partition
@@ -252,7 +252,7 @@ object PipelineOps {
     // declarative aggregate-over-sequence fold ran one boxed lambda
     // per bit per row (interpreted higher-order functions), which
     // dominated this query's runtime; bit-parity with the fold (and
-    // the oracle's list_reduce twin) is property-tested in PlanSpec
+    // the oracle's list_reduce twin) is property-tested in PropertySpec
     val morton = "graft_morton(pk, sk)"
     ensureRegistered(s)
     Tables.lineitem(s, d)

@@ -52,7 +52,7 @@ object Relational11 {
       .select($"vec_id",
         expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))")
           .as("v_mu"))
-      .localCheckpoint() // 2 iterations × 2 jobs re-read this frame
+      .transform(Checkpoints.cut) // 2 iterations × 2 jobs re-read this frame
     var v: Array[Long] = Array.fill(Dims)(1000000L)
     for (_ <- 1 to PowerIters) {
       val vLit = "array(" + v.map(_ + "L").mkString(",") + ")"

@@ -83,7 +83,7 @@ object Relational14 {
       .filter($"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1997-04-01"))
       .select($"l_suppkey", rev.as("rev"))
       .groupBy($"l_suppkey").agg(sum($"rev").as("total_rev"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val top = revenue.agg(max($"total_rev").as("max_rev"))
     revenue.crossJoin(broadcast(top))
       .filter($"total_rev" === $"max_rev")

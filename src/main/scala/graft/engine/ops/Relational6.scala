@@ -105,7 +105,7 @@ object Relational6 {
         md5(concat(lit("graft:"), $"doc_id".cast("string"))).as("h"))
       .repartitionByRange(8, $"h", $"doc_id")
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin sampled range boundaries across the two jobs
+      .transform(Checkpoints.cut) // pin sampled range boundaries across the two jobs
     val sizes = hashed.groupBy($"pid").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = sizes.map(_._1).zip(

@@ -87,7 +87,7 @@ object Relational7 {
     val edges = Tables.lineitem(s, d)
       .select($"l_suppkey".as("sk"), $"l_partkey".as("p"))
       .distinct()
-      .localCheckpoint() // 4 consumers (deg, hot, both join sides):
+      .transform(Checkpoints.cut) // 4 consumers (deg, hot, both join sides):
                          // dedup the scan+shuffle once, not per use
     val deg = edges.groupBy($"sk").agg(count(lit(1)).as("n"))
     val hot = edges.groupBy($"p").agg(count(lit(1)).as("df"))

@@ -262,12 +262,13 @@ object Relational8 {
     * engine-private (the reason agg_approx_distinct is the inventory's
     * no-oracle row). CMS guarantees est ≥ true (spec-asserted).
     *
-    * Scale story: the build explodes d rows per input but map-side
-    * combine collapses each partition to ≤ d·w cells before the
-    * shuffle, so the exchange is O(partitions·d·w) regardless of
-    * input rows; the probe side broadcasts the d·w-row sketch
-    * (constant-sized by construction) — at 100 TB this is exactly
-    * how you'd sketch a quadrillion-row key column. */
+    * Scale story: the build is a typed partial aggregate whose state
+    * IS the sketch — one fixed d·w long array per task, updated in
+    * place per row and merged elementwise across partitions — so the
+    * exchange is O(partitions·d·w) regardless of input rows; the
+    * probe side broadcasts the d·w-row sketch (constant-sized by
+    * construction) — at 100 TB this is exactly how you'd sketch a
+    * quadrillion-row key column. */
   val aggCountmin: Q = (s, d) => {
     graft.engine.ops.TextFeatures.ensureRegistered(s)
     val hashSql = s"graft_polyhash(concat(CAST(j AS STRING), ':', " +

@@ -143,7 +143,7 @@ object SimOps {
     * partitions. */
   val simIvf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ve = vecs(s, d).localCheckpoint()
+    val ve = vecs(s, d).transform(Checkpoints.cut)
     val cents = ve.filter($"vec_id" < 8)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
     val ranked = ve.crossJoin(broadcast(cents))
@@ -327,7 +327,7 @@ object SimOps {
     * with [[simPqAdc]]'s LUT machinery under one gate. */
   val simIvfPq: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ve = vecs(s, d).localCheckpoint()
+    val ve = vecs(s, d).transform(Checkpoints.cut)
     val cents = ve.filter($"vec_id" < 8)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
     val ranked = ve.crossJoin(broadcast(cents))
@@ -407,7 +407,7 @@ object SimOps {
       .withColumn("cos_e4",
         floor(expr(dotSql) / ($"nrm" * $"qn") * 1e4).cast("long"))
       .select($"qid", $"vec_id", $"cos_e4", $"bucket", $"qbucket")
-      .localCheckpoint() // one dot-product pass feeds both rankings
+      .transform(Checkpoints.cut) // one dot-product pass feeds both rankings
     val w = Window.partitionBy($"qid").orderBy($"cos_e4".desc, $"vec_id")
     val exact5 = scored.withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5).select($"qid", $"vec_id")
@@ -452,7 +452,7 @@ object SimOps {
           * 1e4).cast("long"))
     }.select(($"qid" +: $"vec_id" +: $"cos_full_e4" +:
         MatryoshkaDims.map(dim => col(s"cos_${dim}_e4"))): _*)
-      .localCheckpoint() // one dot-product pass feeds all 4 rankings
+      .transform(Checkpoints.cut) // one dot-product pass feeds all 4 rankings
     val wFull = Window.partitionBy($"qid")
       .orderBy($"cos_full_e4".desc, $"vec_id")
     val exact5 = scored.withColumn("rn", row_number().over(wFull))
@@ -494,7 +494,7 @@ object SimOps {
         floor(expr(dotSql) / ($"nrm" * $"qn") * 1e6).cast("long"))
       .withColumn("l2_e6", floor(expr("graft_l2(v, qv)") * 1e6).cast("long"))
       .select($"vec_id", $"cos_e6", $"l2_e6")
-      .localCheckpoint() // one dot/l2 pass feeds both rankings
+      .transform(Checkpoints.cut) // one dot/l2 pass feeds both rankings
     val wc = Window.orderBy($"cos_e6".desc, $"vec_id")
     val wl = Window.orderBy($"l2_e6".asc, $"vec_id")
     scored

@@ -322,7 +322,7 @@ object TextOps {
     val tokDocs = Tables.documents(s, d)
       .repartition($"doc_id")
       .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("toks"))
-      .localCheckpoint() // one tokenize pass feeds budgets AND the draw
+      .transform(Checkpoints.cut) // one tokenize pass feeds budgets AND the draw
     val per = tokDocs.groupBy($"lang").agg(sum($"toks").as("tokens"))
     val mn = per.agg(min($"tokens").as("min_tokens"))
     val frac = per.crossJoin(broadcast(mn))

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.ops.{Checkpoints, DedupOps, SimOps}
+
+/** The reliable-mode contract for EVERY lineage cut in the engine:
+  * `spark.graft.checkpointDir` must govern all `Checkpoints.cut` call
+  * sites, not just the iterative graph ops. On a 1000-executor run the
+  * shared-frame cuts inside dedup and similarity pipelines are exactly
+  * as exposed to executor loss as a PageRank round — losing the node
+  * holding a `localCheckpoint` block kills the job — so the one knob
+  * has to switch all of them to replicated storage at once.
+  *
+  * (StarContractSpec covers the iterative/labelprop path; this spec
+  * covers the shared-frame paths that round 8 left on direct
+  * `localCheckpoint()`.)
+  */
+class CheckpointsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Count rdd-N reliable-checkpoint dirs written under `dir`. */
+  private def rddDirs(dir: java.nio.file.Path): Long = {
+    val walk = Files.walk(dir)
+    try walk.filter(_.getFileName.toString.startsWith("rdd-")).count()
+    finally walk.close()
+  }
+
+  private def withReliableDir(f: java.nio.file.Path => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft-ckpt-spec")
+    spark.conf.set(Checkpoints.DirKey, dir.toString)
+    try f(dir)
+    finally spark.conf.unset(Checkpoints.DirKey)
+  }
+
+  test("dedup_minhash's shingle-frame cut lands in the reliable dir when " +
+    "spark.graft.checkpointDir is set") {
+    withReliableDir { dir =>
+      val before = rddDirs(dir)
+      val out = DedupOps.queries("dedup_minhash")(spark, sf).collect()
+      assert(out.nonEmpty)
+      assert(rddDirs(dir) > before,
+        s"dedup_minhash ran without writing a reliable checkpoint under $dir")
+    }
+  }
+
+  test("sim_ivf's scored-vectors cut lands in the reliable dir when " +
+    "spark.graft.checkpointDir is set") {
+    withReliableDir { dir =>
+      val before = rddDirs(dir)
+      val out = SimOps.queries("sim_ivf")(spark, sf).collect()
+      assert(out.nonEmpty)
+      assert(rddDirs(dir) > before,
+        s"sim_ivf ran without writing a reliable checkpoint under $dir")
+    }
+  }
+
+  test("the conf knob, not SparkContext state, selects reliable mode") {
+    // a context that once ran reliable mode keeps its checkpoint dir;
+    // with the conf unset, cut() must still take the local-blocks path
+    // and write nothing new there
+    val dir = Files.createTempDirectory("graft-ckpt-unset")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val before = rddDirs(dir)
+    val out = DedupOps.queries("dedup_minhash")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(rddDirs(dir) == before,
+      "knob unset but a reliable checkpoint was written")
+  }
+}
