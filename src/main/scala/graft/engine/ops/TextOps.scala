@@ -352,7 +352,14 @@ object TextOps {
     * with the merge table broadcast. */
   val tokBpePairs: Q = (s, d) =>
     Tables.documents(s, d)
-      .repartition($"doc_id")
+      // pair counting is doc-identity-free, so prune to the text column
+      // BEFORE the exchange and spread round-robin: the doc_id hash
+      // shuffled all five document columns (and can bucket-skew); this
+      // moves only text bytes and balances exactly (the single-row-group
+      // testdata parquet cannot split, so the repartition itself is what
+      // parallelizes the explode)
+      .select($"text")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(tokens($"text")).as("tok"))
       .filter(length($"tok") >= 2)
       .select(explode(expr(
