@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Metrics
+import graft.engine.ops.{DedupOps, Relational2, Relational7}
+
+/** Adversarial hot-key stress: the df caps and salting exist for data
+  * the driver testdata never exhibits (its hottest shingle has df 25
+  * against a cap of 1000; its hottest part df ~1000 against 5000).
+  * This spec GENERATES corpora where the caps must fire — one shingle
+  * in 5,000 documents, one part from 6,000 suppliers, one user with
+  * 20x everyone's events — and asserts with data, not comments, that
+  * (a) results still match a driver-side brute-force oracle computed
+  * in-test from first principles, and (b) the measured shuffle stayed
+  * sub-quadratic (the hot key alone would otherwise contribute
+  * C(5000,2) = 12.5M candidate pairs).
+  */
+class SkewStressSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Driver-side twin of TextOps.tokens. */
+  private def toks(text: String): Vector[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+
+  private def shingles(text: String): Set[String] = {
+    val t = toks(text)
+    if (t.length < 3) Set.empty
+    else t.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  /** Brute-force capped Jaccard dedup: inverted index over shingles
+    * with 2 <= df <= maxDf, pair intersections, sizes from the FULL
+    * (uncapped) sets — exactly dedupNearCapped's contract. */
+  private def bruteNear(docs: Seq[(Long, String)], maxDf: Long)
+      : Set[(Long, Long, Double)] = {
+    val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val kept = df.collect { case (g, n) if n >= 2 && n <= maxDf => g }.toSet
+    val posting = sets.toSeq
+      .flatMap { case (id, sh) => sh.intersect(kept).map(_ -> id) }
+      .groupBy(_._1).values
+    val inter = posting.flatMap { ids =>
+      val sorted = ids.map(_._2).sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size }
+    inter.collect {
+      case ((a, b), n)
+          if math.min(sets(a).size, sets(b).size) >=
+            0.5 * math.max(sets(a).size, sets(b).size) => {
+        val j = BigDecimal(n.toDouble / (sets(a).size + sets(b).size - n))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, j)
+      }
+    }.filter(_._3 >= 0.5).toSet
+  }
+
+  test("dedup_near: a shingle shared by 5,000 docs is df-capped — results " +
+    "match brute force and the join input stays sub-quadratic") {
+    import spark.implicits._
+    val dir = tmpDir("graft-skew-docs")
+    // 5,000 docs all opening with the same boilerplate shingle, then
+    // unique filler; 10 designed near-dup pairs with private vocabulary
+    val boiler = (0L until 5000L).map(i =>
+      (i, s"common header boilerplate u${i}a u${i}b u${i}c u${i}d"))
+    val dups = (0 until 10).flatMap { k =>
+      val text = s"dup${k}a dup${k}b dup${k}c dup${k}d dup${k}e"
+      Seq((100000L + 2 * k, text), (100001L + 2 * k, text))
+    }
+    val docs = boiler ++ dups
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("gen"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .repartition(4).write.parquet(s"$dir/documents.parquet")
+
+    val got = DedupOps.queries("dedup_near")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = bruteNear(docs, DedupOps.NearMaxShingleDf)
+    assert(expect.size == 10, s"corpus design: ${expect.size} expected pairs")
+    assert(got == expect, s"engine=${got.size} pairs, oracle=${expect.size}")
+
+    // measured sub-quadratic: the hot shingle alone would contribute
+    // C(5000,2) ~ 12.5M candidate rows; the capped run must shuffle
+    // nothing remotely like that
+    val s = Metrics.shuffleStats(DedupOps.queries("dedup_near")(spark, dir))
+    val quadratic = 5000L * 4999 / 2
+    assert(s.recordsWritten > 0,
+      "stats must come from a live plan, not an AQE-collapsed empty one")
+    assert(s.recordsWritten < quadratic / 100,
+      s"capped join shuffled ${s.recordsWritten} records — cap not working " +
+        s"(quadratic would be $quadratic)")
+  }
+
+  test("dedup_near cap contrast: on a 500-doc hot corpus the uncapped run " +
+    "shuffles the quadratic candidate set, the capped run does not") {
+    import spark.implicits._
+    val dir = tmpDir("graft-skew-docs-small")
+    // a few real dup pairs keep the result non-empty: an all-empty
+    // result lets AQE propagate EmptyRelation over the final plan and
+    // the exchange metrics vanish with the collapsed stages
+    ((0L until 500L).map(i =>
+        (i, s"common header boilerplate v${i}a v${i}b v${i}c v${i}d")) ++
+      (0 until 3).flatMap { k =>
+        val text = s"sd${k}a sd${k}b sd${k}c sd${k}d sd${k}e"
+        Seq((9000L + 2 * k, text), (9001L + 2 * k, text))
+      })
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("gen"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .repartition(4).write.parquet(s"$dir/documents.parquet")
+    val uncapped =
+      Metrics.shuffleStats(DedupOps.dedupNearCapped(Long.MaxValue)(spark, dir))
+    val capped =
+      Metrics.shuffleStats(DedupOps.dedupNearCapped(100)(spark, dir))
+    val quadratic = 500L * 499 / 2 // every doc pairs with every other
+    assert(uncapped.recordsWritten >= quadratic,
+      s"uncapped must shuffle the full candidate set: $uncapped")
+    assert(capped.recordsWritten * 10 < uncapped.recordsWritten,
+      s"cap must cut the shuffle >10x: capped=$capped uncapped=$uncapped")
+  }
+
+  test("graph_jaccard: a part supplied by 6,000 suppliers is df-capped — " +
+    "top-20 matches brute force and the join stays sub-quadratic") {
+    import spark.implicits._
+    val dir = tmpDir("graft-skew-graph")
+    // every supplier supplies hot part 0 (df 6000 > cap 5000) plus one
+    // unique part; 5 designed similar pairs share 8 of their 10 parts
+    val hot = (0L until 6000L).flatMap(sk => Seq((sk, 0L), (sk, 1000000L + sk)))
+    val pairs = (0 until 5).flatMap { k =>
+      val shared = (0 until 8).map(i => 2000000L + 10 * k + i)
+      val a = 10000L + 2 * k
+      val b = 10001L + 2 * k
+      shared.flatMap(p => Seq((a, p), (b, p))) ++
+        Seq((a, 3000000L + 10 * k), (a, 3000001L + 10 * k),
+          (b, 3000002L + 10 * k), (b, 3000003L + 10 * k))
+    }
+    (hot ++ pairs).toDF("l_suppkey", "l_partkey")
+      .repartition(4).write.parquet(s"$dir/lineitem.parquet")
+
+    val got = Relational7.graphJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: capped inverted index over (part -> suppliers)
+    val edges = (hot ++ pairs).distinct
+    val byPart = edges.groupBy(_._2).filter(_._2.size <= Relational7.JaccardMaxPartDf)
+    val deg = edges.groupBy(_._1).map { case (sk, es) => sk -> es.size.toLong }
+    val inter = byPart.values.flatMap { es =>
+      val ss = es.map(_._1).sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val expect = inter.map { case ((a, b), n) =>
+      (a, b, n, n * 10000 / (deg(a) + deg(b) - n))
+    }.toSeq.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+    assert(expect.size == 5, s"corpus design: ${expect.size} expected pairs")
+    assert(got.toSeq == expect, s"engine=${got.toSeq} oracle=$expect")
+
+    val s = Metrics.shuffleStats(Relational7.graphJaccard(spark, dir))
+    val quadratic = 6000L * 5999 / 2
+    assert(s.recordsWritten > 0,
+      "stats must come from a live plan, not an AQE-collapsed empty one")
+    assert(s.recordsWritten < quadratic / 30,
+      s"capped join shuffled ${s.recordsWritten} — hot part not pruned " +
+        s"(quadratic would be $quadratic)")
+  }
+
+  test("join_asof_salted: one user holding 20x the events still matches the " +
+    "brute-force as-of and shuffles linearly") {
+    import spark.implicits._
+    val dir = tmpDir("graft-skew-asof")
+    val base = 1600000000L // epoch seconds, deterministic
+    // hot user 7: 2,000 events; users 0-9 (minus 7): 20 each
+    val events = (0L until 2000L).map(i => (i, 7L, base + i * 60)) ++
+      (0L until 180L).map(i => (10000L + i, i % 10, base + i * 3600))
+        .filterNot(_._2 == 7L)
+    val orders = (0 until 20).map(k =>
+      (500L + k, 7L, base - 1000 + k * 6000)) ++
+      (0L until 10L).filterNot(_ == 7L).flatMap(u =>
+        Seq((1000L + u * 2, u, base - 500), (1001L + u * 2, u, base + 50000)))
+    events.toDF("event_id", "user_id", "sec")
+      .select($"event_id", timestamp_seconds($"sec").as("ts"), $"user_id")
+      .repartition(4).write.parquet(s"$dir/events.parquet")
+    orders.toDF("o_orderkey", "o_custkey", "sec")
+      .select($"o_orderkey", $"o_custkey",
+        timestamp_seconds($"sec").as("o_orderdate"))
+      .repartition(2).write.parquet(s"$dir/orders.parquet")
+
+    val got = Relational2.joinAsofSalted(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: per event, the latest order at or before ts for the
+    // same user, ties to the larger orderkey (max_by struct ordering)
+    val byUser = orders.groupBy(_._2)
+    val expect = events.flatMap { case (eid, u, sec) =>
+      byUser.getOrElse(u, Seq.empty)
+        .filter(_._3 <= sec)
+        .sortBy(o => (o._3, o._1)).lastOption
+        .map(o => eid -> o._1)
+    }.toMap
+    assert(expect.nonEmpty && got == expect,
+      s"engine=${got.size} rows, oracle=${expect.size}")
+
+    // linear shuffle: events + S-replicated orders + aggregate partials,
+    // nowhere near events x orders
+    val s = Metrics.shuffleStats(Relational2.joinAsofSalted(spark, dir))
+    val nEv = events.size.toLong
+    val nOrd = orders.size.toLong
+    assert(s.recordsWritten < 4 * (nEv + 4 * nOrd),
+      s"salted as-of shuffled ${s.recordsWritten} records for $nEv events " +
+        s"and $nOrd orders — expected linear")
+  }
+}
