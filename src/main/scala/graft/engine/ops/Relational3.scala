@@ -126,14 +126,38 @@ object Relational3 {
       .withColumn("k", $"k".cast("int"))
       .orderBy($"event_id")
 
-  /** Seeded stratified sample by return flag — **no-oracle** (sampling
-    * is engine-internal; determinism within a session and per-stratum
-    * fractions are property-tested in PropertySpec). The aggregate
-    * output keeps the verify artifact small and rows>0-checkable. */
+  /** Per-stratum sampling rates of [[sampleStratified]], in basis
+    * points of 10000 hash buckets. */
+  val StratifiedBp = Map("A" -> 1000L, "N" -> 2000L, "R" -> 1000L)
+
+  /** Stratified sample by return flag as a reusable transform —
+    * **no-oracle** (per-stratum fractions and layout-independence are
+    * property-tested in PropertySpec). The draw is a DETERMINISTIC
+    * HASH BUCKET on row content (`graft_polyhash` of the row's
+    * columns, mod 10000 vs the stratum's basis-point rate), not
+    * `sampleBy`: `sampleBy` runs `rand(seed)` seeded per PARTITION
+    * INDEX, so its "determinism" holds only while the input layout
+    * never changes — false at 100 TB, where file splits and AQE
+    * coalescing move rows between partitions run to run. A
+    * content-hash draw selects the same ROWS whatever the layout (and
+    * whatever engine — the same property that makes `sample_hash` and
+    * `pipeline_mix` reproducible). Map-only: no shuffle before the
+    * final counting aggregate. */
+  def stratifiedSampleOn(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    TextFeatures.ensureRegistered(li.sparkSession)
+    val bp = StratifiedBp.map { case (k, v) => s"'$k', ${v}L" }.mkString(", ")
+    li.withColumn("bucket", expr(
+        "pmod(graft_polyhash(concat_ws(':', l_orderkey, l_linenumber, " +
+          "l_partkey, l_suppkey, l_quantity, l_extendedprice)), 10000)"))
+      .withColumn("rate_bp", expr(s"element_at(map($bp), l_returnflag)"))
+      .filter($"rate_bp".isNotNull && $"bucket" < $"rate_bp")
+  }
+
+  /** The declared query: sampled-row counts per stratum (the aggregate
+    * keeps the verify artifact small and rows>0-checkable). */
   val sampleStratified: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .stat.sampleBy("l_returnflag",
-        Map("A" -> 0.1, "N" -> 0.2, "R" -> 0.1), 42L)
+    stratifiedSampleOn(Tables.lineitem(s, d))
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy($"l_returnflag")
