@@ -109,4 +109,33 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
     }
   }
+
+  test("Relational15's supply-relation shapes keep dims on broadcasts and " +
+    "facts on equi-joins") {
+    import graft.engine.ops.Relational15
+    // q2: the min-cost join-back is an equi-join on (partkey, cost) —
+    // a loop join here would be the correlated subquery Spark didn't
+    // decorrelate. (The broadcast dim joins run inside the lineage
+    // cut and don't appear in this plan string; q9/q20 assert them.)
+    val q2 = plan(Relational15.joinTpchQ2(spark, sf))
+    assert(q2.contains("SortMergeJoin") || q2.contains("BroadcastHashJoin") ||
+      q2.contains("ShuffledHashJoin"), "q2 join-back must be an equi-join")
+    assert(!q2.contains("BroadcastNestedLoopJoin") &&
+      !q2.contains("CartesianProduct"), s"q2 plans a loop join")
+    // q9: the profit rollup aggregates partially before its shuffle and
+    // never loop-joins; supplier/nation/part all broadcast
+    val q9 = plan(Relational15.joinTpchQ9(spark, sf))
+    assert(q9.contains("BroadcastHashJoin"), "q9 dims must broadcast")
+    assert(q9.contains("partial_sum"), "q9 map-side combine present")
+    assert(!q9.contains("BroadcastNestedLoopJoin"), "q9 plans a loop join")
+    // q20: everything after the supply aggregate is a semi-join moving
+    // keys only
+    val q20 = plan(Relational15.joinTpchQ20(spark, sf))
+    assert("LeftSemi".r.findAllIn(q20).size >= 2,
+      s"q20 must stack semi-joins:\n$q20")
+    // q11: the single permitted nested-loop is the 1-row broadcast of
+    // the global (total, count) — the group-vs-global comparison
+    val q11 = plan(Relational15.joinTpchQ11(spark, sf))
+    assert(q11.contains("partial_sum"), "q11 map-side combine present")
+  }
 }
