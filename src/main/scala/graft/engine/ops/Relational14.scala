@@ -126,32 +126,32 @@ object Relational14 {
     * supplier, the count of multi-supplier orders where THIS
     * supplier's line shipped late (>60 days after the order date) and
     * NO other supplier's line did — the double-correlated
-    * EXISTS/NOT-EXISTS report, spelled as ONE per-order aggregate
-    * (distinct suppliers, distinct LATE suppliers per order) joined
-    * back to the late lines: `n_supp > 1 AND n_late_supp = 1` replaces
-    * both subqueries, turning two correlated probes into one
-    * orderkey-clustered aggregate — the decorrelation Catalyst
-    * cannot always find, written by hand. Top 20 by (count desc,
+    * EXISTS/NOT-EXISTS report, decorrelated BY HAND into ONE
+    * per-order aggregate. "Exactly one distinct late supplier" is
+    * spelled `min(late supp) = max(late supp)` (non-null ⇒ ≥1 late;
+    * equal ⇒ all late lines share one supplier), which (a) needs no
+    * second distinct aggregate — the twin-countDistinct form cost a
+    * 2× Expand of every joined row — and (b) RETURNS the culpable
+    * supplier in the same pass, so the late lines are never joined
+    * back at all: one lineitem scan, one orderkey-clustered
+    * aggregate, one |waiting-orders|-row count. The rewrite Catalyst
+    * cannot find, written by hand twice over. Top 20 by (count desc,
     * suppkey). */
-  val joinTpchQ21: Q = (s, d) => {
-    val lines = Tables.lineitem(s, d)
+  val joinTpchQ21: Q = (s, d) =>
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_suppkey",
-        ($"l_shipdate" > expr("o_orderdate + INTERVAL 60 DAYS")).as("late"))
-    val perOrder = lines.groupBy($"l_orderkey")
+        when($"l_shipdate" > expr("o_orderdate + INTERVAL 60 DAYS"),
+          $"l_suppkey").as("late_supp"))
+      .groupBy($"l_orderkey")
       .agg(countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
-      .filter($"n_supp" > 1 && $"n_late_supp" === 1)
-      .select($"l_orderkey".as("wo_key"))
-    lines.filter($"late")
-      .join(perOrder, $"l_orderkey" === $"wo_key", "left_semi")
-      .select($"l_orderkey", $"l_suppkey").distinct()
-      .groupBy($"l_suppkey")
+        min($"late_supp").as("lo"), max($"late_supp").as("hi"))
+      .filter($"n_supp" > 1 && $"lo" === $"hi")
+      .groupBy($"lo".as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"l_suppkey")
       .limit(20)
-  }
 
   val queries: Map[String, Q] = Map(
     "join_tpch_q8" -> joinTpchQ8,

@@ -197,21 +197,21 @@ class MetricsSpec extends AnyFunSuite {
         s"map-side combine failed (corpus is $rows vectors)")
   }
 
-  test("join_tpch_q21 shuffles linearly in the fact sizes — the twin " +
-    "countDistinct never explodes past its inherent 2x Expand") {
+  test("join_tpch_q21 shuffles at most the fact sizes — single-distinct " +
+    "aggregate, no Expand, no join-back") {
     // the hand-decorrelation claim, measured: both correlated probes
-    // became ONE orderkey-clustered aggregate. The two countDistincts
-    // expand each joined row twice (gid per distinct child), and
-    // partial-distinct collapses the expansion before the exchange, so
-    // total shuffle stays a small constant times the fact sizes —
-    // measured 2.2x at sf0.001 — never the re-joined quadratic the
-    // correlated EXISTS/NOT EXISTS subqueries would cost.
+    // became ONE orderkey-clustered aggregate whose min=max spelling
+    // of "exactly one late supplier" avoids the second distinct (and
+    // with it the 2x Expand of every joined row) and returns the
+    // culpable supplier without re-joining the late lines. Partial
+    // distinct-on-(order, supplier) collapses before the exchange, so
+    // total shuffle stays within the fact sizes themselves.
     val li = Tables.lineitem(spark, sf).count()
     val ord = Tables.orders(spark, sf).count()
     val s = Metrics.shuffleStats(
       graft.engine.ops.Relational14.joinTpchQ21(spark, sf))
     assert(s.recordsWritten > 0L)
-    assert(s.recordsWritten <= 3L * (li + ord),
+    assert(s.recordsWritten <= 2L * (li + ord),
       s"q21 shuffled ${s.recordsWritten} records for $li + $ord fact rows")
   }
 
