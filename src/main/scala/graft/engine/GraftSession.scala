@@ -37,6 +37,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // reliable-mode hygiene (spark.graft.checkpointDir, see
+      // ops.Checkpoints): iterative ops cut lineage every round, and
+      // each round's checkpoint files would otherwise sit on the
+      // shared store until the application exits — at 100 TB that is
+      // rounds x frame-size of dead data. The context cleaner deletes
+      // a checkpoint once its RDD is unreachable (the previous round's
+      // frame, as soon as the next round replaces it). Must be set at
+      // context creation, hence here and not in Checkpoints.cut.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.files.maxPartitionBytes", "268435456")
       .config("spark.ui.enabled", "false")
 

@@ -58,6 +58,33 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  test("every rerouted op family runs in reliable mode with IDENTICAL " +
+    "results to local-blocks mode") {
+    // one representative per family that round 9 moved off direct
+    // localCheckpoint(): the knob must (a) actually engage — files
+    // appear — and (b) never change results
+    val reps = Seq(
+      "cdc_progress",       // CdcOps ledger cut
+      "pipeline_mix",       // TextOps shared tokenize frame
+      "mm_phash_dup",       // Multimodal decode-once frame
+      "sim_ivf_kmeans",     // KMeans centroid seed frame
+      "join_tpch_q15",      // Relational14 argmax-subquery frame
+      "data_shuffle")       // Relational6 range-boundary pin
+    val sfd = "/root/testdata/sf0.001"
+    val local = reps.map(n =>
+      n -> SparkEntry.queries(n)(spark, sfd).collect().map(_.toString).toSeq).toMap
+    withReliableDir { dir =>
+      val before = rddDirs(dir)
+      reps.foreach { n =>
+        val rows = SparkEntry.queries(n)(spark, sfd).collect()
+          .map(_.toString).toSeq
+        assert(rows == local(n), s"$n: reliable mode changed the result")
+      }
+      assert(rddDirs(dir) > before,
+        s"none of ${reps.size} family representatives checkpointed under $dir")
+    }
+  }
+
   test("the conf knob, not SparkContext state, selects reliable mode") {
     // a context that once ran reliable mode keeps its checkpoint dir;
     // with the conf unset, cut() must still take the local-blocks path
