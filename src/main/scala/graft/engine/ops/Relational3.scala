@@ -130,26 +130,28 @@ object Relational3 {
     * points of 10000 hash buckets. */
   val StratifiedBp = Map("A" -> 1000L, "N" -> 2000L, "R" -> 1000L)
 
-  /** Stratified sample by return flag as a reusable transform —
-    * **no-oracle** (per-stratum fractions and layout-independence are
-    * property-tested in PropertySpec). The draw is a DETERMINISTIC
-    * HASH BUCKET on row content (`graft_polyhash` of the row's
-    * columns, mod 10000 vs the stratum's basis-point rate), not
-    * `sampleBy`: `sampleBy` runs `rand(seed)` seeded per PARTITION
-    * INDEX, so its "determinism" holds only while the input layout
-    * never changes — false at 100 TB, where file splits and AQE
-    * coalescing move rows between partitions run to run. A
-    * content-hash draw selects the same ROWS whatever the layout (and
-    * whatever engine — the same property that makes `sample_hash` and
-    * `pipeline_mix` reproducible). Map-only: no shuffle before the
-    * final counting aggregate. */
+  /** Stratified sample by return flag as a reusable transform. The
+    * draw is a DETERMINISTIC HASH BUCKET on row content
+    * (`graft_polyhash` of the row's integer key columns, mod 10000 vs
+    * the stratum's basis-point rate), not `sampleBy`: `sampleBy` runs
+    * `rand(seed)` seeded per PARTITION INDEX, so its "determinism"
+    * holds only while the input layout never changes — false at
+    * 100 TB, where file splits and AQE coalescing move rows between
+    * partitions run to run. A content-hash draw selects the same ROWS
+    * whatever the layout (and whatever engine — which is also what
+    * lets the row be DIFFERENTIALLY GATED: the DuckDB oracle rebuilds
+    * the identical polyhash draw, where `sampleBy`'s engine-private
+    * RNG stream forced the old no-oracle carve-out). The key sticks
+    * to INTEGER columns — a double-typed key column would make the
+    * hash depend on cross-engine float-to-string printing. Map-only:
+    * no shuffle before the final counting aggregate. */
   def stratifiedSampleOn(li: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     TextFeatures.ensureRegistered(li.sparkSession)
     val bp = StratifiedBp.map { case (k, v) => s"'$k', ${v}L" }.mkString(", ")
     li.withColumn("bucket", expr(
         "pmod(graft_polyhash(concat_ws(':', l_orderkey, l_linenumber, " +
-          "l_partkey, l_suppkey, l_quantity, l_extendedprice)), 10000)"))
+          "l_partkey, l_suppkey)), 10000)"))
       .withColumn("rate_bp", expr(s"element_at(map($bp), l_returnflag)"))
       .filter($"rate_bp".isNotNull && $"bucket" < $"rate_bp")
   }
@@ -424,6 +426,20 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified" -> {
+      val key = "concat_ws(':', l_orderkey, l_linenumber, l_partkey, l_suppkey)"
+      val rate = StratifiedBp.map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString(" ")
+      s"""SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n_sampled
+        |FROM (
+        |  SELECT l_returnflag,
+        |    ${DedupOps.duckCharHash(key)} % 10000 AS bucket,
+        |    CASE l_returnflag $rate END AS rate_bp
+        |  FROM lineitem)
+        |WHERE rate_bp IS NOT NULL AND bucket < rate_bp
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    },
     "ts_asof_grid" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

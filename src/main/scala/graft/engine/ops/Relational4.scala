@@ -289,10 +289,11 @@ object Relational4 {
 
   /** Deterministic stratified sampling by key hash: per-stratum
     * fractions (A 10% / N 20% / R 10%) drawn by multiplicative hash
-    * of the row key instead of an engine RNG — unlike
-    * `sample_stratified` (seeded `sampleBy`, engine-specific stream →
-    * no-oracle), the draw is bit-reproducible across engines, runs,
-    * and partitionings, so it CAN be differentially gated — and a row
+    * of the row key instead of an engine RNG — the same
+    * layout-independence (and SQL-mirrored differential gate)
+    * `sample_stratified`'s polyhash draw gained in round 9; the draw
+    * is bit-reproducible across engines, runs, and
+    * partitionings, so it CAN be differentially gated — and a row
     * keeps its in/out fate as the corpus grows (the property that
     * makes experiment re-runs comparable). Map-only. */
   val sampleHash: Q = (s, d) => {

@@ -266,8 +266,8 @@ object TextOps {
     * token budget (the "equal share, capped by the smallest source"
     * mixture rule used when balancing corpus languages/domains).
     * Token counts are exact integers; one broadcast scalar + one IEEE
-    * division per group — the fractions feed `sampleBy` (the
-    * `sample_stratified` operator) for the actual draw. The fraction is
+    * division per group — the fractions feed a stratified draw (see
+    * `sample_stratified`'s content-hash buckets). The fraction is
     * emitted as exact basis points — `floor(ratio·1e4)` on the
     * bit-identical IEEE quotient — because a cross-engine `round()` on
     * a computed double is not hash-safe. */
