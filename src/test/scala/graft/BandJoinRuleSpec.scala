@@ -37,6 +37,37 @@ class BandJoinRuleSpec extends AnyFunSuite {
     assert(got.nonEmpty, "band must actually match something")
   }
 
+  test("rewritten band join equals brute force on RANDOM values and widths " +
+    "(negative values, boundary hits)") {
+    // the bucket arithmetic (floor division of signed values, width-2c
+    // boundary absorption) is where a fixed grid can miss: fuzz values
+    // across zero and widths across magnitudes
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      c <- Gen.oneOf(0.1, 0.25, 1.0, 7.5)
+      nx <- Gen.chooseNum(1, 60)
+      ny <- Gen.chooseNum(1, 60)
+      xs <- Gen.listOfN(nx, Gen.chooseNum(-40.0, 40.0))
+      ys <- Gen.listOfN(ny, Gen.chooseNum(-40.0, 40.0))
+      // mix in exact-boundary pairs: y = x ± c must match (<=)
+      bx <- Gen.chooseNum(-10.0, 10.0)
+    } yield (c, xs :+ bx, ys ++ Seq(bx + c, bx - c))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(gen) { case (c, xs, ys) =>
+        val expected = (for {
+          (x, i) <- xs.zipWithIndex; (y, j) <- ys.zipWithIndex
+          if math.abs(x - y) <= c
+        } yield (i.toLong, j.toLong)).toSet
+        val got = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("i", "x")
+          .join(ys.zipWithIndex.map { case (y, j) => (j.toLong, y) }.toDF("j", "y"),
+            abs($"x" - $"y") <= c)
+          .select($"i", $"j").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got == expected
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("joins with an existing equi-key are left untouched") {
     val base = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v")
     val other = Seq((1L, 2.2), (2L, 9.9)).toDF("k2", "v2")
