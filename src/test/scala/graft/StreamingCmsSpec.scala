@@ -46,4 +46,42 @@ class StreamingCmsSpec extends AnyFunSuite {
         "every key contributes exactly d increments")
     } finally q.stop()
   }
+
+  test("ANY micro-batch partition of the keys converges to the same sketch " +
+    "(merge associativity, random + empty batches)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val keys = graft.engine.Tables.lineitem(spark, sf)
+      .select($"l_partkey").as[Long].collect().take(600)
+    val cms = udaf(new graft.engine.functions.CmsAggregator(4, 256))
+    val batchCells = spark.createDataset(keys.toSeq).toDF("pk")
+      .agg(cms($"pk").as("cells"))
+      .select(explode($"cells")).as[Long].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    // random cut points, duplicates allowed => some batches are EMPTY —
+    // the state-merge path a half-split can never exercise
+    val cutsGen = Gen.listOfN(4, Gen.chooseNum(0, keys.length))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(3),
+      Prop.forAll(cutsGen) { cuts =>
+        val bounds = (0 +: cuts.sorted :+ keys.length).distinct
+        val batches = bounds.zip(bounds.tail).map { case (a, b) =>
+          keys.slice(a, b) }
+        val input = MemoryStream[Long]
+        val name = s"cms_rand_${System.nanoTime()}"
+        val q = input.toDS().toDF("pk")
+          .agg(cms($"pk").as("cells"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try {
+          batches.foreach { b =>
+            if (b.nonEmpty) input.addData(b.toSeq)
+            q.processAllAvailable()
+          }
+          val live = spark.table(name)
+            .select(explode($"cells")).as[Long].collect().toSeq
+          live == batchCells
+        } finally q.stop()
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
