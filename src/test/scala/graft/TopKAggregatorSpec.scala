@@ -30,6 +30,31 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("random data, ties, duplicate scores and ANY partitioning give " +
+    "exactly sort-and-take-k") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the partial-merge path (partition heaps folded pairwise in
+    // arbitrary order) must be invariant to layout; heavy score ties
+    // exercise the (score desc, id asc) keep-order tiebreak
+    val gen = for {
+      n <- Gen.chooseNum(0, 120)
+      k <- Gen.oneOf(1, 3, 10)
+      parts <- Gen.oneOf(1, 3, 7)
+      scores <- Gen.listOfN(n, Gen.oneOf(0.0, 0.25, 0.5, 0.5, 1.0, -1.0, 2.5))
+    } yield (k, parts, scores.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(gen) { case (k, parts, rows) =>
+        val expected = rows
+          .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+          .take(k)
+        val got = spark.createDataset(rows).repartition(parts)
+          .select(new TopKAggregator(k).toColumn).first()
+        got == expected
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("per-group top-k inside a typed aggregation") {
     import spark.implicits._
     val data = Seq(
