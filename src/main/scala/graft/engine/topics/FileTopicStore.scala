@@ -353,9 +353,20 @@ class FileTopicStore(
       .start(dir(topic).toString)
   }
 
-  def readCompacted(topic: String): DataFrame =
+  /** Compaction-on-read: latest row per KEY, with every un-keyed row
+    * passed through — the same contract as [[compactStorage]] (a
+    * groupBy over `key` would collapse all null keys into one
+    * surviving row, which no log compactor does: un-keyed records
+    * have no identity to compact under). Round-9 fuzzing caught the
+    * read side diverging from the storage side here; live callers
+    * only compact the (always-keyed) control topic, so the fix
+    * changes no engine behavior. */
+  def readCompacted(topic: String): DataFrame = {
+    val raw = spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
     graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
-      spark.read.schema(FileTopicStore.schema).json(dir(topic).toString))
+        raw.filter(col("key").isNotNull))
+      .unionAll(raw.filter(col("key").isNull))
+  }
 
   def readStream(topic: String): DataFrame = readStream(topic, 100)
 

@@ -48,6 +48,44 @@ class TopicStoreSpec extends AnyFunSuite {
     assert(m == Map("a" -> "2", "b" -> "1"))
   }
 
+  test("ARBITRARY append sequences: compaction keeps exactly last-per-key " +
+    "plus all un-keyed, offsets stay contiguous") {
+    // the fixed-data tests pin each behavior once; this fuzzes the
+    // combination — random interleavings of keyed/unkeyed appends with
+    // key reuse across and within appends, checked against a
+    // driver-side fold of the log contract
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val msgGen = for {
+      k <- Gen.oneOf(Gen.const(null: String), Gen.oneOf("a", "b", "c"))
+      v <- Gen.chooseNum(0, 999).map(_.toString)
+    } yield (k, v)
+    val appendsGen = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(m => Gen.listOfN(m, msgGen))))
+    // forAllNoShrink: the default String shrinker NPEs on null keys
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6),
+      Prop.forAllNoShrink(appendsGen) { appends =>
+        val (store, _) = freshStore()
+        store.create("t")
+        appends.foreach(batch => store.append("t", batch.toDF("key", "value")))
+        val log = appends.flatten
+        val all = store.readAll("t").select("key", "value", "offset")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .sortBy(_._3)
+        val offsetsOk = all.map(_._3).toSeq == log.indices.map(_.toLong)
+        val orderOk = all.map(t => (t._1, t._2)).toSeq == log
+        val compacted = store.readCompacted("t").select("key", "value")
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        val wantKeyed = log.zipWithIndex.filter(_._1._1 != null)
+          .groupBy(_._1._1).map { case (_, ms) => ms.maxBy(_._2)._1 }.toSet
+        val wantUnkeyed = log.filter(_._1 == null)
+        val keyedOk = compacted.filter(_._1 != null).toSet == wantKeyed
+        val unkeyedOk = compacted.filter(_._1 == null).map(_._2).sorted.toSeq ==
+          wantUnkeyed.map(_._2).sorted
+        offsetsOk && orderOk && keyedOk && unkeyedOk
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("un-keyed (null-key) messages land and survive reads (core.clj:171-174)") {
     val (store, _) = freshStore()
     store.create("t")
