@@ -50,4 +50,57 @@ class StatefulStreaksSpec extends AnyFunSuite {
     assert(live == batch,
       s"diff: ${(live.toSet -- batch.toSet) ++ (batch.toSet -- live.toSet)}")
   }
+
+  test("ANY batch partition of the stream gives the same streaks " +
+    "(state carry-over fuzz, random + empty batches)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.engine.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .as[StreakEvent]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+      .take(400)
+    val batch = graft.engine.ops.StreamOps.streamState(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val expected = batch.filter { case (u, _) =>
+      events.exists(_.user_id == u) } // truncated corpus: per-user recompute
+    // the 400-row prefix may split a user's history differently than the
+    // full corpus — recompute the reference over exactly these rows
+    val ref = events.groupBy(_.user_id).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      var best = 0; var cur = 0; var prev: Option[String] = None
+      sorted.foreach { e =>
+        cur = if (prev.contains(e.event_type)) cur + 1 else 1
+        best = math.max(best, cur); prev = Some(e.event_type)
+      }
+      u -> best
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val cutsGen = Gen.listOfN(3, Gen.chooseNum(0, events.length))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(3),
+      Prop.forAllNoShrink(cutsGen) { cuts =>
+        val bounds = (0 +: cuts.sorted :+ events.length).distinct
+        val batches = bounds.zip(bounds.tail).map { case (a, b) =>
+          events.slice(a, b) }
+        val input = MemoryStream[StreakEvent]
+        val name = s"streaks_rand_${System.nanoTime()}"
+        val q = StatefulStreaks.longest(input.toDS())
+          .writeStream.outputMode(StatefulStreaks.outputMode)
+          .format("memory").queryName(name).start()
+        try {
+          batches.foreach { b =>
+            if (b.nonEmpty) input.addData(b.toIndexedSeq)
+            q.processAllAvailable()
+          }
+          val live = spark.table(name).collect()
+            .map(r => r.getLong(0) -> r.getInt(1))
+            .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).max }
+          live == ref
+        } finally q.stop()
+      })
+    assert(res.passed, res.status.toString)
+    assert(expected.nonEmpty) // corpus sanity: the fuzz covered real users
+  }
 }
