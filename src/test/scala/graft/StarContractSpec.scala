@@ -47,6 +47,37 @@ class StarContractSpec extends AnyFunSuite {
     assert(got == Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("random graphs: components equal a union-find reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // arbitrary topology (dense pockets, bridges, duplicate edges) vs
+    // the classic sequential union-find — the alternating large/small
+    // star fixpoint must land on identical min-rooted components
+    val edgeGen = for {
+      n <- Gen.chooseNum(2L, 40L)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n); b <- Gen.chooseNum(0L, n) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6),
+      Prop.forAllNoShrink(edgeGen) { es =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map(v => v -> find(v)).filter { case (v, r) => r != v }
+          .toMap
+        labels(es) == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("spark.graft.checkpointDir switches iteration to RELIABLE checkpoints " +
     "with identical components") {
     import java.nio.file.Files
