@@ -18,6 +18,7 @@ class BucketingSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("equi-join of co-bucketed tables plans no Exchange at all") {
+    SparkTest.confLock.synchronized {
     val dir = Files.createTempDirectory("graft-bucketed").toString
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -48,6 +49,7 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
     }
   }
 

@@ -29,12 +29,13 @@ class CheckpointsSpec extends AnyFunSuite {
     finally walk.close()
   }
 
-  private def withReliableDir(f: java.nio.file.Path => Unit): Unit = {
-    val dir = Files.createTempDirectory("graft-ckpt-spec")
-    spark.conf.set(Checkpoints.DirKey, dir.toString)
-    try f(dir)
-    finally spark.conf.unset(Checkpoints.DirKey)
-  }
+  private def withReliableDir(f: java.nio.file.Path => Unit): Unit =
+    SparkTest.confLock.synchronized {
+      val dir = Files.createTempDirectory("graft-ckpt-spec")
+      spark.conf.set(Checkpoints.DirKey, dir.toString)
+      try f(dir)
+      finally spark.conf.unset(Checkpoints.DirKey)
+    }
 
   test("dedup_minhash's shingle-frame cut lands in the reliable dir when " +
     "spark.graft.checkpointDir is set") {
@@ -86,15 +87,17 @@ class CheckpointsSpec extends AnyFunSuite {
   }
 
   test("the conf knob, not SparkContext state, selects reliable mode") {
-    // a context that once ran reliable mode keeps its checkpoint dir;
-    // with the conf unset, cut() must still take the local-blocks path
-    // and write nothing new there
-    val dir = Files.createTempDirectory("graft-ckpt-unset")
-    spark.sparkContext.setCheckpointDir(dir.toString)
-    val before = rddDirs(dir)
-    val out = DedupOps.queries("dedup_minhash")(spark, sf).collect()
-    assert(out.nonEmpty)
-    assert(rddDirs(dir) == before,
-      "knob unset but a reliable checkpoint was written")
+    SparkTest.confLock.synchronized {
+      // a context that once ran reliable mode keeps its checkpoint dir;
+      // with the conf unset, cut() must still take the local-blocks path
+      // and write nothing new there
+      val dir = Files.createTempDirectory("graft-ckpt-unset")
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val before = rddDirs(dir)
+      val out = DedupOps.queries("dedup_minhash")(spark, sf).collect()
+      assert(out.nonEmpty)
+      assert(rddDirs(dir) == before,
+        "knob unset but a reliable checkpoint was written")
+    }
   }
 }

@@ -24,6 +24,7 @@ class FunnelStateSpec extends AnyFunSuite {
     val (b1, b2) = events.splitAt(events.length / 2)
 
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    SparkTest.confLock.synchronized {
     val prior = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -42,6 +43,7 @@ class FunnelStateSpec extends AnyFunSuite {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)
       }
+    }
     }
 
     // Update mode re-emits per touched batch; stage slots are
@@ -77,11 +79,12 @@ class FunnelStateSpec extends AnyFunSuite {
       .createTempDirectory("graft-funnel-ckpt").toString
 
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val acc = scala.collection.concurrent.TrieMap
+      .empty[Long, (Int, Long, Long, Long)]
+    SparkTest.confLock.synchronized {
     val prior = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val acc = scala.collection.concurrent.TrieMap
-      .empty[Long, (Int, Long, Long, Long)]
     try {
       implicit val sqlCtx = spark.sqlContext
       // SAME MemoryStream across two query incarnations: the second
@@ -109,6 +112,7 @@ class FunnelStateSpec extends AnyFunSuite {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)
       }
+    }
     }
 
     val batch = graft.engine.ops.StreamOps.streamFunnel(spark, sf).collect()

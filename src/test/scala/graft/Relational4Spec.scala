@@ -26,15 +26,17 @@ class Relational4Spec extends AnyFunSuite {
     val key = "spark.graft.triangles.broadcastMaxEdges"
     val broad = Relational4.graphTriangles(spark, sf)
     val nBroad = hintedJoins(broad)
-    spark.conf.set(key, "0") // every graph is "too big": closure must shuffle
-    try {
-      val shuf = Relational4.graphTriangles(spark, sf)
-      assert(hintedJoins(shuf) == nBroad - 1,
-        "the gate must drop exactly the closure join's broadcast hint")
-      assert(shuf.collect().toSeq.map(_.toString) ==
-        broad.collect().toSeq.map(_.toString),
-        "closure strategy must not change the counts")
-    } finally spark.conf.unset(key)
+    SparkTest.confLock.synchronized {
+      spark.conf.set(key, "0") // every graph is "too big": closure must shuffle
+      try {
+        val shuf = Relational4.graphTriangles(spark, sf)
+        assert(hintedJoins(shuf) == nBroad - 1,
+          "the gate must drop exactly the closure join's broadcast hint")
+        assert(shuf.collect().toSeq.map(_.toString) ==
+          broad.collect().toSeq.map(_.toString),
+          "closure strategy must not change the counts")
+      } finally spark.conf.unset(key)
+    }
   }
 
   test("agg_unpivot emits one row per (group, metric) with matched values") {

@@ -211,13 +211,15 @@ class Relational8Spec extends AnyFunSuite {
     // (correctly) dodge the SortMergeJoin this test exists to prove;
     // disable auto-broadcast to exercise the bucketed-layout property
     val key = "spark.sql.autoBroadcastJoinThreshold"
-    val saved = spark.conf.get(key)
-    spark.conf.set(key, "-1")
-    val df = try {
-      val df0 = Relational8.joinBucketed(spark, sf)
-      df0.collect()
-      df0
-    } finally spark.conf.set(key, saved)
+    val df = SparkTest.confLock.synchronized {
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, "-1")
+      try {
+        val df0 = Relational8.joinBucketed(spark, sf)
+        df0.collect()
+        df0
+      } finally spark.conf.set(key, saved)
+    }
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(p.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$p")

@@ -12,6 +12,7 @@ class SkewSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.session
 
   test("AQE splits a hot-key sort-merge join partition at runtime") {
+    SparkTest.confLock.synchronized {
     import spark.implicits._
     val conf = spark.conf
     val saved = Seq(
@@ -49,6 +50,7 @@ class SkewSpec extends AnyFunSuite {
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
+    }
     }
   }
 }

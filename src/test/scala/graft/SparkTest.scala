@@ -4,6 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for the whole test run. */
 object SparkTest {
+  /** sbt runs suites in parallel threads over this ONE session, so a
+    * test that mutates session conf (broadcast thresholds, checkpoint
+    * dir, state-store provider) races every concurrently-running
+    * query. Any set→run→restore region must hold this lock. */
+  val confLock = new Object
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -81,6 +81,7 @@ class StarContractSpec extends AnyFunSuite {
   test("spark.graft.checkpointDir switches iteration to RELIABLE checkpoints " +
     "with identical components") {
     import java.nio.file.Files
+    SparkTest.confLock.synchronized {
     val dir = Files.createTempDirectory("graft-reliable-ckpt")
     spark.conf.set(graft.engine.ops.Checkpoints.DirKey, dir.toString)
     try {
@@ -94,5 +95,6 @@ class StarContractSpec extends AnyFunSuite {
         finally walk.close()
       assert(nRdd > 0, s"no reliable checkpoint data under $dir")
     } finally spark.conf.unset(graft.engine.ops.Checkpoints.DirKey)
+    }
   }
 }
