@@ -96,7 +96,15 @@ object DedupOps {
     // (An inverted-index formulation — collect_list posting per shingle,
     // lambda-explode the pairs — was measured 25% SLOWER despite one
     // fewer exchange: higher-order functions run interpreted, while the
-    // self-equi-join stays inside whole-stage codegen.)
+    // self-equi-join stays inside whole-stage codegen. A full
+    // AllPairs/PPJoin prefix filter — global rarest-first shingle
+    // order, per-doc prefix floor(n/2)+1, array_intersect verification
+    // of surviving candidates — was built and measured in round 9:
+    // byte-identical results but 2× SLOWER at sf0.1 (window rank +
+    // candidate distinct + two array joins cost more than the 1.27M
+    // tiny pair rows they avoid). Prefix filtering pays off only when
+    // Σ C(df,2) explodes on hot shingles — which the df cap below
+    // already prevents at any scale.)
     val shared = ex.groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= maxDf).select($"g")
     // materialize the filtered posting list once: the self-join otherwise
