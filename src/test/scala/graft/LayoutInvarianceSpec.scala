@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The §7.3 determinism promise, enforced wholesale: every declared
+  * query must return IDENTICAL rows when the shuffle partition count
+  * changes (32-ish default vs 7). Partition count is the one execution
+  * parameter guaranteed to differ between local[32], the test JVM and
+  * a 1000-executor cluster — any query whose result depends on it
+  * (rand seeded per partition, first/any_value over unordered groups,
+  * float reduction order leaking into a comparison) is broken at
+  * scale even if the per-SF oracle hash happens to pass today. The
+  * round-9 sample_stratified fix (sampleBy's partition-seeded rand)
+  * is exactly the bug class this sweep exists to catch. */
+class LayoutInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every SparkEntry query returns identical rows under a different " +
+    "shuffle-partition count") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val baseline = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
+    }.toMap
+    val key = "spark.sql.shuffle.partitions"
+    val diffs = SparkTest.confLock.synchronized {
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, "7")
+      try names.filter { n =>
+        val alt = SparkEntry.queries(n)(spark, sf).collect()
+          .map(_.toString).toSeq
+        alt != baseline(n)
+      } finally spark.conf.set(key, saved)
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.size} queries are shuffle-partition-dependent: " +
+        diffs.mkString(", "))
+  }
+}
