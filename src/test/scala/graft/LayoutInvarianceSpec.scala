@@ -36,4 +36,29 @@ class LayoutInvarianceSpec extends AnyFunSuite {
       s"${diffs.size} queries are shuffle-partition-dependent: " +
         diffs.mkString(", "))
   }
+
+  test("every SparkEntry query returns identical rows with AQE disabled") {
+    // AQE re-plans at runtime (broadcast conversion, partition
+    // coalescing, skew splits); a result that depends on which plan
+    // AQE picked would flake between data distributions. The engine
+    // runs AQE-on everywhere — this proves the RESULTS never depend
+    // on it.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val baseline = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
+    }.toMap
+    val key = "spark.sql.adaptive.enabled"
+    val diffs = SparkTest.confLock.synchronized {
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try names.filter { n =>
+        val alt = SparkEntry.queries(n)(spark, sf).collect()
+          .map(_.toString).toSeq
+        alt != baseline(n)
+      } finally spark.conf.set(key, saved)
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.size} queries change results under AQE-off: " +
+        diffs.mkString(", "))
+  }
 }
