@@ -16,12 +16,14 @@ class LayoutInvarianceSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.session
   private val sf = "/root/testdata/sf0.001"
 
+  private lazy val names = SparkEntry.queries.keys.toSeq.sorted
+  /** One default-conf pass shared by both sweep axes. */
+  private lazy val baseline: Map[String, Seq[String]] = names.map { n =>
+    n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
+  }.toMap
+
   test("every SparkEntry query returns identical rows under a different " +
     "shuffle-partition count") {
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val baseline = names.map { n =>
-      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
-    }.toMap
     val key = "spark.sql.shuffle.partitions"
     val diffs = SparkTest.confLock.synchronized {
       val saved = spark.conf.get(key)
@@ -43,10 +45,6 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     // AQE picked would flake between data distributions. The engine
     // runs AQE-on everywhere — this proves the RESULTS never depend
     // on it.
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val baseline = names.map { n =>
-      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq
-    }.toMap
     val key = "spark.sql.adaptive.enabled"
     val diffs = SparkTest.confLock.synchronized {
       val saved = spark.conf.get(key)
