@@ -171,9 +171,12 @@ object Relational5 {
     * inlines the same expression by hand; matching output proves the
     * declared function is pure plan, not an opaque UDF. */
   val fnSqlUdf: Q = (s, d) => {
-    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(bal DOUBLE) " +
-      "RETURNS STRING RETURN CASE WHEN bal < 0 THEN 'debit' " +
-      "WHEN bal < 5000 THEN 'standard' ELSE 'premium' END")
+    // CREATE only when absent: OR REPLACE on every call logs a
+    // "replaced a previously registered function" warning per run
+    if (!s.catalog.functionExists("graft_tier"))
+      s.sql("CREATE TEMPORARY FUNCTION graft_tier(bal DOUBLE) " +
+        "RETURNS STRING RETURN CASE WHEN bal < 0 THEN 'debit' " +
+        "WHEN bal < 5000 THEN 'standard' ELSE 'premium' END")
     Tables.customer(s, d).createOrReplaceTempView("graft_customer_udf")
     s.sql(
       """SELECT graft_tier(c_acctbal) AS tier, count(1) AS n,
