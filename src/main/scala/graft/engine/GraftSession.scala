@@ -47,6 +47,15 @@ object GraftSession {
       // context creation, hence here and not in Checkpoints.cut.
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.files.maxPartitionBytes", "268435456")
+      // generated-class cache (static conf, default 100 entries): a
+      // 244-query workload compiles far more than 100 distinct codegen
+      // units per pass, so under the default every bench pass Janino-
+      // recompiles from scratch — the round-8/9 per-query drifts
+      // (tok_bpe_pairs, dedup_embed) were cache-thrash, not plan
+      // regressions. 2,000 entries ≈ a few hundred MB of class
+      // metadata, driver-side only, and makes steady-state timings
+      // actually steady.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -29,10 +29,30 @@ object DedupOps {
   private val A = Seq(7, 13, 31, 43, 59, 61, 73, 97, 101, 127, 131, 151, 163, 181, 197, 199)
   private val B = Seq(3, 17, 29, 41, 53, 71, 89, 103, 113, 139, 149, 167, 179, 191, 211, 223)
 
-  /** IVF parameters for [[dedupEmbed]]: coarse-centroid count (grows
-    * ~√N at production scale) and probes per vector (recall knob). */
-  val EmbedCentroids = 8
+  /** IVF parameters for [[dedupEmbed]]: probes per vector (recall
+    * knob) and the per-bucket candidate cap (work bound). The coarse
+    * centroid count is NOT a constant — it grows with the corpus via
+    * [[embedCentroidCount]], keeping expected bucket size ~2·√N. */
   val EmbedProbes = 2
+
+  /** Hard per-bucket cap: a centroid bucket larger than this is
+    * EXCLUDED from candidate generation (recall knob, mirrored by the
+    * oracle), so worst-case pair work is bounded by C·cap²/2 no matter
+    * how degenerate the vector distribution — the same df-cap contract
+    * [[dedupNearCapped]] uses for hot shingles. At the test SFs the
+    * largest bucket is ~200 rows, so the guard is inert locally;
+    * EmbedGuardSpec proves it fires on an adversarial all-one-direction
+    * corpus. */
+  val EmbedMaxBucket = 4096L
+
+  /** Coarse-centroid count for corpus size n: max(8, ⌈√n/2⌉), capped
+    * at 99,999 (the sortable-BIGINT encoding packs the centroid id
+    * into the low 5 decimal digits). Assignment is a brute-force
+    * N·C dot pass — fine through C ~ 10⁵; past that (n ≳ 10¹⁰
+    * vectors) a two-level / hierarchical centroid assignment replaces
+    * the flat argmax, leaving the rest of the pipeline unchanged. */
+  def embedCentroidCount(n: Long): Int =
+    math.min(99999L, math.max(8L, math.ceil(math.sqrt(n.toDouble) / 2).toLong)).toInt
 
   /** (doc_id, sh, n) where sh = distinct 3-token shingles.
     *
@@ -245,42 +265,51 @@ object DedupOps {
     * planned a BroadcastNestedLoopJoin: O(N²) pairs, dead long before
     * scale).
     *
-    * Pipeline: the first [[EmbedCentroids]] vectors are the coarse
-    * centroids (k-means in production); every vector is assigned to
-    * its top-[[EmbedProbes]] centroids by a PURE PROJECTION over
-    * literal unit-centroid arrays (collected once at plan build —
-    * 8 rows, control-plane-sized); candidate pairs are a narrow
-    * self-EQUI-join on the centroid id; only candidates pay the exact
-    * 64-dim cosine. Scaling knobs: centroid count grows ~√N (keeps
-    * buckets bounded), probes buys recall. Measured recall vs the
-    * exact all-pairs result on the synthetic corpus (cos 0.45–0.60 —
-    * i.e. barely-similar planted pairs, the hardest regime for ANY
-    * sublinear method): 12/14 at sf0.01, 106/144 at sf0.1; real
-    * near-dups (cos ≥ 0.9) bucket together far more reliably.
+    * Pipeline: the first C = [[embedCentroidCount]](N) vectors are the
+    * coarse centroids (k-means in production); every vector is
+    * assigned to its top-[[EmbedProbes]] centroids by a PURE
+    * PROJECTION over literal unit-centroid arrays (collected once at
+    * plan build — C rows, control-plane-sized); candidate pairs are a
+    * narrow self-EQUI-join on the centroid id, with buckets over
+    * [[EmbedMaxBucket]] excluded (hard work bound, EmbedGuardSpec);
+    * only candidates pay the exact 64-dim cosine. C grows ⌈√N/2⌉ with
+    * the corpus, so expected bucket size stays ~2·√N and candidate
+    * work ~N^1.5 probes² — ENFORCED, not a doc knob. Probes buys
+    * recall. Recall vs the exact all-pairs result on the synthetic
+    * corpus (cos 0.45–0.60 — i.e. barely-similar planted pairs, the
+    * hardest regime for ANY sublinear method) is measured in
+    * EmbedGuardSpec; real near-dups (cos ≥ 0.9) bucket together far
+    * more reliably.
     *
     * The oracle mirrors the same deterministic assignment, so the
     * result is cross-engine exact: assignment ranks centroids by
     * round(dot·1e6) with centroid-id tie-break, encoded into one
-    * BIGINT so both engines sort identical integers. */
+    * BIGINT so both engines sort identical integers (centroid id in
+    * the low 5 decimal digits → supports C < 10⁵).
+    *
+    * Centroid literals are built as [[typedLit]] columns, never as a
+    * parsed SQL string: with C ~ dozens of 64-dim centroids the string
+    * form is tens of KB of parser+analyzer work per plan build — the
+    * round-9 bench drift (4.3 s on a 2,000-row input) was exactly this
+    * fixed cost, not data work. */
   val dedupEmbed: Q = (s, d) => {
     ensureRegistered(s)
-    val C = EmbedCentroids
+    val C = embedCentroidCount(Tables.embeddings(s, d).count())
     // unit-normalized centroid literals; fold order of the norm matches
     // the oracle's list_reduce(list_prepend(0.0, …)) exactly
-    val cents: Array[Array[Double]] = Tables.embeddings(s, d)
+    val cents: Array[Seq[Double]] = Tables.embeddings(s, d)
       .filter($"vec_id" < C).orderBy($"vec_id")
       .select($"embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .map { c =>
-        val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)); c.map(_ / n)
+        val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+        c.map(_ / n).toSeq
       }
-    def arrLit(a: Array[Double]): String =
-      "array(" + a.map(x => s"${x}D").mkString(",") + ")"
-    // enc_k = (round(dot·1e6) + 4e9)·100 + (C-1-k): one sortable BIGINT
+    // enc_k = (round(dot·1e6) + 4e9)·1e5 + (C-1-k): one sortable BIGINT
     // per centroid — rank by dot, tie → smaller centroid id
-    val encs = cents.zipWithIndex.map { case (c, k) =>
-      s"(cast(round(graft_dot(v, ${arrLit(c)}) * 1000000D) as bigint)" +
-        s" + 4000000000L) * 100 + ${C - 1 - k}"
+    val encCols = cents.zipWithIndex.map { case (c, k) =>
+      (round(call_function("graft_dot", $"v", typedLit(c)) * 1000000d, 0)
+        .cast("long") + 4000000000L) * 100000L + lit((C - 1 - k).toLong)
     }
     // SimOps.vecs: the one shared vector-prep (identical fold order is
     // what keeps every embedding oracle cross-engine exact); checkpoint
@@ -288,7 +317,7 @@ object DedupOps {
     // collapse)
     val ve = SimOps.vecs(s, d).transform(Checkpoints.cut)
     val probeCols = (0 until EmbedProbes).map(p =>
-      lit(C - 1) - expr(s"element_at(encs, ${C - p}) % 100"))
+      lit((C - 1).toLong) - element_at($"encs", C - p) % 100000L)
     // carry (v, nrm) INTO the bucket join: the assigned frame is
     // N·probes rows — linear in the corpus, ~the size of ve itself —
     // so the cid equi-join shuffles far less than joining candidate
@@ -296,14 +325,23 @@ object DedupOps {
     // filter run streaming inside the join (≥99% of bucket pairs die
     // before the final distinct ever sees them)
     val assigned = ve
-      .withColumn("encs", expr(s"array_sort(array(${encs.mkString(",")}))"))
+      .withColumn("encs", array_sort(array(encCols: _*)))
       .select($"vec_id", $"v", $"nrm", explode(array(probeCols: _*)).as("cid"))
+    // bucket guard: ≤C rows of (cid, count) → broadcast semi filter;
+    // buckets over EmbedMaxBucket are dropped from candidate
+    // generation entirely (bounded work beats unbounded recall)
+    val okCids = assigned.groupBy($"cid").count()
+      .filter($"count" <= EmbedMaxBucket).select($"cid")
+    val bounded = assigned
+      .join(broadcast(okCids), Seq("cid"))
+      .select($"vec_id", $"v", $"nrm", $"cid")
     // both residual predicates live IN the join condition, cheap one
     // first: letting Catalyst push the τ filter down reorders it BEFORE
     // vec_id<, doubling the 64-dim dot evaluations (both orientations
     // of every bucket pair)
-    val cosXY = round(expr("graft_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 4)
-    assigned.as("x").join(assigned.as("y"),
+    val cosXY = round(call_function("graft_dot", col("x.v"), col("y.v"))
+      / (col("x.nrm") * col("y.nrm")), 4)
+    bounded.as("x").join(bounded.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id")
           && cosXY >= 0.45)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
@@ -740,24 +778,32 @@ object DedupOps {
          |      (a, b) -> a + b)) AS nrm
          |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |        FROM embeddings)),
+         | cc AS (
+         |  SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS c
+         |  FROM n),
          | cents AS (
          |  SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cu
-         |  FROM n WHERE vec_id < $EmbedCentroids),
+         |  FROM n WHERE vec_id < (SELECT c FROM cc)),
          | encs AS (
          |  SELECT e.vec_id, list_sort(list(
          |    (CAST(round(list_reduce(list_prepend(0.0,
          |       list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cu[i])),
          |       (a, b) -> a + b) * 1000000) AS BIGINT) + 4000000000)
-         |    * 100 + (${EmbedCentroids - 1} - c.cid))) AS enc
+         |    * 100000 + ((SELECT c FROM cc) - 1 - c.cid))) AS enc
          |  FROM n e, cents c GROUP BY e.vec_id),
          | assigned AS (
          |  SELECT vec_id, unnest([${(0 until EmbedProbes).map(p =>
-               s"${EmbedCentroids - 1} - (enc[${EmbedCentroids - p}] % 100)")
+               s"(SELECT c FROM cc) - 1 - (enc[len(enc) - $p] % 100000)")
                .mkString(", ")}]) AS cid
          |  FROM encs),
+         | okc AS (
+         |  SELECT cid FROM assigned GROUP BY cid
+         |  HAVING count(*) <= $EmbedMaxBucket),
+         | bounded AS (
+         |  SELECT a.vec_id, a.cid FROM assigned a JOIN okc USING (cid)),
          | cands AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM assigned x JOIN assigned y
+         |  FROM bounded x JOIN bounded y
          |    ON x.cid = y.cid AND x.vec_id < y.vec_id),
          | p AS (
          |  SELECT vec_a, vec_b,

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.ops.DedupOps
+
+/** Adversarial proof of [[DedupOps.dedupEmbed]]'s scale contract —
+  * with generated data, not comments:
+  *
+  *  - the √N centroid-count knob is ENFORCED ([[DedupOps.embedCentroidCount]]
+  *    unit-checked across magnitudes);
+  *  - the [[DedupOps.EmbedMaxBucket]] guard fires on a degenerate
+  *    corpus (every vector in ONE direction → one bucket of 9,000 →
+  *    brute force would emit C(9000,2) ≈ 40M pairs; the guard drops
+  *    the oversized bucket and the query returns in bounded time);
+  *  - on a realistic corpus the output is PRECISE (every reported pair
+  *    truly has rounded cos ≥ τ) and planted near-identical pairs
+  *    (cos ≥ 0.99, the regime embedding dedup actually targets) are
+  *    all recalled.
+  */
+class EmbedGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val Dim = 64
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeEmbeddings(dir: String, vs: Seq[(Long, Seq[Float])]): Unit = {
+    val s = spark
+    import s.implicits._
+    vs.toDF("vec_id", "embedding")
+      .repartition(8).write.parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("embedCentroidCount grows ~sqrt(N)/2, floored at 8, capped below 1e5") {
+    assert(DedupOps.embedCentroidCount(0) == 8)
+    assert(DedupOps.embedCentroidCount(500) == 12)      // ceil(22.36/2)
+    assert(DedupOps.embedCentroidCount(2000) == 23)     // ceil(44.72/2)
+    assert(DedupOps.embedCentroidCount(1000000) == 500)
+    assert(DedupOps.embedCentroidCount(Long.MaxValue) == 99999)
+  }
+
+  test("oversized centroid buckets are excluded: a one-direction corpus " +
+    "yields zero candidate pairs instead of 40M") {
+    val dir = tmpDir("embed-hot")
+    val rnd = new scala.util.Random(7)
+    val direction = Array.fill(Dim)(rnd.nextFloat() * 2f - 1f)
+    // 9,000 positive multiples of one direction: pairwise cosine 1.0,
+    // all assigned to the same top-2 centroids (identical dots, id
+    // tie-break) -> two buckets of 9,000 >> EmbedMaxBucket
+    val vs = (0L until 9000L).map { i =>
+      val scale = 0.5f + (i % 97).toFloat / 97f
+      i -> direction.map(_ * scale).toSeq
+    }
+    writeEmbeddings(dir, vs)
+    assert(DedupOps.dedupEmbed(spark, dir).count() == 0L,
+      "guard must drop the oversized bucket entirely")
+  }
+
+  test("realistic corpus: output is precise and planted near-identical " +
+    "pairs are fully recalled") {
+    val dir = tmpDir("embed-real")
+    val rnd = new scala.util.Random(11)
+    def randVec(): Array[Float] = Array.fill(Dim)(rnd.nextFloat() * 2f - 1f)
+    val base = (0L until 400L).map(i => i -> randVec())
+    // 20 planted near-dups of the last 20 base vectors: tiny jitter,
+    // cos >= 0.999
+    val planted = (0 until 20).map { j =>
+      val (srcId, src) = base(380 + j)
+      (400L + j, src.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f), srcId)
+    }
+    writeEmbeddings(dir,
+      base.map { case (i, v) => i -> v.toSeq } ++
+        planted.map { case (i, v, _) => i -> v.toSeq })
+
+    val byId = (base.map { case (i, v) => i -> v } ++
+      planted.map { case (i, v, _) => i -> v }).toMap
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until Dim).foldLeft(0.0)((acc, k) => acc + x(k).toDouble * y(k).toDouble)
+      BigDecimal(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    val out = DedupOps.dedupEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, c) =>
+      assert(cos4(byId(a), byId(b)) >= 0.45,
+        s"reported pair ($a,$b,$c) is not a true near-dup")
+    }
+    val found = out.map(p => (p._1, p._2)).toSet
+    planted.foreach { case (dupId, _, srcId) =>
+      assert(found.contains((srcId, dupId)),
+        s"planted near-identical pair ($srcId,$dupId) missed")
+    }
+  }
+}
