@@ -28,15 +28,30 @@ object Checkpoints {
         // context dir is "live" iff it sits under the CONFIGURED dir —
         // re-point when the conf changed (the knob is runtime conf and
         // must win over stale SparkContext state). getCheckpointDir
-        // returns a fs-qualified path; strip the scheme for the check.
-        val cfg = dir.stripSuffix("/")
+        // returns a fs-QUALIFIED path (scheme + authority), so qualify
+        // the configured dir the same way before comparing: comparing
+        // a raw `hdfs://nn/ckpt` conf against the qualified context
+        // path with only one side stripped would never match, and
+        // every cut() would mint a fresh UUID subdir.
+        val cfg = qualify(s, dir.stripSuffix("/"))
         val live = s.sparkContext.getCheckpointDir.exists { c =>
-          val cn = c.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+          val cn = qualify(s, c)
           cn == cfg || cn.startsWith(cfg + "/")
         }
-        if (!live) s.sparkContext.setCheckpointDir(cfg)
+        if (!live) s.sparkContext.setCheckpointDir(dir.stripSuffix("/"))
         df.checkpoint()
       case None => df.localCheckpoint()
     }
+  }
+
+  /** Fully-qualify `p` (scheme + authority + normalized path) through
+    * the path's own FileSystem, exactly as SparkContext does when it
+    * stores the checkpoint dir — so conf-vs-context comparisons see
+    * the same canonical form whether the knob was set as `/ckpt`,
+    * `file:/ckpt`, or `hdfs://nn/ckpt`. */
+  private def qualify(s: org.apache.spark.sql.SparkSession, p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .makeQualified(path).toString
   }
 }

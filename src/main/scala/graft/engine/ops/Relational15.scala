@@ -155,10 +155,21 @@ object Relational15 {
     * group-vs-global HAVING subquery. TPC-H's fixed fraction must be
     * rescaled by SF to stay meaningful (its part count grows with
     * scale); comparing against the mean is the scale-free spelling:
-    * `value·n_parts > 2·total`, multiplied through in cents-scaled
-    * DECIMAL(38,0) so no division — float or otherwise — decides a
-    * row. The per-part aggregate computes ONCE (lineage cut), its
-    * 1-row (total, count) broadcasts back. */
+    * `value·n_parts > 2·total` — evaluated in its exactly-equivalent
+    * QUOTIENT form `value_cents > (2·total_cents) div n_parts`
+    * (for non-negative integers and n ≥ 1: v·n > 2t ⟺ v > ⌊2t/n⌋,
+    * since v ≥ ⌊2t/n⌋+1 ⟹ v·n ≥ ⌊2t/n⌋·n + n > 2t and
+    * v ≤ ⌊2t/n⌋ ⟹ v·n ≤ 2t). Integral division truncates toward
+    * zero identically in Spark and DuckDB's HUGEINT `//`, so no
+    * float — and no decimal PRODUCT near precision 38 — decides a
+    * row: the former `value_cents·n_parts` spelling silently
+    * null-overflowed DECIMAL(38,0) once value·100·n_parts passed
+    * 10³⁸ while the oracle's HUGEINT stayed exact. Residual bounds,
+    * far beyond any stated scale: total supply value < 10³⁶ cents
+    * (the ×2×100 headroom inside DECIMAL(38,0)) and mean part value
+    * < 4.6·10¹⁶ dollars (the LONG quotient). The per-part aggregate
+    * computes ONCE (lineage cut), its 1-row (total, count)
+    * broadcasts back. */
   val joinTpchQ11: Q = (s, d) => {
     val vals = supply(s, d)
       .join(broadcast(regionSuppliers(s, d, Q11Region)),
@@ -170,8 +181,8 @@ object Relational15 {
       expr("CAST(sum(value_dec) * 100 AS DECIMAL(38,0))").as("tot_cents"),
       count(lit(1)).as("n_parts"))
     vals.crossJoin(broadcast(tot))
-      .filter(expr("CAST(value_dec * 100 AS DECIMAL(38,0)) * n_parts" +
-        " > 2 * tot_cents"))
+      .filter(expr("CAST(value_dec * 100 AS DECIMAL(38,0))" +
+        " > (2 * tot_cents) div n_parts"))
       .select($"ps_partkey", $"value_dec".cast("double").as("value"))
       .orderBy($"value".desc, $"ps_partkey")
   }
@@ -281,7 +292,7 @@ object Relational15 {
         |              CAST(count(1) AS BIGINT) AS n_parts FROM v)
         |SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value
         |FROM v, t
-        |WHERE CAST(value_dec * 100 AS HUGEINT) * n_parts > 2 * tot_cents
+        |WHERE CAST(value_dec * 100 AS HUGEINT) > (2 * tot_cents) // n_parts
         |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     "join_tpch_q20" ->

@@ -363,9 +363,18 @@ class FileTopicStore(
     * changes no engine behavior. */
   def readCompacted(topic: String): DataFrame = {
     val raw = spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
-    graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
-        raw.filter(col("key").isNotNull))
-      .unionAll(raw.filter(col("key").isNull))
+    // ONE pass over the log: un-keyed rows get a per-row surrogate
+    // grouping key — NUL-prefixed so it cannot collide with a real key,
+    // (partition, offset) so it is unique per record — and ride the
+    // same last-state aggregate as keyed rows (a group of one keeps
+    // them all). The former filter+union shape scanned the topic
+    // directory twice per action, and a concurrent append between the
+    // two scans could split one record set inconsistently.
+    val surrogate = concat_ws(":",
+      lit("\u0000"), col("partition").cast("string"), col("offset").cast("string"))
+    graft.engine.cdc.Transforms.lastStatePerKey(Seq("__gk"), Seq("offset"))(
+        raw.withColumn("__gk", coalesce(col("key"), surrogate)))
+      .drop("__gk")
   }
 
   def readStream(topic: String): DataFrame = readStream(topic, 100)

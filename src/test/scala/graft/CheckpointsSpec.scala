@@ -86,6 +86,29 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  test("a scheme-qualified checkpointDir is recognized as live: no dir " +
+    "re-point (fresh UUID subdir) between consecutive cuts") {
+    // the conf's natural deployment form is scheme-qualified
+    // (hdfs://, s3a://); getCheckpointDir returns a fs-qualified path,
+    // so an unnormalized compare would see every cut as "conf changed"
+    // and mint a new UUID subdir each time — set-once intent defeated
+    SparkTest.confLock.synchronized {
+      val dir = Files.createTempDirectory("graft-ckpt-scheme")
+      spark.conf.set(Checkpoints.DirKey, s"file://$dir")
+      try {
+        val df = spark.range(10).toDF("n")
+        Checkpoints.cut(df).collect()
+        val first = spark.sparkContext.getCheckpointDir
+        assert(first.exists(_.contains(dir.getFileName.toString)),
+          s"cut() did not point the context at $dir (got $first)")
+        Checkpoints.cut(df).collect()
+        assert(spark.sparkContext.getCheckpointDir == first,
+          "second cut() re-pointed the checkpoint dir — scheme-qualified " +
+            "conf not recognized as live")
+      } finally spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
+
   test("the conf knob, not SparkContext state, selects reliable mode") {
     SparkTest.confLock.synchronized {
       // a context that once ran reliable mode keeps its checkpoint dir;
