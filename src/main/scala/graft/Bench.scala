@@ -39,31 +39,46 @@ object Bench {
       name -> Timing(secs, failed)
     }
 
-  /** Best-of-two per query; a query that failed either pass is `failed`. */
-  private def bench(spark: org.apache.spark.sql.SparkSession,
-                    sfDir: String): (Map[String, Double], List[String]) = {
+  /** Best-of-two per query; a query that failed either pass is `failed`.
+    * Also returns BOTH raw pass timings per query — the variance record
+    * that lets a per-query drift be triaged against run-to-run noise
+    * instead of costing a full re-bench (round-8 tok_bpe_pairs and
+    * round-9 dedup_embed each burned a round for lack of this). */
+  private def bench(spark: org.apache.spark.sql.SparkSession, sfDir: String)
+      : (Map[String, Double], List[String], Map[String, Seq[Double]]) = {
     val (r1, r2) = (timeAll(spark, sfDir), timeAll(spark, sfDir))
     val failed = r1.keys.filter(k => r1(k).failed || r2(k).failed).toList.sorted
     val ok = r1.collect {
       case (k, t) if !failed.contains(k) =>
         k -> math.min(t.seconds, r2(k).seconds)
     }
-    (ok, failed)
+    val runs = r1.keys.map(k => k -> Seq(r1(k).seconds, r2(k).seconds)).toMap
+    (ok, failed, runs)
   }
 
   private def json(results: Map[String, Double], failed: List[String],
-                   sfDir: String, extra: String): String = {
+                   sfDir: String, extra: String,
+                   runs: Map[String, Seq[Double]] = Map.empty): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // comma decimals on e.g. de_DE JVMs — invalid JSON
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) =>
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
-          Double.box(v))
-      }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // every raw pass per query (artifact-only; stdout stays budgeted):
+    // best-of-2 hides whether a slow "best" was one outlier or two
+    // consistent passes — the first question any drift triage asks
+    val rs =
+      if (runs.isEmpty) ""
+      else ",\"runs\":" + runs.toSeq.sortBy(_._1)
+        .map { case (k, vs) =>
+          "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
+        }
+        .mkString("{", ",", "}")
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -102,11 +117,11 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case scala.util.control.NonFatal(_) => () }
 
-    val (results, failed) = bench(spark, sfDir)
+    val (results, failed, runs) = bench(spark, sfDir)
     // persist the primary result IMMEDIATELY: the optional secondary pass
     // doubles the runtime, and an external timeout mid-secondary must not
     // cost the round its primary perf artifact
-    writeArtifact(json(results, failed, sfDir, ""))
+    writeArtifact(json(results, failed, sfDir, "", runs))
 
     // secondary scale factor: the largest sibling STRICTLY SMALLER than
     // the primary, so round-over-round comparisons can see scaling — and
@@ -123,12 +138,12 @@ object Bench {
       .lastOption
     val extra = secondary match {
       case Some(dir) =>
-        val (r2, f2) = bench(spark, dir.toString)
-        "," + "\"secondary\":" + json(r2, f2, dir.toString, "")
+        val (r2, f2, runs2) = bench(spark, dir.toString)
+        "," + "\"secondary\":" + json(r2, f2, dir.toString, "", runs2)
       case None => ""
     }
 
-    writeArtifact(json(results, failed, sfDir, extra)) // file: primary + secondary
+    writeArtifact(json(results, failed, sfDir, extra, runs)) // file: primary + secondary
     // stdout gets a BUDGETED line: the driver captures a bounded tail of
     // stdout, and even the primary-only line overflowed it in r03 once the
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the

@@ -59,4 +59,36 @@ class LayoutInvarianceSpec extends AnyFunSuite {
       s"${diffs.size} queries change results under AQE-off: " +
         diffs.mkString(", "))
   }
+
+  test("every SparkEntry query returns identical rows in reliable-" +
+    "checkpoint mode (spark.graft.checkpointDir set)") {
+    // CheckpointsSpec proves representative call sites engage the knob;
+    // THIS sweep proves the whole 244-query surface is result-identical
+    // when every Checkpoints.cut switches from executor-local blocks to
+    // replicated-storage checkpoint() — i.e. reliable mode is a pure
+    // durability trade anywhere in the engine, not just where it was
+    // spot-checked.
+    import graft.engine.ops.Checkpoints
+    val diffs = SparkTest.confLock.synchronized {
+      val dir = java.nio.file.Files.createTempDirectory("graft-reliable-sweep")
+      spark.conf.set(Checkpoints.DirKey, dir.toString)
+      try {
+        val out = names.filter { n =>
+          val alt = SparkEntry.queries(n)(spark, sf).collect()
+            .map(_.toString).toSeq
+          alt != baseline(n)
+        }
+        val walk = java.nio.file.Files.walk(dir)
+        val wrote =
+          try walk.filter(_.getFileName.toString.startsWith("rdd-")).count()
+          finally walk.close()
+        assert(wrote > 0, "sweep ran but no reliable checkpoint was " +
+          "written — the knob never engaged, so the sweep proved nothing")
+        out
+      } finally spark.conf.unset(Checkpoints.DirKey)
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.size} queries change results in reliable-checkpoint mode: " +
+        diffs.mkString(", "))
+  }
 }
