@@ -70,6 +70,42 @@ object VectorOps {
     h
   }
 
+  // the MinHash permutation tables (DedupOps.A / DedupOps.B) — any
+  // change must update the simhash DuckDB oracle twins in DedupOps
+  private val SimA = Array(7L, 13, 31, 43, 59, 61, 73, 97, 101, 127,
+    131, 151, 163, 181, 197, 199)
+  private val SimB = Array(3L, 17, 29, 41, 53, 71, 89, 103, 113, 139,
+    149, 167, 179, 191, 211, 223)
+
+  /** 32-bit SimHash over an array of token hashes: bit j is the sign
+    * of Σ_tokens votes, where a token votes +1 iff the INDEPENDENT
+    * affine re-hash `(x·a_j + b_j) mod P` lands in the upper half of
+    * [0, P) (P = 1e9+7; unbiased to 1/P per bit, unlike raw hash bits
+    * which are constant above bit 29). Compiled twin of the
+    * declarative nested-lambda spelling, which runs interpreted and
+    * measured ~1000× slower (2.9 s for 5,000 docs at sf0.1). Empty
+    * array → all 32 votes are 0 ≥ 0 → the all-ones fingerprint, same
+    * as the lambda form. */
+  def simHash(th: ArrayData): Long = {
+    val n = th.numElements()
+    var res = 0L
+    var j = 0
+    while (j < 32) {
+      val a = SimA(j % 16)
+      val b = SimB((j * 3 + j / 16) % 16)
+      var vote = 0L
+      var i = 0
+      while (i < n) {
+        if (((th.getLong(i) * a + b) % 1000000007L) * 2 >= 1000000007L) vote += 1
+        else vote -= 1
+        i += 1
+      }
+      if (vote >= 0) res |= 1L << j
+      j += 1
+    }
+    res
+  }
+
   /** 16-bit Morton (Z-order) interleave of two keys' low bits —
     * matches the declarative
     * `aggregate(sequence(0,15), 0L, (a,i) -> a + shiftleft((pk>>i)&1, 2i)
@@ -162,8 +198,8 @@ object VectorOps {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val names = Seq("graft_dot", "graft_polyhash", "graft_l2",
-      "graft_morton", "graft_matvec", "graft_winhash", "graft_bloom_agg",
-      "graft_might_contain")
+      "graft_morton", "graft_matvec", "graft_winhash", "graft_simhash",
+      "graft_bloom_agg", "graft_might_contain")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -178,6 +214,8 @@ object VectorOps {
       exprs => IntMatVec(exprs(0), exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction("graft_winhash",
       exprs => WindowHash(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHash32(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -233,6 +271,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_winhash"),
       new ExpressionInfo(classOf[WindowHash].getName, "graft_winhash"),
       (exprs: Seq[Expression]) => WindowHash(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -372,5 +413,23 @@ case class PolyHash(child: Expression)
       s"graft.engine.functions.VectorOps.polyHash($s)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Codegen'd 32-bit SimHash of a token-hash array ([[VectorOps.simHash]]). */
+case class SimHash32(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(th: Any): Any =
+    VectorOps.simHash(th.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, th =>
+      s"graft.engine.functions.VectorOps.simHash($th)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
 }

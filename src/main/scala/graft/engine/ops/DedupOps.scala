@@ -239,24 +239,115 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** 32-bit SimHash fingerprint per document over distinct word tokens:
-    * bit j is the sign of Σ_tokens (bit j of token-hash ? +1 : −1).
+  /** 32-bit SimHash of a token-hash array column `th`: bit j is the
+    * sign of Σ_tokens vote_j(token-hash), where vote_j is +1 iff the
+    * INDEPENDENT affine re-hash `(x·a_j + b_j) mod P` lands in the
+    * upper half of [0, P). Shared by the fingerprint query and the
+    * banded near-dup join.
+    *
+    * Why a re-hash per bit instead of "bit j of the token hash": the
+    * token hash is mod P = 1e9+7 < 2³⁰, so bits ≥ 30 are constant and
+    * even bits 21–29 carry a uniform-range bias that the majority
+    * vote AMPLIFIES into deterministic fingerprint bits — measured on
+    * the test corpus, raw-bit simhash collapsed 500 docs onto 231
+    * fingerprints spanning ~15 effective bits (45% of ALL pairs
+    * within Hamming 3 — banding useless). The affine upper-half vote
+    * is 0.5 ± 1/P per bit, giving a full-entropy 32-bit fingerprint;
+    * the (a_j, b_j) pairs cycle the MinHash permutation constants
+    * with coprime strides so all 32 are distinct. Evaluated by the
+    * native codegen [[graft.engine.functions.SimHash32]] — the
+    * declarative nested-lambda spelling runs interpreted and measured
+    * ~1000× slower (2.9 s for 5,000 docs); [[duckSimhashSql]] is the
+    * oracle's declarative twin of the same constants. */
+  private val simhashSql: String = "graft_simhash(th)"
+
+  /** DuckDB twin of [[simhashSql]] (same constants, same fold shape). */
+  private def duckSimhashSql: String = {
+    val aa = A.mkString("list_value(", ",", ")")
+    val bb = B.mkString("list_value(", ",", ")")
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(0, 32), j -> CASE WHEN " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(th, x -> CASE WHEN ((x * $aa[(j % 16) + 1] + " +
+      s"$bb[((j * 3 + j // 16) % 16) + 1]) % $P) * 2 >= $P " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), " +
+      "(a, b) -> a + b) >= 0 " +
+      "THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), " +
+      "(a, b) -> a + b)"
+  }
+
+  /** 32-bit SimHash fingerprint per document over distinct word tokens.
     * Map-only linear pass; near-dup candidates at scale come from
-    * banding the fingerprint bytes exactly like MinHash. */
+    * banding the fingerprint bytes — [[dedupSimhashDup]]. */
   val dedupSimhash: Q = (s, d) => {
     ensureRegistered(s)
     Tables.documents(s, d)
       .repartition($"doc_id") // single-file scan → spread across cores
       .withColumn("toks", array_distinct(tokens($"text")))
       .withColumn("th", expr(s"transform(toks, t -> ${charHashSql("t")})"))
-      .withColumn("simhash", expr(
-        "aggregate(transform(sequence(0, 31), j -> CASE WHEN " +
-          "aggregate(th, cast(0 as bigint), (acc, x) -> acc + " +
-          "CASE WHEN shiftright(x, j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 " +
-          "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END), " +
-          "cast(0 as bigint), (a, b) -> a + b)"))
+      .withColumn("simhash", expr(simhashSql))
       .select($"doc_id", $"simhash")
       .orderBy($"doc_id")
+  }
+
+  /** Df cap for [[dedupSimhashDup]] band buckets: a band value shared
+    * by B docs contributes C(B,2) candidate pairs, so one boilerplate
+    * fingerprint byte (near-empty docs, templated text) would go
+    * quadratic at scale. Same recall contract as every posting-list
+    * cap in this family, and it genuinely FIRES on the driver corpus
+    * at sf0.1 — the synthetic docs share 70–90% of their vocabulary,
+    * so fingerprints cluster and the largest band bucket holds 4,373
+    * docs (9.6M pairs from ONE bucket); the cap drops those degenerate
+    * buckets and candidates fall 25M → 128k while every surviving
+    * pair that ALSO matches a sane band is still found. Mirrored by
+    * the oracle; inert at the correctness-gate SFs (largest bucket
+    * 443). On a non-degenerate corpus a 500-doc identical-band
+    * cluster is overwhelmingly true duplication, which the exact-band
+    * (Hamming-0) path inside smaller buckets and the MinHash pipeline
+    * both still catch. */
+  val SimhashMaxBand = 500L
+
+  /** SimHash near-dup PAIRS at Hamming distance ≤ 3 — the text twin
+    * of the image pipeline's pHash banding (mm_phash_dup): split the
+    * 32-bit fingerprint into 4 disjoint 8-bit bands; a pair within
+    * Hamming 3 differs in at most 3 bands, so by pigeonhole it agrees
+    * EXACTLY on at least one — candidate generation is a narrow
+    * (band, value) equi-join, provably lossless at the threshold,
+    * never all-pairs. Only candidates pay the popcount verify
+    * (`bit_count(x ⊕ y) ≤ 3`, pure integer, cross-engine exact).
+    *
+    * Zero-token docs are excluded: their fingerprint is the degenerate
+    * all-ones value (empty majority vote) and every such pair is
+    * Hamming 0 — noise, not duplication signal. */
+  val dedupSimhashDup: Q = (s, d) => {
+    ensureRegistered(s)
+    val fp = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .withColumn("toks", array_distinct(tokens($"text")))
+      .filter(size($"toks") > 0)
+      .withColumn("th", expr(s"transform(toks, t -> ${charHashSql("t")})"))
+      .withColumn("simhash", expr(simhashSql))
+      .select($"doc_id", $"simhash")
+      .transform(Checkpoints.cut) // fingerprints feed bands + both join sides
+    val bands = fp
+      .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bv", expr("shiftright(simhash, b * 8) & 255"))
+    val hot = bands.groupBy($"b", $"bv").count()
+      .filter($"count" > SimhashMaxBand).select($"b", $"bv")
+    val kept = bands.join(broadcast(hot), Seq("b", "bv"), "left_anti")
+    kept.as("x").join(kept.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct() // a pair agreeing on 2+ bands appears per agreeing band
+      // closest-first shortlist over a TOTAL order (deterministic
+      // LIMIT): this homogeneous corpus yields ~850k qualifying pairs
+      // at sf0.1 — the full set is an intermediate for clustering,
+      // not a result a reviewer reads
+      .orderBy($"hamming", $"doc_a", $"doc_b")
+      .limit(1000)
   }
 
   /** Embedding-cosine near-dup pairs (rounded cosine ≥ 0.45) over the
@@ -581,6 +672,7 @@ object DedupOps {
     "dedup_containment" -> dedupContainment,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_dup" -> dedupSimhashDup,
     "dedup_embed" -> dedupEmbed,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
@@ -760,16 +852,37 @@ object DedupOps {
          |    list_transform(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
          |      tok -> ${duckCharHash("tok")}) AS th
          |  FROM documents)
-         |SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(0, 32), j -> CASE WHEN
-         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(th, x -> CASE WHEN (x >> j) & 1 = 1
-         |          THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
-         |        (a, b) -> a + b) >= 0
-         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
-         |    (a, b) -> a + b) AS simhash
+         |SELECT doc_id, $duckSimhashSql AS simhash
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_dup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, $duckSimhashSql AS simhash
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_transform(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+         |        tok -> ${duckCharHash("tok")}) AS th
+         |    FROM documents
+         |    WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0)),
+         | bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+         |  FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+         | hot AS (
+         |  SELECT b, bv FROM bands GROUP BY b, bv
+         |  HAVING count(*) > $SimhashMaxBand),
+         | kept AS (
+         |  SELECT * FROM bands
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                    WHERE h.b = bands.b AND h.bv = bands.bv)),
+         | pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(bit_count(CAST(xor(x.simhash, y.simhash) AS BIGINT)) AS BIGINT)
+         |      AS hamming
+         |  FROM kept x JOIN kept y
+         |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY hamming, doc_a, doc_b
+         |LIMIT 1000""".stripMargin,
 
     "dedup_embed" ->
       s"""WITH n AS (

@@ -430,7 +430,40 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Chunk window (tokens) and stride for [[tokChunkOverlap]]; stride
+    * < window ⇒ adjacent chunks overlap by `ChunkW - ChunkS` tokens. */
+  val ChunkW = 64
+  val ChunkS = 48
+
+  /** Sliding-window token chunking with overlap — the RAG-indexing /
+    * context-packing prep step: each document becomes
+    * `1 + ⌈max(0, n−W)/S⌉` chunks of ≤ W tokens starting every S
+    * tokens (W=[[ChunkW]], S=[[ChunkS]]: 16-token overlap), each with
+    * a cross-engine-stable content hash (graft_polyhash of the
+    * space-joined chunk) so downstream chunk-level dedup/lineage can
+    * key on it. Stride < window guarantees the last chunk is
+    * non-empty. Map-only explode — the corpus never shuffles; at
+    * 100 TB this is one linear pass with column pruning to
+    * (doc_id, text). */
+  val tokChunkOverlap: Q = (s, d) => {
+    ensureRegistered(s)
+    val (w, st) = (ChunkW, ChunkS)
+    Tables.documents(s, d)
+      .repartition($"doc_id") // single-file scan → spread across cores
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, CASE WHEN size(toks) <= $w THEN 0" +
+          s" ELSE (size(toks) - $w + $st - 1) DIV $st END)")))
+      .withColumn("chunk", expr(s"slice(toks, chunk_id * $st + 1, $w)"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        size($"chunk").cast("long").as("n_toks"),
+        expr(charHashSql("array_join(chunk, ' ')")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tok_chunk_overlap" -> tokChunkOverlap,
     "text_gopher_rules" -> textGopherRules,
     "text_char_diversity" -> textCharDiversity,
     "tok_bpe_pairs" -> tokBpePairs,
@@ -450,6 +483,24 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "tok_chunk_overlap" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+        | ks AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CASE WHEN len(toks) <= $ChunkW THEN 1
+        |      ELSE 2 + (len(toks) - $ChunkW - 1) // $ChunkS END)) AS chunk_id
+        |  FROM t),
+        | c AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    toks[chunk_id * $ChunkS + 1 : chunk_id * $ChunkS + $ChunkW] AS chunk
+        |  FROM ks)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_toks,
+        |  ${graft.engine.ops.DedupOps.duckCharHash("array_to_string(chunk, ' ')")} AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     "text_gopher_rules" -> {
       val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (
