@@ -11,7 +11,9 @@ object TimeQ {
     (1 to 3).foreach { pass =>
       names.foreach { n =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, sfDir).count()
+        // full materialization, matching graft.Bench (count() prunes
+        // the output projection and the presentation sort)
+        graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
         println(f"pass$pass $n ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }

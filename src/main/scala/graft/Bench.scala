@@ -23,8 +23,15 @@ object Bench {
                       sfDir: String): Map[String, Timing] =
     SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // materialize EVERY output row via the query's own physical plan
+      // (toRdd), not count(): under count() Catalyst prunes the output
+      // projection and eliminates the presentation sort, so a map-only
+      // query's actual compute never runs — a 2.9 s interpreted
+      // fingerprint measured as 0.16 s in round 9, and any regression
+      // in a projected column is invisible. toRdd keeps the work on
+      // executors (no driver collect) while evaluating the full plan.
       val failed =
-        try { fn(spark, sfDir).count(); false }
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); false }
         catch { case scala.util.control.NonFatal(_) => true }
       val secs = (System.nanoTime() - t0) / 1e9
       // drop the checkpoint/cache blocks the query materialized, OUTSIDE
@@ -78,7 +85,9 @@ object Bench {
         }
         .mkString("{", ",", "}")
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$extra}"""
+    // "action" marks the round-10 methodology change (count() → full
+    // materialization) so cross-round total comparisons see the break
+    s"""{"metric":"total","value":$total,"unit":"sec","action":"materialize","queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are

@@ -70,6 +70,35 @@ object VectorOps {
     h
   }
 
+  /** Maximal `[a-z0-9]+` runs of the lower-cased text — byte-for-byte
+    * the result of `regexp_extract_all(lower(text), '[a-z0-9]+')`,
+    * without the java.util.regex machinery (the tokenizer is the hot
+    * inner loop of the whole text family). Equivalence argument: after
+    * [[UTF8String.toLowerCase]] (the same call Spark's `lower()`
+    * makes), the pattern's alphabet is pure ASCII, and in UTF-8 every
+    * non-ASCII code point consists solely of bytes ≥ 0x80 — so a
+    * maximal run of matching CODE POINTS is exactly a maximal run of
+    * matching BYTES, and a byte scan needs no decoding. TokensSpec
+    * fuzzes the equivalence against the regexp spelling on random
+    * unicode strings; the DuckDB oracles keep the regexp form. */
+  def tokens(text: UTF8String): ArrayData = {
+    val b = text.toLowerCase.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < n && {
+          val d = b(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, start, i))
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
   // the MinHash permutation tables (DedupOps.A / DedupOps.B) — any
   // change must update the simhash DuckDB oracle twins in DedupOps
   private val SimA = Array(7L, 13, 31, 43, 59, 61, 73, 97, 101, 127,
@@ -199,7 +228,7 @@ object VectorOps {
     val registry = spark.sessionState.functionRegistry
     val names = Seq("graft_dot", "graft_polyhash", "graft_l2",
       "graft_morton", "graft_matvec", "graft_winhash", "graft_simhash",
-      "graft_bloom_agg", "graft_might_contain")
+      "graft_tokens", "graft_bloom_agg", "graft_might_contain")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -216,6 +245,8 @@ object VectorOps {
       exprs => WindowHash(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHash32(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_tokens",
+      exprs => Tokenize(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -274,6 +305,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[Tokenize].getName, "graft_tokens"),
+      (exprs: Seq[Expression]) => Tokenize(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -413,6 +447,26 @@ case class PolyHash(child: Expression)
       s"graft.engine.functions.VectorOps.polyHash($s)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Codegen'd `[a-z0-9]+` tokenizer of lower-cased text ([[VectorOps.tokens]]). */
+case class Tokenize(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    VectorOps.tokens(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.engine.functions.VectorOps.tokens($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
     copy(child = newChild)
 }
 

@@ -15,9 +15,16 @@ import graft.engine.Tables
   * bit-identical across engines.
   */
 object TextFeatures {
-  /** Word tokens: maximal [a-z0-9] runs of the lower-cased text. */
+  /** Word tokens: maximal [a-z0-9] runs of the lower-cased text.
+    * Backed by the native codegen [[graft.engine.functions.Tokenize]]
+    * — byte-for-byte equal to
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')` (TokensSpec fuzzes
+    * the equivalence; the DuckDB oracles keep the regexp spelling) but
+    * without java.util.regex in the hot loop of every text query.
+    * Callers must have [[ensureRegistered]] the session (GraftSession
+    * injects via extensions). */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    call_function("graft_tokens", text)
 
   /** Whitespace-normalized text (trim + collapse runs to one space). */
   def normText(text: Column): Column =
