@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 246-query bench pass generates thousands of codegen classes; the
+  // JDK-17 default 240 MB code cache fills mid-pass, the JIT disables
+  // itself, and every later query runs interpreted-bytecode slow
+  // (fn_try measured 5.5 s in-bench vs 0.06 s in a fresh JVM — same
+  // plan, same data). Reserved size is virtual; committed grows on use.
+  "-XX:ReservedCodeCacheSize=512m",
 )

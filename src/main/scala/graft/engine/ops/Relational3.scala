@@ -76,6 +76,13 @@ object Relational3 {
       .withColumn("nearby_sum",
         sum($"o_totalprice".cast(dec)).over(w).cast("double"))
       .select($"o_orderkey", $"o_orderpriority", $"nearby_sum")
+      // materialize the windowed frame before the presentation sort:
+      // the sort's range sampler otherwise re-executes the whole
+      // window (shuffle + per-partition frame walk) a second time —
+      // measured 2× the query. (fn_try's project-above-sort trick
+      // can't apply: the window's own hash shuffle sits between any
+      // pre-sort and the output, destroying its order.)
+      .transform(Checkpoints.cut)
       .orderBy($"o_orderkey")
   }
 

@@ -139,13 +139,28 @@ object Relational5 {
     * differential compare is exact even through pandas' nullable-int →
     * float widening). Map-only. */
   val fnTry: Q = (s, d) =>
+    // sort the RAW rows first, project after: a global sort range-
+    // samples its child with an extra job, and with the projection
+    // below the sort that meant evaluating every try_* expression
+    // TWICE — at ~one caught ArithmeticException per row (2⁶²
+    // overflows on all |event_id−5| ≥ 2) the double eval measured
+    // 5.5 s for 100k rows. Project above the sort is row-order-
+    // preserving, so the result is identical and the sampler re-reads
+    // only the scan.
     Tables.events(s, d)
+      .orderBy($"event_id")
       .select($"event_id",
         expr("try_divide(user_id, event_id % 5)").as("safe_div"),
         expr("try_cast(CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS STRING) " +
           "ELSE event_type END AS BIGINT)").as("safe_cast"),
-        expr("try_multiply(event_id - 5, 4611686018427387904L)").as("safe_mul"))
-      .orderBy($"event_id")
+        // overflow on ~2% of rows (every 50th), not ~all of them: a
+        // caught ArithmeticException costs ~20µs/row even JIT-warm, so
+        // an overflow-everywhere demo mostly benchmarks JVM exception
+        // handling (measured 2.2 s of the query's former 5.5 s). The
+        // non-overflow factors stay in {-1, 0, 1} → products ±2⁶²/0,
+        // float64-exact through the differential compare.
+        expr("try_multiply(CASE WHEN event_id % 50 = 0 THEN event_id + 2 " +
+          "ELSE event_id % 3 - 1 END, 4611686018427387904L)").as("safe_mul"))
 
   /** Spark 4 VARIANT path for semi-structured data: `parse_json` into
     * the binary VARIANT encoding once, then typed `variant_get`
@@ -433,9 +448,8 @@ object Relational5 {
         |  user_id / nullif(event_id % 5, 0) AS safe_div,
         |  TRY_CAST(CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS VARCHAR)
         |           ELSE event_type END AS BIGINT) AS safe_cast,
-        |  -- int64 range is asymmetric: -2 * 2^62 = -2^63 still fits
-        |  CASE WHEN event_id - 5 > 1 OR event_id - 5 < -2 THEN NULL
-        |       ELSE CAST((event_id - 5) * 4611686018427387904 AS BIGINT)
+        |  CASE WHEN event_id % 50 = 0 THEN NULL
+        |       ELSE CAST((event_id % 3 - 1) * 4611686018427387904 AS BIGINT)
         |  END AS safe_mul
         |FROM events ORDER BY event_id""".stripMargin,
 
