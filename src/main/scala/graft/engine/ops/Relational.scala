@@ -396,11 +396,14 @@ object Relational {
 
   /** JSON extraction from the events props column. */
   val fnJson: Q = (s, d) =>
+    // sort raw rows first, project after (event_id is unique): the
+    // global sort's range sampler otherwise runs the JSON extraction
+    // twice — the presentation-sort double-eval pattern (see fn_try)
     Tables.events(s, d)
+      .orderBy($"event_id")
       .select(
         $"event_id",
         get_json_object($"props", "$.k").cast("int").as("k"))
-      .orderBy($"event_id")
 
   // -------------------------------------------------------------- registry
 

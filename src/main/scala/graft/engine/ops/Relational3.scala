@@ -127,11 +127,13 @@ object Relational3 {
     * second field is absent from the data — null semantics for missing
     * keys are part of the contract). */
   val fnJsonTuple: Q = (s, d) =>
+    // raw-sort first (unique event_id), extract after — avoids the
+    // presentation-sort double-eval of the generator (see fn_try)
     Tables.events(s, d)
+      .orderBy($"event_id")
       .select($"event_id", json_tuple($"props", "k", "missing"))
       .toDF("event_id", "k", "missing")
       .withColumn("k", $"k".cast("int"))
-      .orderBy($"event_id")
 
   /** Per-stratum sampling rates of [[sampleStratified]], in basis
     * points of 10000 hash buckets. */

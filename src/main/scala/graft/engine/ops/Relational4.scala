@@ -219,7 +219,10 @@ object Relational4 {
     * engines' defaults disagree (Spark dayofweek is Sunday=1, DuckDB
     * dow is Sunday=0 — weekday()+1 = isodow on both). Map-only. */
   val fnDate2: Q = (s, d) =>
+    // raw-sort first (unique o_orderkey), project after — avoids the
+    // presentation-sort double-eval of the date kernels (see fn_try)
     Tables.orders(s, d)
+      .orderBy($"o_orderkey")
       .select($"o_orderkey",
         add_months($"o_orderdate", 3).as("plus3m"),
         last_day($"o_orderdate").as("eom"),
@@ -229,7 +232,6 @@ object Relational4 {
         weekofyear($"o_orderdate").as("iso_week"),
         datediff(lit(java.sql.Date.valueOf("2024-06-30")), $"o_orderdate")
           .as("days_to_mid"))
-      .orderBy($"o_orderkey")
 
   /** Full-outer join of two keyed aggregates (per-customer order
     * stats vs per-user event stats): both unmatched sides survive

@@ -171,13 +171,19 @@ object Relational5 {
     * extracted scalars. Malformed input → NULL via the same try_*
     * discipline as fn_try. */
   val fnVariant: Q = (s, d) =>
+    // raw-sort first (unique event_id) to keep the sampler off the
+    // parses (see fn_try), and parse each props string ONCE in a
+    // staged projection — Catalyst's CollapseProject declines to
+    // re-inline a multiply-referenced non-cheap alias, so the two
+    // variant_get extractions share one binary VARIANT value
     Tables.events(s, d)
+      .orderBy($"event_id")
+      .withColumn("v", expr("parse_json(props)"))
       .select($"event_id",
-        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
-        expr("variant_get(parse_json(props), '$.missing', 'bigint')").as("absent"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.missing', 'bigint')").as("absent"),
         expr("is_variant_null(parse_json(CASE WHEN event_id % 7 = 0 " +
           "THEN 'null' ELSE props END))").as("null_in"))
-      .orderBy($"event_id")
 
   /** SQL-declared scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN`):
     * the engine-resident function surface a SQL-first user extends —
