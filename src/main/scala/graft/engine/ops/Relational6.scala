@@ -208,6 +208,11 @@ object Relational6 {
           .otherwise(expr(
             "(va * (b_rn - rn) + vb * (rn - a_rn)) DIV (b_rn - a_rn)"))
           .as("v_fill"))
+      // materialize the four window passes before the presentation
+      // sort — its range sampler would re-run them all (win_range's
+      // double-eval pattern; the windows' hash shuffle blocks the
+      // fn_try sort-first alternative)
+      .transform(Checkpoints.cut)
       .orderBy($"user_id", $"event_id")
   }
 
@@ -506,6 +511,7 @@ object Relational6 {
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
         floor(cume_dist().over(wOrd) * 1e6).cast("long").as("cd_e6"),
         nth_value($"o_totalprice", 2).over(wRows).as("second_low"))
+      .transform(Checkpoints.cut) // window runs once, not once more per sort sample
       .orderBy($"o_orderkey")
   }
 
