@@ -366,11 +366,12 @@ object DedupOps {
     * only candidates pay the exact 64-dim cosine. C grows ⌈√N/2⌉ with
     * the corpus, so expected bucket size stays ~2·√N and candidate
     * work ~N^1.5 probes² — ENFORCED, not a doc knob. Probes buys
-    * recall. Recall vs the exact all-pairs result on the synthetic
-    * corpus (cos 0.45–0.60 — i.e. barely-similar planted pairs, the
-    * hardest regime for ANY sublinear method) is measured in
-    * EmbedGuardSpec; real near-dups (cos ≥ 0.9) bucket together far
-    * more reliably.
+    * recall. EmbedGuardSpec measures the contract on a realistic
+    * corpus: every reported pair is a true near-dup (precision) and
+    * planted near-identical pairs (cos ≥ 0.99, the regime embedding
+    * dedup targets) are fully recalled; barely-similar pairs
+    * (cos 0.45–0.60) are the hardest regime for ANY sublinear method
+    * and bucket together only partially.
     *
     * The oracle mirrors the same deterministic assignment, so the
     * result is cross-engine exact: assignment ranks centroids by

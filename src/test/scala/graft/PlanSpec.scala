@@ -102,6 +102,7 @@ class PlanSpec extends AnyFunSuite {
     Seq("dedup_embed" -> DedupOps.dedupEmbed,
         "dedup_near" -> DedupOps.dedupNear,
         "dedup_minhash" -> DedupOps.dedupMinhash,
+        "dedup_simhash_dup" -> DedupOps.dedupSimhashDup,
         "dedup_clusters" -> DedupOps.dedupClusters).foreach { case (name, fn) =>
       val p = plan(fn(spark, sf))
       assert(!p.contains("BroadcastNestedLoopJoin"),
