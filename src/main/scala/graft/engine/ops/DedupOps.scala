@@ -384,7 +384,12 @@ object DedupOps {
     * form is tens of KB of parser+analyzer work per plan build — the
     * round-9 bench drift (4.3 s on a 2,000-row input) was exactly this
     * fixed cost, not data work. */
-  val dedupEmbed: Q = (s, d) => {
+  /** The IVF-bounded assignment frame shared by [[dedupEmbed]] and
+    * SimOps.simKnnGraph: every vector with (v, nrm) carried, exploded
+    * to its top-[[EmbedProbes]] centroid buckets, buckets over
+    * [[EmbedMaxBucket]] dropped. Linear in the corpus (N·probes
+    * rows). */
+  private[ops] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     ensureRegistered(s)
     val C = embedCentroidCount(Tables.embeddings(s, d).count())
     // unit-normalized centroid literals; fold order of the norm matches
@@ -413,9 +418,7 @@ object DedupOps {
     // carry (v, nrm) INTO the bucket join: the assigned frame is
     // N·probes rows — linear in the corpus, ~the size of ve itself —
     // so the cid equi-join shuffles far less than joining candidate
-    // pairs back to their vectors would, and the exact cosine + τ
-    // filter run streaming inside the join (≥99% of bucket pairs die
-    // before the final distinct ever sees them)
+    // pairs back to their vectors would
     val assigned = ve
       .withColumn("encs", array_sort(array(encCols: _*)))
       .select($"vec_id", $"v", $"nrm", explode(array(probeCols: _*)).as("cid"))
@@ -424,13 +427,19 @@ object DedupOps {
     // generation entirely (bounded work beats unbounded recall)
     val okCids = assigned.groupBy($"cid").count()
       .filter($"count" <= EmbedMaxBucket).select($"cid")
-    val bounded = assigned
+    assigned
       .join(broadcast(okCids), Seq("cid"))
       .select($"vec_id", $"v", $"nrm", $"cid")
+  }
+
+  val dedupEmbed: Q = (s, d) => {
+    val bounded = ivfAssigned(s, d)
     // both residual predicates live IN the join condition, cheap one
     // first: letting Catalyst push the τ filter down reorders it BEFORE
     // vec_id<, doubling the 64-dim dot evaluations (both orientations
-    // of every bucket pair)
+    // of every bucket pair); the exact cosine + τ filter run streaming
+    // inside the join (≥99% of bucket pairs die before the final
+    // distinct ever sees them)
     val cosXY = round(call_function("graft_dot", col("x.v"), col("y.v"))
       / (col("x.nrm") * col("y.nrm")), 4)
     bounded.as("x").join(bounded.as("y"),
@@ -886,48 +895,54 @@ object DedupOps {
          |LIMIT 1000""".stripMargin,
 
     "dedup_embed" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, v,
-         |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
-         |      (a, b) -> a + b)) AS nrm
-         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |        FROM embeddings)),
-         | cc AS (
-         |  SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS c
-         |  FROM n),
-         | cents AS (
-         |  SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cu
-         |  FROM n WHERE vec_id < (SELECT c FROM cc)),
-         | encs AS (
-         |  SELECT e.vec_id, list_sort(list(
-         |    (CAST(round(list_reduce(list_prepend(0.0,
-         |       list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cu[i])),
-         |       (a, b) -> a + b) * 1000000) AS BIGINT) + 4000000000)
-         |    * 100000 + ((SELECT c FROM cc) - 1 - c.cid))) AS enc
-         |  FROM n e, cents c GROUP BY e.vec_id),
-         | assigned AS (
-         |  SELECT vec_id, unnest([${(0 until EmbedProbes).map(p =>
-               s"(SELECT c FROM cc) - 1 - (enc[len(enc) - $p] % 100000)")
-               .mkString(", ")}]) AS cid
-         |  FROM encs),
-         | okc AS (
-         |  SELECT cid FROM assigned GROUP BY cid
-         |  HAVING count(*) <= $EmbedMaxBucket),
-         | bounded AS (
-         |  SELECT a.vec_id, a.cid FROM assigned a JOIN okc USING (cid)),
-         | cands AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM bounded x JOIN bounded y
-         |    ON x.cid = y.cid AND x.vec_id < y.vec_id),
-         | p AS (
-         |  SELECT vec_a, vec_b,
-         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
-         |      i -> a.v[i] * b.v[i])), (x, y) -> x + y) AS dot,
-         |    a.nrm * b.nrm AS nn
-         |  FROM cands JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b)
+      s"""WITH $duckIvfCandsCte
          |SELECT vec_a, vec_b, round(dot / nn, 4) AS cos
          |FROM p WHERE round(dot / nn, 4) >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
   )
+
+  /** The IVF candidate-pair CTE chain shared by the `dedup_embed` and
+    * `sim_knn_graph` oracles — the SQL twin of [[ivfAssigned]] + the
+    * scored a<b candidate join: ends at CTE `p(vec_a, vec_b, dot, nn)`. */
+  private[ops] def duckIvfCandsCte: String =
+    s"""n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+       |      (a, b) -> a + b)) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings)),
+       | cc AS (
+       |  SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS c
+       |  FROM n),
+       | cents AS (
+       |  SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cu
+       |  FROM n WHERE vec_id < (SELECT c FROM cc)),
+       | encs AS (
+       |  SELECT e.vec_id, list_sort(list(
+       |    (CAST(round(list_reduce(list_prepend(0.0,
+       |       list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cu[i])),
+       |       (a, b) -> a + b) * 1000000) AS BIGINT) + 4000000000)
+       |    * 100000 + ((SELECT c FROM cc) - 1 - c.cid))) AS enc
+       |  FROM n e, cents c GROUP BY e.vec_id),
+       | assigned AS (
+       |  SELECT vec_id, unnest([${(0 until EmbedProbes).map(p =>
+             s"(SELECT c FROM cc) - 1 - (enc[len(enc) - $p] % 100000)")
+             .mkString(", ")}]) AS cid
+       |  FROM encs),
+       | okc AS (
+       |  SELECT cid FROM assigned GROUP BY cid
+       |  HAVING count(*) <= $EmbedMaxBucket),
+       | bounded AS (
+       |  SELECT a.vec_id, a.cid FROM assigned a JOIN okc USING (cid)),
+       | cands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bounded x JOIN bounded y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       | p AS (
+       |  SELECT vec_a, vec_b,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
+       |      i -> a.v[i] * b.v[i])), (x, y) -> x + y) AS dot,
+       |    a.nrm * b.nrm AS nn
+       |  FROM cands JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b)""".stripMargin
 
   // the star-contraction variant computes the SAME clusters a
   // different way — one oracle, two implementations under test

@@ -548,7 +548,42 @@ object SimOps {
       .orderBy($"qid")
   }
 
+  /** Neighbors kept per node in [[simKnnGraph]]. */
+  val KnnGraphK = 3
+
+  /** Embedding k-NN GRAPH construction — every vector's top-
+    * [[KnnGraphK]] approximate nearest neighbors by cosine, the
+    * building block of cluster-based curation (SemDeDup-style
+    * semantic dedup, density filtering, HNSW seeding). Candidates
+    * come from the SAME bounded IVF machinery as dedup_embed
+    * (adaptive √N centroid count, top-2 probes, oversized-bucket
+    * guard — [[DedupOps.ivfAssigned]]); each undirected candidate
+    * pair is scored once (a < b), symmetrized, then per-node top-k
+    * by (rounded cos desc, neighbor id asc) — a total order, so the
+    * rank filter is deterministic and WindowGroupLimit bounds
+    * per-node state. Output ≤ k·N rows; every stage is linear in
+    * candidates, never all-pairs. */
+  val simKnnGraph: Q = (s, d) => {
+    val bounded = DedupOps.ivfAssigned(s, d)
+    val cosXY = round(expr("graft_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 4)
+    val pairs = bounded.as("x").join(bounded.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosXY.as("cos"))
+      .distinct() // a pair sharing 2 probe cids scores identically twice
+    val sym = pairs.unionByName(
+      pairs.select($"vec_b".as("vec_a"), $"vec_a".as("vec_b"), $"cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"vec_a").orderBy($"cos".desc, $"vec_b")
+    sym.withColumn("nn_rank", row_number().over(w))
+      .filter($"nn_rank" <= KnnGraphK)
+      .select($"vec_a".as("vec_id"), $"nn_rank".cast("long").as("nn_rank"),
+        $"vec_b".as("nn_id"), $"cos")
+      .orderBy($"vec_id", $"nn_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_knn_graph" -> simKnnGraph,
     "sim_knn_classify" -> simKnnClassify,
     "sim_rrf" -> simRrf,
     "sim_topk" -> simTopk,
@@ -588,6 +623,22 @@ object SimOps {
       |    (a, b) -> a + b) AS INTEGER)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_graph" ->
+      s"""WITH ${DedupOps.duckIvfCandsCte},
+         | sym AS (
+         |  SELECT vec_a, vec_b, round(dot / nn, 4) AS cos FROM p
+         |  UNION ALL
+         |  SELECT vec_b AS vec_a, vec_a AS vec_b, round(dot / nn, 4) AS cos
+         |  FROM p),
+         | r AS (
+         |  SELECT vec_a AS vec_id, vec_b AS nn_id, cos,
+         |    row_number() OVER (PARTITION BY vec_a
+         |                       ORDER BY cos DESC, vec_b) AS nn_rank
+         |  FROM sym)
+         |SELECT vec_id, CAST(nn_rank AS BIGINT) AS nn_rank, nn_id, cos
+         |FROM r WHERE nn_rank <= $KnnGraphK
+         |ORDER BY vec_id, nn_rank""".stripMargin,
+
     "sim_matryoshka" -> {
       def pdot(dim: Int, a: String, b: String): String =
         s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +

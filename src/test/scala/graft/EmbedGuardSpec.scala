@@ -96,5 +96,32 @@ class EmbedGuardSpec extends AnyFunSuite {
       assert(found.contains((srcId, dupId)),
         s"planted near-identical pair ($srcId,$dupId) missed")
     }
+
+    // the kNN GRAPH built from the same IVF candidates: per-node lists
+    // are rank-consistent (cos non-increasing, ties by id, ranks
+    // contiguous from 1), every edge's cosine is true, and each
+    // planted near-identical duplicate is its source's rank-1 neighbor
+    val g = graft.engine.ops.SimOps.queries("sim_knn_graph")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    g.foreach { case (src, _, dst, c) =>
+      assert(math.abs(cos4(byId(src), byId(dst)) - c) < 1e-9,
+        s"knn edge ($src,$dst) carries wrong cosine $c")
+    }
+    g.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"node $src: ranks not contiguous")
+      sorted.sliding(2).foreach {
+        case Array((_, _, d1, c1), (_, _, d2, c2)) =>
+          assert(c1 > c2 || (c1 == c2 && d1 < d2),
+            s"node $src: rank order violates (cos desc, id asc)")
+        case _ => ()
+      }
+    }
+    val rank1 = g.filter(_._2 == 1L).map(e => e._1 -> e._3).toMap
+    planted.foreach { case (dupId, _, srcId) =>
+      assert(rank1.get(dupId).contains(srcId),
+        s"planted dup $dupId: rank-1 neighbor is not its source $srcId")
+    }
   }
 }
