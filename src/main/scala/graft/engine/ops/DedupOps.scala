@@ -14,8 +14,10 @@ import graft.engine.Tables
   * and an equi-join on band keys, so candidate generation never goes
   * quadratic. [[dedupNear]] is the exact similarity join (narrow-row
   * shingle equi-join, bounded by shingle frequency, not corpus size);
-  * [[dedupEmbed]] is the exact pairwise verifier, deliberately bounded
-  * to a vec_id window — at scale it runs only on ANN candidates.
+  * [[dedupEmbed]] pairs the FULL corpus through bounded IVF candidates
+  * (adaptive √N centroids, bucket-capped) + exact-cosine verify, and
+  * [[dedupSimhashDup]] pairs fingerprints through provably-lossless
+  * Hamming banding.
   *
   * All hashes are 31-base polynomial mod 1e9+7 (cross-engine-stable);
   * permutations are fixed literal (a, b) pairs, so MinHash signatures
