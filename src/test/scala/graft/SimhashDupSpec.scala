@@ -84,11 +84,20 @@ class SimhashDupSpec extends AnyFunSuite {
   }
 
   test("the band cap drops degenerate buckets: an all-identical corpus " +
-    "yields zero pairs instead of C(n,2)") {
+    "yields zero pairs instead of C(n,2), with measured linear shuffle") {
     val dir = tmpDir("simdup-hot")
     val n = (DedupOps.SimhashMaxBand + 200).toInt
     writeDocs(dir, (0L until n.toLong).map(i =>
       i -> "the same boilerplate sentence appears in every document here"))
-    assert(DedupOps.dedupSimhashDup(spark, dir).count() == 0L)
+    val df = DedupOps.dedupSimhashDup(spark, dir)
+    val stats = graft.engine.Metrics.shuffleStats(df)
+    assert(df.count() == 0L)
+    // work bound, not just output bound: every shuffle row is a
+    // (doc, band) posting or a band count — never a pair. C(700,2)
+    // would be 244k pairs; 10 rows/doc of slack covers the posting
+    // explosion, band-count aggregates and retries.
+    assert(stats.recordsWritten < 10L * n,
+      s"degenerate corpus shuffled ${stats.recordsWritten} records " +
+        s"(quadratic pair generation escaped the cap?)")
   }
 }
