@@ -292,6 +292,39 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Token budget allocated by [[mixBudgetAlloc]]. */
+  val MixBudget = 1000000L
+
+  /** Largest-remainder integer allocation of a fixed token budget
+    * across languages proportional to their token mass — the planner
+    * step that turns mixture weights into EXACT integer quotas (the
+    * floors of B·tok_l/total under-spend by < |langs| tokens; the
+    * leftover goes +1 each to the languages with the largest
+    * remainders, ties to the smaller language name — so the quotas
+    * always sum to exactly B). Pure integer arithmetic end to end:
+    * floor via integral DIV, remainders compared as `B·tok mod total`
+    * — never a float share, so the oracle is hash-exact. Shape:
+    * per-language aggregate (|langs| rows, control-plane-sized), one
+    * window rank over it — corpus touched once, map-side combined. */
+  val mixBudgetAlloc: Q = (s, d) => {
+    ensureRegistered(s)
+    val per = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"lang", size(tokens($"text")).cast("long").as("toks"))
+      .groupBy($"lang").agg(sum($"toks").as("tokens"))
+    val tot = per.agg(sum($"tokens").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(expr(s"($MixBudget * tokens) % total").desc, $"lang")
+    per.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($MixBudget * tokens) DIV total"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("leftover", expr(
+        s"$MixBudget - sum(base) OVER ()"))
+      .select($"lang", $"tokens",
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
+      .orderBy($"lang")
+  }
+
   /** Temperature-scaled mixture weights (the mC4/ROOTS multilingual
     * sampling scheme): language l draws proportionally to
     * tokens^(1/T), here T = 2 → sqrt — rare languages upweighted
@@ -470,6 +503,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "mix_budget_alloc" -> mixBudgetAlloc,
     "tok_chunk_overlap" -> tokChunkOverlap,
     "text_gopher_rules" -> textGopherRules,
     "text_char_diversity" -> textCharDiversity,
@@ -490,6 +524,25 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "mix_budget_alloc" ->
+      s"""WITH per AS (
+        |  SELECT lang,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY lang),
+        | t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per),
+        | r AS (
+        |  SELECT lang, tokens,
+        |    ($MixBudget * tokens) // total AS base,
+        |    row_number() OVER (ORDER BY ($MixBudget * tokens) % total DESC, lang)
+        |      AS rk
+        |  FROM per, t),
+        | l AS (SELECT $MixBudget - CAST(sum(base) AS BIGINT) AS leftover FROM r)
+        |SELECT lang, tokens,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r, l ORDER BY lang""".stripMargin,
+
     "tok_chunk_overlap" ->
       s"""WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
