@@ -57,6 +57,9 @@ class EmbedGuardSpec extends AnyFunSuite {
     writeEmbeddings(dir, vs)
     assert(DedupOps.dedupEmbed(spark, dir).count() == 0L,
       "guard must drop the oversized bucket entirely")
+    // the kNN graph shares ivfAssigned, so the same guard bounds it
+    assert(graft.engine.ops.SimOps.queries("sim_knn_graph")(spark, dir)
+      .count() == 0L, "knn graph must inherit the bucket guard")
   }
 
   test("realistic corpus: output is precise and planted near-identical " +
