@@ -415,15 +415,22 @@ object DedupOps {
     // so the join doesn't re-cast 64 floats per CANDIDATE (projection
     // collapse)
     val ve = SimOps.vecs(s, d).transform(Checkpoints.cut)
-    val probeCols = (0 until EmbedProbes).map(p =>
-      lit((C - 1).toLong) - element_at($"encs", C - p) % 100000L)
+    // top-probes decode via slice-of-reversed, NOT fixed positions
+    // C, C-1: a corpus smaller than the centroid floor has only
+    // size(encs) = n < C entries, and element_at(encs, C) would throw
+    // under ANSI where the oracle's enc[len(enc)] quietly yields the
+    // real top — slice caps at the array length on both engines, so
+    // tiny corpora emit min(probes, n) probes identically
+    val probes = expr(
+      s"transform(slice(reverse(encs), 1, $EmbedProbes), " +
+        s"e -> ${C - 1}L - e % 100000L)")
     // carry (v, nrm) INTO the bucket join: the assigned frame is
     // N·probes rows — linear in the corpus, ~the size of ve itself —
     // so the cid equi-join shuffles far less than joining candidate
     // pairs back to their vectors would
     val assigned = ve
       .withColumn("encs", array_sort(array(encCols: _*)))
-      .select($"vec_id", $"v", $"nrm", explode(array(probeCols: _*)).as("cid"))
+      .select($"vec_id", $"v", $"nrm", explode(probes).as("cid"))
     // bucket guard: ≤C rows of (cid, count) → broadcast semi filter;
     // buckets over EmbedMaxBucket are dropped from candidate
     // generation entirely (bounded work beats unbounded recall)
@@ -913,7 +920,8 @@ object DedupOps {
        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |        FROM embeddings)),
        | cc AS (
-       |  SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS c
+       |  SELECT least(99999, greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)))
+       |    AS c
        |  FROM n),
        | cents AS (
        |  SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cu

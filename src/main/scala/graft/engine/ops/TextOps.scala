@@ -313,10 +313,15 @@ object TextOps {
       .select($"lang", size(tokens($"text")).cast("long").as("toks"))
       .groupBy($"lang").agg(sum($"toks").as("tokens"))
     val tot = per.agg(sum($"tokens").as("total"))
+    // B·tokens runs in DECIMAL(38,0) (oracle: HUGEINT): a BIGINT
+    // product overflows once a language holds > Long.Max/B ≈ 9.2e12
+    // tokens — real at the 100 TB scale this op plans for
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(expr(s"($MixBudget * tokens) % total").desc, $"lang")
+      .orderBy(expr(
+        s"(CAST($MixBudget AS DECIMAL(38,0)) * tokens) % total").desc, $"lang")
     per.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"($MixBudget * tokens) DIV total"))
+      .withColumn("base", expr(
+        s"(CAST($MixBudget AS DECIMAL(38,0)) * tokens) DIV total"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("leftover", expr(
         s"$MixBudget - sum(base) OVER ()"))
@@ -533,8 +538,10 @@ object TextOps {
         | t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per),
         | r AS (
         |  SELECT lang, tokens,
-        |    ($MixBudget * tokens) // total AS base,
-        |    row_number() OVER (ORDER BY ($MixBudget * tokens) % total DESC, lang)
+        |    CAST((CAST($MixBudget AS HUGEINT) * tokens) // total AS BIGINT)
+        |      AS base,
+        |    row_number() OVER (
+        |      ORDER BY (CAST($MixBudget AS HUGEINT) * tokens) % total DESC, lang)
         |      AS rk
         |  FROM per, t),
         | l AS (SELECT $MixBudget - CAST(sum(base) AS BIGINT) AS leftover FROM r)

@@ -7,6 +7,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.engine.ops.Checkpoints
+
 /** Keyed, compacted, offset-ordered message topics (the reference's
   * Kafka surface: topic_store.clj + protocols.clj:6-22), backed by
   * directories of JSON-lines files — the environment ships no Kafka
@@ -362,19 +364,19 @@ class FileTopicStore(
     * only compact the (always-keyed) control topic, so the fix
     * changes no engine behavior. */
   def readCompacted(topic: String): DataFrame = {
-    val raw = spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
-    // ONE pass over the log: un-keyed rows get a per-row surrogate
-    // grouping key — NUL-prefixed so it cannot collide with a real key,
-    // (partition, offset) so it is unique per record — and ride the
-    // same last-state aggregate as keyed rows (a group of one keeps
-    // them all). The former filter+union shape scanned the topic
-    // directory twice per action, and a concurrent append between the
-    // two scans could split one record set inconsistently.
-    val surrogate = concat_ws(":",
-      lit("\u0000"), col("partition").cast("string"), col("offset").cast("string"))
-    graft.engine.cdc.Transforms.lastStatePerKey(Seq("__gk"), Seq("offset"))(
-        raw.withColumn("__gk", coalesce(col("key"), surrogate)))
-      .drop("__gk")
+    // materialize ONE scan of the topic directory, then split: the
+    // former filter+union over the lazy read scanned the directory
+    // twice per action (a concurrent append between the scans could
+    // split one record set inconsistently), while a surrogate-key
+    // single-pass variant collapsed distinct un-keyed rows whenever
+    // partition/offset were NULL (concat_ws skips NULLs) — violating
+    // "un-keyed records have no identity to compact under". The cut
+    // pins one snapshot; both branches read its blocks.
+    val raw = Checkpoints.cut(
+      spark.read.schema(FileTopicStore.schema).json(dir(topic).toString))
+    graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
+        raw.filter(col("key").isNotNull))
+      .unionAll(raw.filter(col("key").isNull))
   }
 
   def readStream(topic: String): DataFrame = readStream(topic, 100)

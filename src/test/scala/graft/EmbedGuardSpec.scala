@@ -62,6 +62,24 @@ class EmbedGuardSpec extends AnyFunSuite {
       .count() == 0L, "knn graph must inherit the bucket guard")
   }
 
+  test("a corpus smaller than the centroid floor still runs: probes cap " +
+    "at the available centroids instead of indexing past the array") {
+    // C floors at 8 but a 3-vector corpus has only 3 encoding entries;
+    // fixed-position decode (element_at at C, C-1) threw under ANSI
+    val dir = tmpDir("embed-tiny")
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(Dim)(rnd.nextFloat() * 2f - 1f)
+    writeEmbeddings(dir, Seq(
+      0L -> base.toSeq,
+      1L -> base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq,
+      2L -> Array.fill(Dim)(rnd.nextFloat() * 2f - 1f).toSeq))
+    val out = DedupOps.dedupEmbed(spark, dir).collect()
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "near-identical pair must surface even on a tiny corpus")
+    assert(graft.engine.ops.SimOps.queries("sim_knn_graph")(spark, dir)
+      .count() > 0)
+  }
+
   test("realistic corpus: output is precise and planted near-identical " +
     "pairs are fully recalled") {
     val dir = tmpDir("embed-real")
