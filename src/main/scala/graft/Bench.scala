@@ -17,6 +17,17 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * contribute a bogus fast timing.
   */
 object Bench {
+  /** Machine-readable measurement methodology, stamped into every
+    * artifact so cross-round total comparisons can detect a
+    * methodology break instead of misreading it as a perf change.
+    * History: rev 1 = `count()` action, best-of-2 (rounds ≤9);
+    * rev 2 = full materialization via `toRdd.count()` (round 10);
+    * rev 3 = 3 passes, first discarded as warm-up, reported time =
+    * min(pass2, pass3) (round 11). Bump the rev on ANY change to
+    * what a per-query number means. */
+  private val Methodology =
+    """"timing":"materialize","bench_rev":3"""
+
   private final case class Timing(seconds: Double, failed: Boolean)
 
   private def timeAll(spark: org.apache.spark.sql.SparkSession,
@@ -46,20 +57,34 @@ object Bench {
       name -> Timing(secs, failed)
     }
 
-  /** Best-of-two per query; a query that failed either pass is `failed`.
-    * Also returns BOTH raw pass timings per query — the variance record
+  /** Three passes per query; the FIRST pass is a warm-up and is
+    * DISCARDED from the reported time (recorded in `runs[0]` for
+    * triage): round-10's recorded pairs showed first-run spikes up to
+    * 11× (agg_corr 16.2 vs 1.4 s — JIT, codegen-compiler and
+    * storage-pool churn, not plan cost), so a best-of that includes
+    * pass 1 aliases JVM warm-up into per-query numbers. The reported
+    * time is min(pass2, pass3) — steady-state. The warm-up pass also
+    * absorbs genuine one-time layout builds (join_bucketed's bucketed
+    * table write happens on first call per SF dir), so that row times
+    * the exchange-free probe it exists to demonstrate; the build cost
+    * stays visible as runs[0] − runs[1].
+    *
+    * All raw pass timings are kept per query — the variance record
     * that lets a per-query drift be triaged against run-to-run noise
     * instead of costing a full re-bench (round-8 tok_bpe_pairs and
     * round-9 dedup_embed each burned a round for lack of this). */
   private def bench(spark: org.apache.spark.sql.SparkSession, sfDir: String)
       : (Map[String, Double], List[String], Map[String, Seq[Double]]) = {
-    val (r1, r2) = (timeAll(spark, sfDir), timeAll(spark, sfDir))
-    val failed = r1.keys.filter(k => r1(k).failed || r2(k).failed).toList.sorted
-    val ok = r1.collect {
-      case (k, t) if !failed.contains(k) =>
-        k -> math.min(t.seconds, r2(k).seconds)
-    }
-    val runs = r1.keys.map(k => k -> Seq(r1(k).seconds, r2(k).seconds)).toMap
+    val passes = Seq(timeAll(spark, sfDir), timeAll(spark, sfDir),
+      timeAll(spark, sfDir))
+    val failed = passes.head.keys
+      .filter(k => passes.exists(_(k).failed)).toList.sorted
+    val ok = passes.head.keys.collect {
+      case k if !failed.contains(k) =>
+        k -> passes.tail.map(_(k).seconds).min
+    }.toMap
+    val runs = passes.head.keys
+      .map(k => k -> passes.map(_(k).seconds)).toMap
     (ok, failed, runs)
   }
 
@@ -85,9 +110,7 @@ object Bench {
         }
         .mkString("{", ",", "}")
     val total = results.values.sum
-    // "action" marks the round-10 methodology change (count() → full
-    // materialization) so cross-round total comparisons see the break
-    s"""{"metric":"total","value":$total,"unit":"sec","action":"materialize","queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -100,7 +123,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$Methodology,"sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
     val tailFixed = "},\"elided\":NNN}".length
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     var used = head.length + tailFixed
@@ -121,6 +144,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.get()
+    // Silence the per-RDD unpersist WARN storm ("RDD n was locally
+    // checkpointed, its lineage has been truncated…"): the inter-query
+    // cleanup below unpersists every localCheckpoint block by DESIGN
+    // (blocks must not accumulate across 248 independent queries), and
+    // the resulting thousands of WARN lines drowned the bench's stdout
+    // JSON two rounds running (driver BENCH parse → null). Scoped to
+    // the bench JVM only — engine code never touches log levels.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // warm the session (executor threads, codegen compiler, parquet footer
     // reader) so the first timed query doesn't absorb startup cost
     try SparkEntry.entry(spark).count()
@@ -158,7 +190,10 @@ object Bench {
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the
     // slowest queries until a ~1.4 KB budget is spent, count the rest under
     // "elided", and point at bench_out.json for the complete per-query map.
-    println(stdoutJson(results, failed, sfDir))
+    // Printed AFTER spark.stop(): shutdown logs several INFO/WARN lines of
+    // its own, and the JSON line must be the last thing in the captured
+    // stdout tail for the driver's parser to find it.
     spark.stop()
+    println(stdoutJson(results, failed, sfDir))
   }
 }

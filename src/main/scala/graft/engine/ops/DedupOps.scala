@@ -405,7 +405,15 @@ object DedupOps {
         c.map(_ / n).toSeq
       }
     // enc_k = (round(dot·1e6) + 4e9)·1e5 + (C-1-k): one sortable BIGINT
-    // per centroid — rank by dot, tie → smaller centroid id
+    // per centroid — rank by dot, tie → smaller centroid id.
+    // ENCODING BOUND: the +4e9 bias assumes round(dot·1e6) > -4e9,
+    // i.e. |dot(v, ĉ)| < 4000 — with unit centroids that is ‖v‖ <
+    // 4000, far above any float-embedding norm here (‖v‖ ≤ √64·1 = 8
+    // for this corpus; typical real embeddings are unit-ish). Past
+    // the bound enc goes negative and the % 100000 decode yields a
+    // wrong centroid id on BOTH engines identically — a recall loss,
+    // not a divergence; see also [[embedCentroidCount]]'s C < 10⁵
+    // constraint from the same 5-digit packing.
     val encCols = cents.zipWithIndex.map { case (c, k) =>
       (round(call_function("graft_dot", $"v", typedLit(c)) * 1000000d, 0)
         .cast("long") + 4000000000L) * 100000L + lit((C - 1 - k).toLong)
@@ -418,9 +426,12 @@ object DedupOps {
     // top-probes decode via slice-of-reversed, NOT fixed positions
     // C, C-1: a corpus smaller than the centroid floor has only
     // size(encs) = n < C entries, and element_at(encs, C) would throw
-    // under ANSI where the oracle's enc[len(enc)] quietly yields the
-    // real top — slice caps at the array length on both engines, so
-    // tiny corpora emit min(probes, n) probes identically
+    // under ANSI — slice caps at the array length, so tiny corpora
+    // emit min(probes, n) probes. The oracle decodes with the SAME
+    // list_slice(list_reverse(enc), 1, probes) shape (a fixed-position
+    // enc[len(enc)-p] would emit a NULL cid on a 1-vector corpus —
+    // benign only because NULL never equi-joins, so it is mirrored
+    // structurally instead of relied on)
     val probes = expr(
       s"transform(slice(reverse(encs), 1, $EmbedProbes), " +
         s"e -> ${C - 1}L - e % 100000L)")
@@ -934,9 +945,10 @@ object DedupOps {
        |    * 100000 + ((SELECT c FROM cc) - 1 - c.cid))) AS enc
        |  FROM n e, cents c GROUP BY e.vec_id),
        | assigned AS (
-       |  SELECT vec_id, unnest([${(0 until EmbedProbes).map(p =>
-             s"(SELECT c FROM cc) - 1 - (enc[len(enc) - $p] % 100000)")
-             .mkString(", ")}]) AS cid
+       |  SELECT vec_id,
+       |    (SELECT c FROM cc) - 1
+       |      - (unnest(list_slice(list_reverse(enc), 1, $EmbedProbes))
+       |         % 100000) AS cid
        |  FROM encs),
        | okc AS (
        |  SELECT cid FROM assigned GROUP BY cid

@@ -7,7 +7,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.engine.ops.Checkpoints
 
 /** Keyed, compacted, offset-ordered message topics (the reference's
   * Kafka surface: topic_store.clj + protocols.clj:6-22), backed by
@@ -364,16 +363,22 @@ class FileTopicStore(
     * only compact the (always-keyed) control topic, so the fix
     * changes no engine behavior. */
   def readCompacted(topic: String): DataFrame = {
-    // materialize ONE scan of the topic directory, then split: the
-    // former filter+union over the lazy read scanned the directory
-    // twice per action (a concurrent append between the scans could
-    // split one record set inconsistently), while a surrogate-key
-    // single-pass variant collapsed distinct un-keyed rows whenever
+    // ONE DataFrameReader call pins the snapshot: resolving the file
+    // relation lists the topic directory EAGERLY (InMemoryFileIndex
+    // captures the FileStatus set — names and lengths — right here),
+    // and both union branches below share that one relation, so a
+    // concurrent append (always a NEW file in this store) is invisible
+    // to every action on the returned frame — no record set can split
+    // inconsistently across the branches. This replaces an eager
+    // Checkpoints.cut that paid a full materialization per read and,
+    // in default localCheckpoint mode, truncated lineage onto
+    // non-replicated executor blocks (executor loss → unrecoverable
+    // snapshot); the pinned listing keeps lineage recomputable from
+    // the exact same files. A surrogate-key single-pass variant was
+    // rejected earlier: it collapsed distinct un-keyed rows whenever
     // partition/offset were NULL (concat_ws skips NULLs) — violating
-    // "un-keyed records have no identity to compact under". The cut
-    // pins one snapshot; both branches read its blocks.
-    val raw = Checkpoints.cut(
-      spark.read.schema(FileTopicStore.schema).json(dir(topic).toString))
+    // "un-keyed records have no identity to compact under".
+    val raw = spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
     graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
         raw.filter(col("key").isNotNull))
       .unionAll(raw.filter(col("key").isNull))
