@@ -161,6 +161,7 @@ class FileTopicStore(
     * partition. One of the few sanctioned RDD uses: genuine
     * per-partition indexing. */
   def append(topic: String, kv: DataFrame): Unit = {
+    check("append", topic) // same injectable-fault point as appendV2
     if (!exists(topic)) create(topic)
     // ONE scan serves both the offset bases and the dirty-ratio stats
     // (the policy therefore sees the log as of the PREVIOUS append —

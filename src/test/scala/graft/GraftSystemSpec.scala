@@ -1,11 +1,15 @@
 package graft
 
 import java.nio.file.Files
+import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.GraftSystem
-import graft.engine.model.Status
+import graft.engine.cdc.{InMemoryControlPlane, Initializer, SeedViews, Transforms}
+import graft.engine.model.{Ccd, Status}
+import graft.engine.streaming.ControlStream
+import graft.engine.topics.FileTopicStore
 
 /** End-to-end system lifecycle: submit → drain → active; restart
   * resumes nothing (terminal states skipped) — the reference's full
@@ -35,6 +39,147 @@ class GraftSystemSpec extends AnyFunSuite {
     val sys2 = new GraftSystem(spark, root, "/root/testdata/sf0.001",
       Map("nation" -> Seq("n_nationkey"), "region" -> Seq("r_regionkey")))
     assert(sys2.start().isEmpty)
+  }
+
+  // ---------------------------------------------------------------
+  // Crash-resume under failure injection: the reference's core
+  // operational promise (initializer.clj:27-39) — a process killed
+  // mid-seed leaves only durable state (control-topic files, partial
+  // seed files, the stream checkpoint), and a restarted system must
+  // re-run exactly the non-terminal CCDs, skip terminal ones, and
+  // converge the seed topic via keyed compaction with no loss and no
+  // duplicate identity beyond at-least-once.
+  // ---------------------------------------------------------------
+
+  private def ts() = new Timestamp(System.currentTimeMillis())
+  private def nationView(sfDir: String): String => Option[org.apache.spark.sql.DataFrame] = {
+    case table @ "tpch.nation" =>
+      Some(SeedViews.forTable(
+        spark.read.parquet(s"$sfDir/nation.parquet"), table, Seq("n_nationkey")))
+    case table @ "tpch.region" =>
+      Some(SeedViews.forTable(
+        spark.read.parquet(s"$sfDir/region.parquet"), table, Seq("r_regionkey")))
+    case _ => None
+  }
+
+  test("stream killed mid-seed (fatal error, nothing published): restart " +
+    "re-runs the CCD from the backlog and converges") {
+    val root = Files.createTempDirectory("graft-crash-kill").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val plane = new InMemoryControlPlane() // shared: the catalog survives a worker death
+    val seedView = nationView(sfDir)
+
+    // the kill: the first append to the seed topic dies with an ERROR —
+    // NOT an Exception, so initialize()'s compensation catch never runs,
+    // exactly like a process kill: no error state, no trigger-disable,
+    // no status published at all (publishAll batches at end of process())
+    var killed = false
+    val faulty = new FileTopicStore(spark, root,
+      failures = (op, topic) => {
+        if (op == "append" && topic == "q_nation" && !killed) {
+          killed = true
+          throw new AssertionError("injected kill: process died mid-seed")
+        }
+        false
+      })
+    val init = new Initializer(spark, plane, faulty, "cdc-control", seedView)
+    init.publish(Ccd("tpch.nation", "q_nation", "mq_nation", None,
+      Status.Submitted, ts()))
+    // SAME checkpoint path GraftSystem derives, so the restarted
+    // system's stream resumes this stream's uncommitted batch
+    val checkpoint = java.nio.file.Paths.get(root, "__checkpoint")
+    Files.createDirectories(checkpoint)
+    val died = intercept[Exception] {
+      ControlStream.runSubmissions(faulty, "cdc-control", init, checkpoint.toString)
+    }
+    assert(Iterator.iterate(died: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("injected kill"))),
+      s"stream died for an unexpected reason: $died")
+
+    // durable mid-crash state: control topic still shows the NON-terminal
+    // submitted state (the lifecycle's states were never published) and
+    // the seed topic exists but holds nothing
+    val sys2 = new GraftSystem(spark, root, seedView = seedView, plane = plane)
+    val before = sys2.controlState().collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    assert(before("tpch.nation").contains(s""""status":"${Status.Submitted}""""))
+    assert(sys2.topics.exists("q_nation") &&
+      sys2.topics.readAll("q_nation").count() == 0)
+
+    // restart: backlog resumes exactly the non-terminal CCD to active
+    val resumed = sys2.start()
+    assert(resumed.map(_._1.table) == Seq("tpch.nation"))
+    val states = resumed.head._2.map(_.status)
+    assert(states.last == Status.Active)
+    // idempotent re-prepare: trigger/queue/topic already exist (created
+    // before the kill), so NO creation statuses are re-emitted
+    assert(!states.exists(Set(Status.TriggerCreated, Status.QueueCreated,
+      Status.TopicCreated)))
+    assert(sys2.topics.readAll("q_nation").count() == 25)
+
+    // the killed batch was never committed, so the stream REPLAYS the
+    // submission on restart — and the terminal-state guard makes the
+    // replay a no-op instead of a second seed (at-least-once backstop)
+    sys2.runOnce()
+    assert(sys2.topics.readAll("q_nation").count() == 25)
+    val after = sys2.controlState().collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    assert(after("tpch.nation").contains(s""""status":"${Status.Active}""""))
+  }
+
+  test("killed after a partial seed with seeding published: restart wipes " +
+    "the partial seed, re-seeds in full, and skips terminal CCDs") {
+    val root = Files.createTempDirectory("graft-crash-partial").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val plane = new InMemoryControlPlane()
+    val seedView = nationView(sfDir)
+    val sys = new GraftSystem(spark, root, seedView = seedView, plane = plane)
+
+    // region completes BEFORE the crash — the terminal CCD the restart
+    // must skip
+    sys.submit("tpch.region", "q_region", "mq_region")
+    sys.runOnce()
+
+    // nation dies mid-seed, through the real components: prepared
+    // published, a PARTIAL seed append on disk (the files a killed
+    // distributed write leaves behind), seeding [0, 25] published —
+    // then nothing: no active, no error, no compensation
+    sys.submit("tpch.nation", "q_nation", "mq_nation")
+    val ccd = Ccd("tpch.nation", "q_nation", "mq_nation", None,
+      Status.Submitted, ts())
+    val prep = sys.initializer.prepare(ccd)
+    assert(prep.last.status == Status.Prepared)
+    sys.initializer.publishAll(prep)
+    val partial = Transforms.dmlMsgToSeedMsg(
+      Transforms.seedRowToDmlMsg(seedView("tpch.nation").get)).limit(10)
+    sys.topics.append("q_nation", partial)
+    sys.initializer.publishAll(Seq(prep.last.copy(status = Status.Seeding,
+      progress = Some(Seq(0L, 25L)), timestamp = ts())))
+    assert(sys.topics.readAll("q_nation").count() == 10)
+
+    // restart over the same root: ONLY nation resumes (region terminal),
+    // re-prepare wipes the partial seed, the snapshot re-seeds in full
+    val sys2 = new GraftSystem(spark, root, seedView = seedView, plane = plane)
+    val resumed = sys2.start()
+    assert(resumed.map(_._1.table) == Seq("tpch.nation"))
+    assert(resumed.head._2.last.status == Status.Active)
+    // exactly one message per snapshot row: the 10 partial messages are
+    // gone (cleared by re-prepare), not duplicated under the fresh seed
+    assert(sys2.topics.readAll("q_nation").count() == 25)
+    val keys = sys2.topics.readCompacted("q_nation")
+      .select(org.apache.spark.sql.functions.col("key"))
+      .collect().map(_.getString(0))
+    assert(keys.length == 25 && keys.distinct.length == 25,
+      "seed topic must converge to one compacted state per key")
+    // the pending nation submission replays through the stream tail and
+    // is skipped as terminal; region stays untouched
+    sys2.runOnce()
+    assert(sys2.topics.readAll("q_nation").count() == 25)
+    assert(sys2.topics.readAll("q_region").count() == 5)
+    val states = sys2.controlState().collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    assert(states("tpch.nation").contains(s""""status":"${Status.Active}""""))
+    assert(states("tpch.region").contains(s""""status":"${Status.Active}""""))
   }
 
   test("multi-partition data path: seeded topic spreads keys, per-key order holds") {
