@@ -60,6 +60,49 @@ class LayoutInvarianceSpec extends AnyFunSuite {
         diffs.mkString(", "))
   }
 
+  // ---- second scale factor: stats-sensitive queries -------------
+  // Broadcast↔SMJ boundaries flip with table STATS, so a sweep pinned
+  // at one SF can never catch a layout dependence that only appears
+  // once a side crosses the broadcast threshold. Rather than hoping
+  // sf0.01's sizes happen to straddle the boundary, force the flip:
+  // autoBroadcastJoinThreshold=-1 turns every broadcast join into a
+  // shuffle join — every query whose RESULT depends on which side was
+  // broadcast (row order leaking through first/limit, build-side
+  // nondeterminism) diverges immediately. Scoped to the queries whose
+  // plans actually contain stats-driven join choices: the join_*
+  // family plus text_lm_bigram (its deliberate non-broadcast probe).
+  private lazy val statsSensitive =
+    names.filter(n => n.startsWith("join_") || n == "text_lm_bigram")
+  private val sf2 = "/root/testdata/sf0.01"
+  private lazy val baselineSf2: Map[String, Seq[String]] =
+    statsSensitive.map { n =>
+      n -> SparkEntry.queries(n)(spark, sf2).collect().map(_.toString).toSeq
+    }.toMap
+
+  test("stats-sensitive queries return identical rows at sf0.01 with " +
+    "broadcast joins disabled (forced SMJ) and under a different " +
+    "shuffle-partition count") {
+    val diffs = SparkTest.confLock.synchronized {
+      val bKey = "spark.sql.autoBroadcastJoinThreshold"
+      val pKey = "spark.sql.shuffle.partitions"
+      val (b0, p0) = (spark.conf.get(bKey), spark.conf.get(pKey))
+      def sweep(tag: String): Seq[String] = statsSensitive.filter { n =>
+        SparkEntry.queries(n)(spark, sf2).collect()
+          .map(_.toString).toSeq != baselineSf2(n)
+      }.map(n => s"$n[$tag]")
+      try {
+        spark.conf.set(bKey, "-1")
+        val noBroadcast = sweep("no-broadcast")
+        spark.conf.set(bKey, b0)
+        spark.conf.set(pKey, "7")
+        noBroadcast ++ sweep("partitions=7")
+      } finally { spark.conf.set(bKey, b0); spark.conf.set(pKey, p0) }
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.size} stats-sensitive queries are layout-dependent at " +
+        s"sf0.01: ${diffs.mkString(", ")}")
+  }
+
   test("every SparkEntry query returns identical rows in reliable-" +
     "checkpoint mode (spark.graft.checkpointDir set)") {
     // CheckpointsSpec proves representative call sites engage the knob;
