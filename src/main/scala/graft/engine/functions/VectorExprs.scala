@@ -180,6 +180,49 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** IVF assignment encodings: for each of the C centroids in the
+    * row-major flattened matrix `m` (C·dim doubles, dim = v.length),
+    * the sortable-BIGINT rank key
+    * `(round(dot(v, m_k)·1e6) + 4e9)·1e5 + (C−1−k)`, returned SORTED
+    * ascending — bit-identical to the columnar spelling
+    * `array_sort(array(round(graft_dot(v, cent_k)·1e6, 0).cast(long)
+    * + 4e9)·1e5 + (C−1−k), …))` that it replaces (IvfEncsSpec proves
+    * equality by fuzz at C ≥ 1000). The columnar form builds C literal
+    * columns: plan- and codegen-hostile once C reaches the thousands
+    * (analyzer cost per column; the generated consume() method passes
+    * the 64 KB JIT limit → interpreted fallback). Here the whole
+    * matrix is ONE literal and the loop is a single static call that
+    * stays inside whole-stage codegen at any C up to the encoding's
+    * 10⁵ cap.
+    *
+    * Rounding matches Spark's `round(x, 0)` on DoubleType exactly:
+    * BigDecimal.valueOf(x).setScale(0, HALF_UP), then the double→long
+    * cast truncation. CONTRACT: non-null double arrays,
+    * m.length == C·v.length (fails loudly otherwise, like matvec). */
+  def ivfEncs(v: ArrayData, m: ArrayData): ArrayData = {
+    val x = v.toDoubleArray()
+    val w = m.toDoubleArray()
+    val dim = x.length
+    require(dim > 0 && w.length % dim == 0,
+      s"graft_ivf_encs: matrix has ${w.length} elements, not a " +
+        s"multiple of dim = $dim")
+    val c = w.length / dim
+    val out = new Array[Long](c)
+    var k = 0
+    while (k < c) {
+      var s = 0.0
+      var j = 0
+      val base = k * dim
+      while (j < dim) { s += x(j) * w(base + j); j += 1 }
+      val r = java.math.BigDecimal.valueOf(s * 1000000d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      out(k) = (r + 4000000000L) * 100000L + (c - 1 - k).toLong
+      k += 1
+    }
+    java.util.Arrays.sort(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sliding-window token hashes: for each position i in 0..n−k, the
     * [[polyHash]] of `toks(i..i+k−1)` joined with a single space —
     * value-identical to
@@ -228,7 +271,8 @@ object VectorOps {
     val registry = spark.sessionState.functionRegistry
     val names = Seq("graft_dot", "graft_polyhash", "graft_l2",
       "graft_morton", "graft_matvec", "graft_winhash", "graft_simhash",
-      "graft_tokens", "graft_bloom_agg", "graft_might_contain")
+      "graft_tokens", "graft_bloom_agg", "graft_might_contain",
+      "graft_ivf_encs")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -247,6 +291,8 @@ object VectorOps {
       exprs => SimHash32(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_tokens",
       exprs => Tokenize(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_ivf_encs",
+      exprs => IvfEncs(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -308,6 +354,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[Tokenize].getName, "graft_tokens"),
       (exprs: Seq[Expression]) => Tokenize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_ivf_encs"),
+      new ExpressionInfo(classOf[IvfEncs].getName, "graft_ivf_encs"),
+      (exprs: Seq[Expression]) => IvfEncs(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -429,6 +478,28 @@ case class WindowHash(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WindowHash =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd IVF assignment encoding ([[VectorOps.ivfEncs]]): the whole
+  * centroid matrix rides as one literal, so the N·C assignment pass is
+  * a single codegen'd static call per row regardless of C. */
+case class IvfEncs(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any, m: Any): Any =
+    VectorOps.ivfEncs(v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, m) =>
+      s"graft.engine.functions.VectorOps.ivfEncs($v, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfEncs =
     copy(left = newLeft, right = newRight)
 }
 

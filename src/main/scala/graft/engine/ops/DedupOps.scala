@@ -381,11 +381,13 @@ object DedupOps {
     * BIGINT so both engines sort identical integers (centroid id in
     * the low 5 decimal digits → supports C < 10⁵).
     *
-    * Centroid literals are built as [[typedLit]] columns, never as a
-    * parsed SQL string: with C ~ dozens of 64-dim centroids the string
-    * form is tens of KB of parser+analyzer work per plan build — the
-    * round-9 bench drift (4.3 s on a 2,000-row input) was exactly this
-    * fixed cost, not data work. */
+    * The centroid matrix rides as ONE [[typedLit]] array literal into
+    * the native `graft_ivf_encs` kernel, never as a parsed SQL string
+    * (with C ~ dozens of 64-dim centroids the string form is tens of
+    * KB of parser+analyzer work per plan build — the round-9 bench
+    * drift, 4.3 s on a 2,000-row input, was exactly this fixed cost)
+    * and never as C per-centroid columns (plan- and codegen-hostile
+    * once C reaches the thousands; see [[graft.engine.functions.VectorOps.ivfEncs]]). */
   /** The IVF-bounded assignment frame shared by [[dedupEmbed]] and
     * SimOps.simKnnGraph: every vector with (v, nrm) carried, exploded
     * to its top-[[EmbedProbes]] centroid buckets, buckets over
@@ -414,10 +416,15 @@ object DedupOps {
     // wrong centroid id on BOTH engines identically — a recall loss,
     // not a divergence; see also [[embedCentroidCount]]'s C < 10⁵
     // constraint from the same 5-digit packing.
-    val encCols = cents.zipWithIndex.map { case (c, k) =>
-      (round(call_function("graft_dot", $"v", typedLit(c)) * 1000000d, 0)
-        .cast("long") + 4000000000L) * 100000L + lit((C - 1 - k).toLong)
-    }
+    //
+    // The whole encode runs in graft_ivf_encs — matrix as ONE
+    // row-major literal, one codegen'd static call per row. The
+    // per-centroid columnar spelling (C `round(graft_dot(v, cent_k)…)`
+    // literal columns under array_sort) is bit-identical (IvfEncsSpec
+    // fuzzes equality at C ≥ 1000) but breaks down in the analyzer and
+    // past the 64 KB JIT limit around C ~ thousands, far below the
+    // encoding's 10⁵ cap.
+    val flatCents: Seq[Double] = cents.toSeq.flatten
     // SimOps.vecs: the one shared vector-prep (identical fold order is
     // what keeps every embedding oracle cross-engine exact); checkpoint
     // so the join doesn't re-cast 64 floats per CANDIDATE (projection
@@ -440,7 +447,8 @@ object DedupOps {
     // so the cid equi-join shuffles far less than joining candidate
     // pairs back to their vectors would
     val assigned = ve
-      .withColumn("encs", array_sort(array(encCols: _*)))
+      .withColumn("encs",
+        call_function("graft_ivf_encs", $"v", typedLit(flatCents)))
       .select($"vec_id", $"v", $"nrm", explode(probes).as("cid"))
     // bucket guard: ≤C rows of (cid, count) → broadcast semi filter;
     // buckets over EmbedMaxBucket are dropped from candidate
