@@ -195,10 +195,17 @@ object VectorOps {
     * stays inside whole-stage codegen at any C up to the encoding's
     * 10⁵ cap.
     *
-    * Rounding matches Spark's `round(x, 0)` on DoubleType exactly:
-    * BigDecimal.valueOf(x).setScale(0, HALF_UP), then the double→long
-    * cast truncation. CONTRACT: non-null double arrays,
-    * m.length == C·v.length (fails loudly otherwise, like matvec). */
+    * Rounding matches Spark's `round(x, 0)` on DoubleType exactly for
+    * FINITE dots: BigDecimal.valueOf(x).setScale(0, HALF_UP), then the
+    * double→long cast truncation. CONTRACT: non-null double arrays,
+    * m.length == C·v.length, finite dot products — all violations fail
+    * loudly, like matvec. A non-finite dot (a zero-norm centroid
+    * normalized to NaN, an Inf input) is rejected with a named error
+    * rather than mirroring the columnar form's behavior there (Spark's
+    * round passes NaN/Inf through and the ANSI long cast then throws
+    * its own classified error; non-ANSI would silently encode 0 — a
+    * wrong centroid id — which is exactly what this guard refuses to
+    * reproduce). */
   def ivfEncs(v: ArrayData, m: ArrayData): ArrayData = {
     val x = v.toDoubleArray()
     val w = m.toDoubleArray()
@@ -214,6 +221,10 @@ object VectorOps {
       var j = 0
       val base = k * dim
       while (j < dim) { s += x(j) * w(base + j); j += 1 }
+      if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s))
+        throw new IllegalArgumentException(
+          s"graft_ivf_encs: non-finite dot product at centroid $k " +
+            "(zero-norm centroid or non-finite input vector)")
       val r = java.math.BigDecimal.valueOf(s * 1000000d)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
       out(k) = (r + 4000000000L) * 100000L + (c - 1 - k).toLong

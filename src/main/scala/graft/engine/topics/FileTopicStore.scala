@@ -379,6 +379,15 @@ class FileTopicStore(
     // rejected earlier: it collapsed distinct un-keyed rows whenever
     // partition/offset were NULL (concat_ws skips NULLs) — violating
     // "un-keyed records have no identity to compact under".
+    //
+    // CONTRACT: consume the returned frame promptly. The pinned
+    // listing is append-safe but NOT compaction-safe — a log
+    // compaction ([[compact]]/the dirty-ratio policy) REWRITES files,
+    // and an action on a frame held across one fails loudly on the
+    // missing files (ignoreMissingFiles is off; never silently
+    // wrong). Every engine caller collects within the same call
+    // chain; a caller that must hold results across maintenance
+    // should persist or collect them first.
     val raw = spark.read.schema(FileTopicStore.schema).json(dir(topic).toString)
     graft.engine.cdc.Transforms.lastStatePerKey(Seq("key"), Seq("offset"))(
         raw.filter(col("key").isNotNull))

@@ -83,6 +83,18 @@ class IvfEncsSpec extends AnyFunSuite {
       s"graft_ivf_encs must sit in a starred (codegen'd) Project; plan:\n$plan")
   }
 
+  test("a non-finite dot product (zero-norm centroid → NaN) fails loudly " +
+    "with a named error, never a silently wrong centroid id") {
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+      .withColumn("encs",
+        call_function("graft_ivf_encs", $"v",
+          typedLit(Seq(Double.NaN, Double.NaN))))
+    val e = intercept[Exception] { df.collect() }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("non-finite dot product"))))
+  }
+
   test("a matrix whose length is not a multiple of dim fails loudly") {
     val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
       .withColumn("encs",

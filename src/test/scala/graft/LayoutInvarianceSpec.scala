@@ -26,6 +26,11 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     "shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"
     val diffs = SparkTest.confLock.synchronized {
+      baseline // FORCE under the default conf, BEFORE mutating it: a
+      // lazy val first touched inside the sweep would be computed with
+      // the alternate conf already set, turning the whole test into a
+      // self-comparison that can never fail (exactly the vacuity this
+      // suite exists to rule out)
       val saved = spark.conf.get(key)
       spark.conf.set(key, "7")
       try names.filter { n =>
@@ -47,6 +52,7 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     // on it.
     val key = "spark.sql.adaptive.enabled"
     val diffs = SparkTest.confLock.synchronized {
+      baseline // force under default conf before mutating (see above)
       val saved = spark.conf.get(key)
       spark.conf.set(key, "false")
       try names.filter { n =>
@@ -83,6 +89,7 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     "broadcast joins disabled (forced SMJ) and under a different " +
     "shuffle-partition count") {
     val diffs = SparkTest.confLock.synchronized {
+      baselineSf2 // force under default conf before mutating (see above)
       val bKey = "spark.sql.autoBroadcastJoinThreshold"
       val pKey = "spark.sql.shuffle.partitions"
       val (b0, p0) = (spark.conf.get(bKey), spark.conf.get(pKey))
@@ -113,6 +120,7 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     // spot-checked.
     import graft.engine.ops.Checkpoints
     val diffs = SparkTest.confLock.synchronized {
+      baseline // force under default conf before mutating (see above)
       val dir = java.nio.file.Files.createTempDirectory("graft-reliable-sweep")
       spark.conf.set(Checkpoints.DirKey, dir.toString)
       try {
