@@ -37,8 +37,17 @@ object FunnelState {
 
   /** Full-precision epoch microseconds of a Timestamp (getTime alone
     * truncates to millis — the batch twin compares in µs). */
-  def micros(ts: Timestamp): Long =
-    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+  def micros(ts: Timestamp): Long = EventTime.micros(ts)
+
+  /** Fold order at EQUAL microseconds: a stage's dependency first.
+    * The batch twin's conditions are purely time-based (`view.ts >=
+    * t1` qualifies AT equality), but the slots here are write-once —
+    * a view folded before its same-µs click would be discarded with
+    * t1 still unset and the funnel stuck a stage short of the batch
+    * result. Ordering click < view < purchase at equal time makes the
+    * greedy fold reach exactly the batch depths. */
+  private val StagePrio =
+    Map("click" -> 0, "view" -> 1, "purchase" -> 2).withDefaultValue(3)
 
   class Processor extends StatefulProcessor[Long, Ev, Funnel] {
     @transient private var stages: ValueState[Stages] = _
@@ -51,7 +60,8 @@ object FunnelState {
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[Funnel] = {
       var s = if (stages.exists()) stages.get() else Stages(-1L, -1L, -1L)
-      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+      rows.toSeq.sortBy(e =>
+        (micros(e.ts), StagePrio(e.event_type), e.event_id)).foreach { e =>
         val t = micros(e.ts)
         e.event_type match {
           case "click" if s.t1 < 0 => s = s.copy(t1 = t)

@@ -31,7 +31,10 @@ object StatefulStreaks {
   def update(userId: Long, events: Iterator[StreakEvent],
       state: GroupState[StreakState]): UserStreak = {
     var st = state.getOption.getOrElse(StreakState(null, 0, 0))
-    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    // full-µs sort key: getTime truncates to millis, and the batch twin
+    // orders by full-precision ts — same-millisecond events of different
+    // types would fold in a different order and change the streak
+    events.toSeq.sortBy(e => (EventTime.micros(e.ts), e.event_id)).foreach { e =>
       val cur = if (e.event_type == st.last) st.cur + 1 else 1
       st = StreakState(e.event_type, cur, math.max(st.best, cur))
     }

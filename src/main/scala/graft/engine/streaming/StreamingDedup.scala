@@ -10,10 +10,19 @@ import org.apache.spark.sql.Dataset
   *
   * Two variants with an explicit state/semantics trade:
   *
-  *  - [[firstArrivals]]: `dropDuplicates` on the stream — EXACT global
-  *    first-arrival semantics, state grows with the key domain and is
-  *    never evicted. Right when the key space is bounded (users ×
-  *    types here); at 100 TB of unbounded keys it is the variant that
+  *  - [[firstArrivals]]: `dropDuplicates` on the stream — first
+  *    ARRIVAL per key wins, state grows with the key domain and is
+  *    never evicted. "First" is defined by per-key arrival order:
+  *    exact whenever each key's events reach the stream in (ts,
+  *    event_id) order — precisely the guarantee of a keyed topic
+  *    source (a key lives in ONE topic partition, per-key ordered,
+  *    and a shuffle preserves each mapper's row order per reducer).
+  *    On a source whose partitions interleave one key's events,
+  *    which row of an intra-batch tie survives is arrival-
+  *    nondeterministic — match the batch twin's `min_by(struct(ts,
+  *    event_id))` there by ordering the source, not by trusting the
+  *    operator. Right when the key space is bounded (users × types
+  *    here); at 100 TB of unbounded keys it is the variant that
   *    OOMs, which is why Spark added the bounded form.
   *  - [[firstArrivalsBounded]]: `dropDuplicatesWithinWatermark` —
   *    state for a key is dropped once the watermark passes its event

@@ -38,8 +38,7 @@ object StreamingEwma {
   /** Frame width — matches the batch query's current + 7 lags. */
   val K: Int = graft.engine.ops.Relational7.EwmaK
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  private def micros(ts: Timestamp): Long = EventTime.micros(ts)
 
   def update(userId: Long, events: Iterator[EwmaEvent],
       state: GroupState[Ring]): Iterator[Smoothed] = {

@@ -32,8 +32,7 @@ object StreamingMedian {
   /** Frame width — matches the batch query's 6 preceding + current. */
   val K: Int = graft.engine.ops.Relational8.MedianK
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  private def micros(ts: Timestamp): Long = EventTime.micros(ts)
 
   def update(userId: Long, events: Iterator[MedEvent],
       state: GroupState[Ring]): Iterator[Med] = {

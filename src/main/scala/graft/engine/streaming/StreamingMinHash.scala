@@ -14,9 +14,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State is keyed by BAND BUCKET (`flatMapGroupsWithState`): each
   * bucket holds the compact signatures (16 longs/doc) of its member
   * docs — never shingle sets or text. Memory is O(corpus × bands)
-  * signatures; in production the state rides RocksDB beyond heap, and
-  * a state TTL (GroupStateTimeout) turns it into "dedup against the
-  * trailing window" when the corpus is unbounded. The estimated
+  * signatures, each bucket bounded by the [[MaxBand]] admission cap
+  * (see [[BandedBuckets]]); in production the state rides RocksDB
+  * beyond heap, and a state TTL (GroupStateTimeout) turns it into
+  * "dedup against the trailing window" when the corpus is unbounded. The estimated
   * similarity is `matches/16` over the FULL signature — the standard
   * MinHash Jaccard estimator; candidates feed the same exact verify
   * as the batch operator when shingle storage is available.
@@ -39,27 +40,29 @@ object StreamingMinHash {
   def bandKeys(sig: Seq[Long]): Seq[String] =
     (0 until 4).map(b => s"$b:${sig.slice(b * 4, b * 4 + 4).mkString("_")}")
 
-  /** One bucket's transition: new members pair against every stored
-    * member, then join the stored set. Docs fold in doc_id order for
-    * deterministic intra-batch behavior; re-deliveries are ignored
-    * (doc_id is the identity). */
+  /** Admission cap per band bucket — the same bound (and the same
+    * argument) as the batch simhash family's
+    * [[graft.engine.ops.DedupOps.SimhashMaxBand]]: a bucket this hot
+    * is a degenerate signature (boilerplate shingles), and C(n,2)
+    * candidate pairs from one bucket would dominate all useful work.
+    * Inert on the spec corpus (largest bucket ≪ cap — asserted there,
+    * which is what keeps the spec's uncapped oracle exact). */
+  val MaxBand: Long = graft.engine.ops.DedupOps.SimhashMaxBand
+
+  /** One bucket's transition — the shared [[BandedBuckets]] fold with
+    * the full-signature match count as the pair payload. */
   def update(key: String, msgs: Iterator[BandMsg],
-      state: GroupState[Seq[DocSig]]): Iterator[CandPair] = {
-    var seen = state.getOption.getOrElse(Seq.empty)
-    val out = List.newBuilder[CandPair]
-    msgs.toSeq.sortBy(_.doc_id).foreach { m =>
-      if (!seen.exists(_.doc_id == m.doc_id)) {
-        seen.foreach { o =>
-          val matches = o.sig.zip(m.sig).count { case (a, b) => a == b }
-          out += (if (o.doc_id < m.doc_id) CandPair(o.doc_id, m.doc_id, matches)
-                  else CandPair(m.doc_id, o.doc_id, matches))
-        }
-        seen :+= DocSig(m.doc_id, m.sig)
-      }
-    }
-    state.update(seen)
-    out.result().iterator
-  }
+      state: GroupState[Seq[DocSig]]): Iterator[CandPair] =
+    BandedBuckets.fold[DocSig, CandPair](
+      state,
+      msgs.map(m => DocSig(m.doc_id, m.sig)),
+      _.doc_id,
+      MaxBand,
+      (o, m) => {
+        val matches = o.sig.zip(m.sig).count { case (a, b) => a == b }
+        Some(if (o.doc_id < m.doc_id) CandPair(o.doc_id, m.doc_id, matches)
+             else CandPair(m.doc_id, o.doc_id, matches))
+      })
 
   /** Wire the detector over a (streaming) signature Dataset. A pair
     * sharing k bands emits k times with the same `matches` — distinct

@@ -36,8 +36,7 @@ object StreamingSessionize {
   /** Same 24 h silence threshold as the batch query. */
   val GapUs: Long = 86400000000L
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  private def micros(ts: Timestamp): Long = EventTime.micros(ts)
 
   private def closed(userId: Long, st: SessState): Session =
     Session(userId, st.sessId, st.n, st.startUs, st.lastUs,
@@ -69,9 +68,26 @@ object StreamingSessionize {
       // deadline rounds UP to the millisecond: flooring (lastUs+gap)/1000
       // would let the timeout fire up to 1 ms early, splitting a session
       // whose gap lands in (GapUs - 999us, GapUs] — diverging from the
-      // batch twin's strict `> GapUs` cut on sub-ms timestamps
+      // batch twin's strict `> GapUs` cut on sub-ms timestamps.
+      //
+      // CLAMPED to the watermark, as defense-in-depth: an admitted
+      // event with ts+gap behind the watermark would make
+      // setTimeoutTimestamp throw, fail the batch, and replay the same
+      // poison batch from the checkpoint forever (the loop
+      // ControlStream hardens against). Probed on Spark 4.1: this
+      // operator drops ALL rows older than the current watermark
+      // before update() runs (StreamingSessionizeSpec pins that —
+      // even under a 49 h single-batch watermark jump nothing older is
+      // admitted), so with gap > 0 every admitted event yields
+      // deadline ≥ watermark + gap and the clamp is inert today. It
+      // stays because the cost is one max() and the failure mode it
+      // rules out is an unrecoverable crash-loop if a future Spark
+      // admits late rows here (the documented contract leaves that
+      // open — "the watermark only drives timeouts").
       if (st.open)
-        state.setTimeoutTimestamp((st.lastUs + GapUs + 999L) / 1000L)
+        state.setTimeoutTimestamp(math.max(
+          (st.lastUs + GapUs + 999L) / 1000L,
+          state.getCurrentWatermarkMs() + 1L))
       out.iterator
     }
   }

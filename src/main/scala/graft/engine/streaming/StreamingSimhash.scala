@@ -44,30 +44,22 @@ object StreamingSimhash {
   def bandKeys(fp: Long): Seq[String] =
     (0 until 4).map(b => s"$b:${(fp >> (b * 8)) & 255}")
 
-  /** One bucket's transition: new members pair against every stored
-    * member (popcount verify inline), then join the stored set unless
-    * the bucket is at the admission cap. Docs fold in doc_id order
-    * for deterministic intra-batch behavior; re-deliveries are
-    * ignored (doc_id is the identity). */
+  /** One bucket's transition — the shared [[BandedBuckets]] fold with
+    * the inline popcount verify as the pair filter. */
   def update(key: String, msgs: Iterator[BandMsg],
-      state: GroupState[Seq[DocFp]]): Iterator[DupPair] = {
-    val cap = graft.engine.ops.DedupOps.SimhashMaxBand
-    var seen = state.getOption.getOrElse(Seq.empty)
-    val out = List.newBuilder[DupPair]
-    msgs.toSeq.sortBy(_.doc_id).foreach { m =>
-      if (!seen.exists(_.doc_id == m.doc_id) && seen.size < cap) {
-        seen.foreach { o =>
-          val h = java.lang.Long.bitCount(o.simhash ^ m.simhash)
-          if (h <= MaxHamming)
-            out += (if (o.doc_id < m.doc_id) DupPair(o.doc_id, m.doc_id, h)
-                    else DupPair(m.doc_id, o.doc_id, h))
-        }
-        seen :+= DocFp(m.doc_id, m.simhash)
-      }
-    }
-    state.update(seen)
-    out.result().iterator
-  }
+      state: GroupState[Seq[DocFp]]): Iterator[DupPair] =
+    BandedBuckets.fold[DocFp, DupPair](
+      state,
+      msgs.map(m => DocFp(m.doc_id, m.simhash)),
+      _.doc_id,
+      graft.engine.ops.DedupOps.SimhashMaxBand,
+      (o, m) => {
+        val h = java.lang.Long.bitCount(o.simhash ^ m.simhash)
+        if (h <= MaxHamming)
+          Some(if (o.doc_id < m.doc_id) DupPair(o.doc_id, m.doc_id, h)
+               else DupPair(m.doc_id, o.doc_id, h))
+        else None
+      })
 
   /** Wire the detector over a (streaming) fingerprint Dataset. A pair
     * agreeing on k bands emits k times with the same distance —

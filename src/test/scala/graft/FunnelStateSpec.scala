@@ -67,6 +67,42 @@ class FunnelStateSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"funnel mismatch: ${diff.take(5)}")
   }
 
+  test("equal-microsecond stages fold dependency-first: a same-ts " +
+    "click/view/purchase reaches depth 3, like the batch query") {
+    import spark.implicits._
+    // the batch window conditions qualify at ts EQUALITY (view.ts >= t1);
+    // the write-once slots only match that if the fold orders a stage's
+    // dependency first at equal µs — by event_id alone the view (id 3)
+    // would fold before the click (id 5) and be discarded forever
+    val t = new java.sql.Timestamp(1755000000000L)
+    val evs = Seq(
+      Ev(1L, "view", t, 3L),
+      Ev(1L, "purchase", t, 9L),
+      Ev(1L, "click", t, 5L))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    SparkTest.confLock.synchronized {
+      val prior = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[Ev]
+        val q = FunnelState.funnel(input.toDS())
+          .writeStream.outputMode("update")
+          .format("memory").queryName("funnel_tie").start()
+        try { input.addData(evs); q.processAllAvailable() } finally q.stop()
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+    val depth = spark.sql("SELECT max(depth) FROM funnel_tie")
+      .collect()(0).getInt(0)
+    assert(depth == 3, "same-ts stages must chain to full depth")
+  }
+
   test("funnel state survives a query restart from the checkpoint") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.engine.streaming.StatefulStreaks
-import graft.engine.streaming.StatefulStreaks.StreakEvent
+import graft.engine.streaming.StatefulStreaks.{StreakEvent, StreakState}
 
 /** mapGroupsWithState custom keyed state on a LIVE stream, fed the
   * driver testdata in two micro-batches (state must carry across the
@@ -21,7 +21,7 @@ class StatefulStreaksSpec extends AnyFunSuite {
       .select($"user_id", $"event_type", $"ts", $"event_id")
       .as[StreakEvent]
       .collect()
-      .sortBy(e => (e.ts.getTime, e.event_id)) // stream arrival = event time
+      .sortBy(e => (graft.engine.streaming.EventTime.micros(e.ts), e.event_id)) // stream arrival = event time
     assert(events.length > 100, "testdata sanity")
     val (batch1, batch2) = events.splitAt(events.length / 2)
 
@@ -60,7 +60,7 @@ class StatefulStreaksSpec extends AnyFunSuite {
       .select($"user_id", $"event_type", $"ts", $"event_id")
       .as[StreakEvent]
       .collect()
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (graft.engine.streaming.EventTime.micros(e.ts), e.event_id))
       .take(400)
     val batch = graft.engine.ops.StreamOps.streamState(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
@@ -69,7 +69,7 @@ class StatefulStreaksSpec extends AnyFunSuite {
     // the 400-row prefix may split a user's history differently than the
     // full corpus — recompute the reference over exactly these rows
     val ref = events.groupBy(_.user_id).map { case (u, es) =>
-      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = es.sortBy(e => (graft.engine.streaming.EventTime.micros(e.ts), e.event_id))
       var best = 0; var cur = 0; var prev: Option[String] = None
       sorted.foreach { e =>
         cur = if (prev.contains(e.event_type)) cur + 1 else 1
@@ -102,5 +102,29 @@ class StatefulStreaksSpec extends AnyFunSuite {
       })
     assert(res.passed, res.status.toString)
     assert(expected.nonEmpty) // corpus sanity: the fuzz covered real users
+  }
+
+  test("same-millisecond events fold in full-microsecond order, not " +
+    "getTime order (batch twin orders by full-precision ts)") {
+    import java.sql.Timestamp
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def ts(ms: Long, us: Int) = {
+      val t = new Timestamp(ms); t.setNanos(us * 1000); t
+    }
+    // micros order: a(+100µs), b(+200µs), a(+300µs) → longest streak 1.
+    // A getTime-based key ties all three at the same millisecond and
+    // falls back to event_id — a(3), a(7), b(9) → longest 2, diverging
+    // from the batch query's full-precision ordering.
+    val events = Seq(
+      StreakEvent(1L, "a", ts(1000L, 100), 7L),
+      StreakEvent(1L, "b", ts(1000L, 200), 9L),
+      StreakEvent(1L, "a", ts(1000L, 300), 3L))
+    val state = TestGroupState.create[StreakState](
+      Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long], hasTimedOut = false)
+    val res = StatefulStreaks.update(1L, events.iterator, state)
+    assert(res.longest == 1,
+      "same-ms events must fold by full µs, like the batch twin")
   }
 }

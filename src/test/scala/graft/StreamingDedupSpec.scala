@@ -20,7 +20,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     graft.engine.Tables.events(spark, sf)
       .select($"user_id", $"event_type", $"ts", $"event_id")
       .as[Ev].collect()
-      .sortBy(e => (e.ts.getTime, e.event_id)) // stream arrival = event time
+      .sortBy(e => (graft.engine.streaming.EventTime.micros(e.ts), e.event_id)) // stream arrival = event time
   }
 
   test("live dropDuplicates across a batch boundary equals the batch " +

@@ -23,7 +23,7 @@ class StreamingEwmaSpec extends AnyFunSuite {
         "CAST(floor(value * 1000) AS BIGINT) AS v_mu")
       .as[EwmaEvent]
       .collect()
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (graft.engine.streaming.EventTime.micros(e.ts), e.event_id))
     assert(events.length > 100, "testdata sanity")
     val third = events.length / 3
     val batches = Seq(

@@ -60,6 +60,33 @@ class StreamingMinHashSpec extends AnyFunSuite {
       "streaming bucket state must find exactly the batch LSH pairs")
     // sharing a band means those 4 positions agree
     assert(live.forall(_._3 >= 4))
+    // every band bucket must be under the admission cap here, so the
+    // uncapped oracle above is exact
+    val maxBucket = docs.flatMap(d => StreamingMinHash.bandKeys(d.sig))
+      .groupBy(identity).values.map(_.size).max
+    assert(maxBucket < StreamingMinHash.MaxBand,
+      "corpus bucket exceeds the cap — oracle would diverge")
+  }
+
+  test("the admission cap bounds a degenerate bucket: identical " +
+    "signatures stop pairing at the cap") {
+    import spark.implicits._
+    val cap = StreamingMinHash.MaxBand.toInt
+    val n = cap + 50
+    // identical signature -> all 4 bands collide for every doc;
+    // emitted pairs = C(cap, 2), never C(n, 2)
+    val sig = (1L to 16L).toSeq
+    val docs = (0L until n.toLong).map(DocSig(_, sig))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocSig]
+    val q = StreamingMinHash.candidates(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mh_cap").start()
+    try { input.addData(docs); q.processAllAvailable() } finally q.stop()
+    val pairs = spark.sql("SELECT DISTINCT doc_a, doc_b FROM mh_cap").count()
+    val expect = cap.toLong * (cap - 1) / 2
+    assert(pairs == expect,
+      s"expected C($cap,2)=$expect capped pairs, got $pairs")
   }
 
   test("candidate pairs estimate the similarity the batch verifier confirms") {

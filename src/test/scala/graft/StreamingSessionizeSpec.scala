@@ -26,7 +26,7 @@ class StreamingSessionizeSpec extends AnyFunSuite {
       .select($"user_id", $"ts", $"event_id")
       .as[SessEvent]
       .collect()
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (graft.engine.streaming.EventTime.micros(e.ts), e.event_id))
     assert(events.length > 100, "testdata sanity")
     val third = events.length / 3
     val batches = Seq(
@@ -71,5 +71,54 @@ class StreamingSessionizeSpec extends AnyFunSuite {
       .toSet
     assert(live == batch,
       s"live-only: ${(live -- batch).take(3)}; batch-only: ${(batch -- live).take(3)}")
+  }
+
+  test("late events are dropped BEFORE the state machine, even under a " +
+    "watermark jump — the poison-loop window does not open") {
+    // The hazard: an admitted event whose session deadline (ts + 24 h)
+    // lands behind the watermark would make setTimeoutTimestamp throw
+    // and the checkpoint replay the poison batch forever. This pins the
+    // Spark 4.1 semantics that close the window at the source — rows
+    // older than the current watermark never reach update(), even when
+    // a single batch jumps the watermark by 49 h (> the 24 h gap, the
+    // worst case for the deadline arithmetic: had the t0+10 h event
+    // been admitted, its t0+34 h deadline would sit 15 h behind the
+    // t0+49 h watermark). The engine's update() additionally clamps
+    // its timeout to watermark+1 as defense-in-depth should a future
+    // Spark admit late rows here.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000
+    val t0 = 1700000000000L
+    val input = MemoryStream[SessEvent]
+    val q = StreamingSessionize.sessions(
+        input.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.outputMode(StreamingSessionize.outputMode)
+      .format("memory").queryName("sess_backfill").start()
+    try {
+      input.addData(Seq(SessEvent(1L, new Timestamp(t0), 1L)))
+      q.processAllAvailable() // after this batch: watermark t0
+      // one batch JUMPS the watermark 49 h — more than the 24 h gap
+      input.addData(Seq(SessEvent(1L, new Timestamp(t0 + 49 * h), 2L)))
+      q.processAllAvailable()
+      // late events under the jumped watermark: inside the jump window
+      // (t0+10 h) and pre-t0 (backfill) — both must be dropped, not crash
+      input.addData(Seq(
+        SessEvent(2L, new Timestamp(t0 + 10 * h), 3L),
+        SessEvent(3L, new Timestamp(t0 - 5 * h), 4L)))
+      q.processAllAvailable()
+      assert(q.isActive, "query must survive the late events")
+      // flush everything via sentinel + one more advancing batch
+      input.addData(Seq(SessEvent(1L, new Timestamp(t0 + 120 * h), 5L)))
+      q.processAllAvailable()
+      input.addData(Seq(SessEvent(1L, new Timestamp(t0 + 121 * h), 6L)))
+      q.processAllAvailable()
+      val users = spark.sql(
+        "SELECT DISTINCT user_id FROM sess_backfill").collect()
+        .map(_.getLong(0)).toSet
+      assert(!users.contains(2L) && !users.contains(3L),
+        "late events must be dropped before the state machine, not sessionized")
+      assert(users.contains(1L), "on-time sessions still flush")
+    } finally q.stop()
   }
 }
