@@ -3,6 +3,8 @@ package graft.engine.topics
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -125,10 +127,14 @@ class FileTopicStore(
   def deleteWithRetry(topic: String, maxAttempts: Int = 10): Unit = {
     def attemptDelete(): Unit =
       try delete(topic) catch { case _: Exception => () } // poll-until-gone below
-    var attempt = 0
+    // exactly maxAttempts total (doc, error message and reference all
+    // say ≤ 10): attempt 1 immediate, retry n waits backoffMs(n-1) —
+    // so the first RETRY is also immediate (backoffMs(0) = 0), like
+    // the reference's curve
     attemptDelete()
+    var attempt = 1
     while (exists(topic) && attempt < maxAttempts) {
-      sleeper(FileTopicStore.backoffMs(attempt))
+      sleeper(FileTopicStore.backoffMs(attempt - 1))
       attemptDelete()
       attempt += 1
     }
@@ -163,11 +169,19 @@ class FileTopicStore(
   def append(topic: String, kv: DataFrame): Unit = {
     check("append", topic) // same injectable-fault point as appendV2
     if (!exists(topic)) create(topic)
-    // ONE scan serves both the offset bases and the dirty-ratio stats
-    // (the policy therefore sees the log as of the PREVIOUS append —
-    // one-append lag, in exchange for never scanning the topic twice)
-    val stats = topicStats(topic)
-    val bases: Map[Int, Long] = stats.bases
+    // With a dirty ratio configured, ONE scan serves both the offset
+    // bases and the dirty-ratio stats (the policy therefore sees the
+    // log as of the PREVIOUS append — one-append lag, in exchange for
+    // never scanning the topic twice). Without one — the default —
+    // the cheap max-only bases scan suffices: the full stats pass
+    // runs a countDistinct over the ENTIRE log, and paying a
+    // distinct-aggregation per append just to discard the counts
+    // makes append cost grow with log size for nothing (appendV2
+    // makes the same split).
+    val stats =
+      if (dirtyRatio.isDefined) Some(topicStats(topic)) else None
+    val bases: Map[Int, Long] = stats.map(_.bases).getOrElse(
+      graft.engine.sources.TopicLog.partitionBases(dir(topic).toString))
     val session = kv.sparkSession
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val seqCol =
@@ -202,7 +216,7 @@ class FileTopicStore(
     // dirty ratio = superseded keyed messages / keyed messages, from the
     // stats of the pre-append scan above (a production store keeps
     // running per-segment counters instead of scanning at all)
-    maybeCompact(topic, stats)
+    stats.foreach(maybeCompact(topic, _))
   }
 
   private case class TopicStats(
@@ -258,24 +272,72 @@ class FileTopicStore(
     * maintenance between streaming sessions, like Kafka's cleaner runs
     * outside the fetch path. */
   def compact(topic: String): Unit = {
-    val keyed = readCompacted(topic).filter(col("key").isNotNull)
-    val unkeyed = spark.read.schema(FileTopicStore.schema)
-      .json(dir(topic).toString).filter(col("key").isNull)
-    // fully distributed: the surviving frame is written straight to a
-    // temp dir (materializing it BEFORE the source is deleted — the
-    // write is an action), then the directories are swapped. No
-    // collect(): compaction works on topics larger than driver memory.
-    val tmp = Files.createTempDirectory(s"graft-compact-$topic")
-    keyed.unionByName(unkeyed)
+    // Stale artifacts of a compaction that DIED mid-flight (hidden by
+    // construction — dot-prefixed names are invisible to Spark's file
+    // listing, so they never polluted a read): clear them first.
+    locally {
+      val ls = Files.list(dir(topic))
+      try ls.filter(_.getFileName.toString.startsWith("."))
+        .forEach(p => Files.deleteIfExists(p))
+      finally ls.close()
+    }
+    // Old files to retire — captured up front. compact() runs under the
+    // store's single-writer contract (it is called from append() itself
+    // or as explicit maintenance), so no file appears between this
+    // listing and the survivor frame's.
+    val old: Seq[Path] = {
+      val ls = Files.list(dir(topic))
+      try ls.filter(_.toString.endsWith(".json"))
+        .iterator().asScala.toVector
+      finally ls.close()
+    }
+    // Survivor set from ONE pinned listing — readCompacted IS the
+    // survivor semantics (latest per key ∪ all un-keyed rows). Deriving
+    // the un-keyed half from a second spark.read would list the
+    // directory at a different instant and could tear the snapshot
+    // between the two halves.
+    val survivors = readCompacted(topic)
       .select(FileTopicStore.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // Stage the new log as a SIBLING under root: same filesystem, so
+    // every move below is an atomic rename — the former staging under
+    // java.io.tmpdir copied across volumes and, worse, deleted the
+    // live log BEFORE the copy, so a crash in between lost the topic
+    // entirely (the only copy stranded in /tmp where no restart looks).
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = Paths.get(root, s".compact-$topic-$nonce")
+    survivors
       .repartition(numPartitions.min(64), col("partition"))
       .write.mode("overwrite").json(tmp.toString)
-    deleteWithRetry(topic)
-    create(topic)
-    val ls = Files.list(tmp)
-    try ls.filter(_.toString.endsWith(".json"))
-      .forEach(p => Files.copy(p, dir(topic).resolve(p.getFileName)))
-    finally ls.close()
+    // Crash-safe swap, loss-free at EVERY point (the old log is intact
+    // until the new one is fully in place):
+    //  1) move the new files into the topic dir DOT-PREFIXED (atomic
+    //     renames; still invisible to readers — a crash here leaves
+    //     the old log exactly as it was, plus hidden garbage that the
+    //     next compact() clears);
+    //  2) flip each visible (atomic rename per file);
+    //  3) delete the old files.
+    // A crash inside 2) or 3) leaves old + new visible together:
+    // never a loss — keyed duplicates collapse on read (lastStatePerKey
+    // is a per-key max_by), and the next compact() restores the clean
+    // state. The residual anomaly is duplicated UN-KEYED rows in that
+    // crash window — engine topics are always keyed (control: table;
+    // seed: row key), and a production store compacts segment-by-
+    // segment behind a manifest precisely to close this last gap.
+    val staged: Seq[(Path, Path)] = {
+      val ls = Files.list(tmp)
+      try ls.filter(_.toString.endsWith(".json")).iterator().asScala
+        .toVector.zipWithIndex.map { case (p, i) =>
+          val hidden = dir(topic).resolve(s".compacted-$nonce-$i.json")
+          val visible = dir(topic).resolve(s"compacted-$nonce-$i.json")
+          Files.move(p, hidden, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          (hidden, visible)
+        }
+      finally ls.close()
+    }
+    staged.foreach { case (hidden, visible) =>
+      Files.move(hidden, visible, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    old.foreach(Files.deleteIfExists(_))
     val rm = Files.walk(tmp)
     try rm.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
     finally rm.close()

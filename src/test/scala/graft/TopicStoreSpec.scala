@@ -175,6 +175,68 @@ class TopicStoreSpec extends AnyFunSuite {
     assert(store.readAll("t").count() == 2)
   }
 
+  test("compaction's crash window is loss-free: old + compacted files " +
+    "visible together still read correctly, next compact() restores clean") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+    val store = new FileTopicStore(spark, root)
+    store.create("t")
+    store.append("t", Seq(("a", "1"), ("b", "1")).toDF("key", "value"))
+    store.append("t", Seq(("a", "2")).toDF("key", "value"))
+    val before = store.readCompacted("t")
+      .select(col("key"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // simulate the crash-between-flip-and-delete state the compact()
+    // comment documents: ALL old files still present, plus a complete
+    // visible compacted copy (duplicate rows, identical offsets)
+    val dirT = java.nio.file.Paths.get(root, "t")
+    val olds = {
+      val ls = java.nio.file.Files.list(dirT)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.filter(_.toString.endsWith(".json")).toVector
+      } finally ls.close()
+    }
+    olds.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p, dirT.resolve(s"compacted-crash-$i.json"))
+    }
+    // keyed duplicates collapse on read: same compacted view as before
+    val after = store.readCompacted("t")
+      .select(col("key"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == before, "duplicated files must not change the compacted view")
+    // the next compact() restores a clean, duplicate-free log
+    store.compact("t")
+    assert(store.readAll("t").count() == 2) // a→2, b→1, exactly once each
+    assert(store.readCompacted("t")
+      .select(col("key"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap == before)
+  }
+
+  test("hidden (dot-prefixed) staging files are invisible to reads and " +
+    "cleared by the next compact()") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-hidden").toString
+    val store = new FileTopicStore(spark, root)
+    store.create("t")
+    store.append("t", Seq(("a", "1")).toDF("key", "value"))
+    val n = store.readAll("t").count()
+    // a compaction that died in step 1 leaves dot-prefixed files behind
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "t", ".compacted-dead-0.json"),
+      """{"key":"zz","value":"GHOST","partition":0,"offset":99}""")
+    assert(store.readAll("t").count() == n,
+      "hidden staging files must never be read")
+    store.compact("t")
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(root, "t"))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(!ls.iterator().asScala.exists(_.getFileName.toString.startsWith(".")),
+        "stale staging files must be cleared by compact()")
+    } finally ls.close()
+    assert(store.readAll("t").count() == n)
+  }
+
   test("deleteWithRetry retries with backoff until gone, then can re-create") {
     val root = Files.createTempDirectory("graft-topics").toString
     val slept = scala.collection.mutable.Buffer[Long]()
