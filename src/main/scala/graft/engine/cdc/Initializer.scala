@@ -35,6 +35,15 @@ class Initializer(
       * `cdc.`-prefixed metadata columns + data columns, see
       * Transforms.seedRowToDmlMsg), or None when the table is unknown. */
     seedView: String => Option[DataFrame],
+    /** Post-seed cleanup hook: called with the CCD's table after EVERY
+      * [[initialize]], success or error — the engine's seat for the
+      * reference's finally-block drop of the server-side seed view
+      * (seed_store.clj: the view exists only while seeding runs). Wire
+      * [[JdbcSeedSource.release]] here when seed views come from a
+      * live database — without it every seed leaks a GRAFT_SEED_*
+      * view that blocks later DDL on the captured table. The parquet
+      * test views need no release, hence the no-op default. */
+    releaseSeed: String => Unit = _ => (),
     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
 
   import spark.implicits._
@@ -195,6 +204,10 @@ class Initializer(
       case e: Exception =>
         try plane.disableTrigger(ccd.table) catch { case _: Exception => () }
         out += stamp(ccd, Status.Error, error = Some(e.getMessage))
+    } finally {
+      // best-effort, reference-parity finally-drop: a failed release
+      // must not turn a successful seed into an error state
+      try releaseSeed(ccd.table) catch { case _: Exception => () }
     }
     out.result()
   }
@@ -203,13 +216,24 @@ class Initializer(
     * prepare, and — unless preparation failed — initialize. All
     * emitted states are published to the control topic and returned
     * (latest last). */
-  def process(ccd: Ccd): Seq[Ccd] = {
-    // at-least-once guard: a replayed submission (fresh checkpoint,
-    // restarted stream) for a CCD that already reached a terminal state
-    // must NOT re-run — prepare() clears the live queue (reference
-    // parity: the backlog scan resets the consumer offset past
-    // processed messages, initializer.clj:27-39)
-    if (currentStatus(ccd.table).exists(Status.terminal.contains)) return Seq.empty
+  def process(ccd: Ccd): Seq[Ccd] = process(ccd, recheck = true)
+
+  /** @param recheck when true, re-read the CCD's compacted status and
+    *   skip terminal states — the at-least-once guard for the
+    *   streaming path, where a replayed submission (fresh checkpoint,
+    *   restarted stream) must not re-run a finished lifecycle. The
+    *   backlog path passes false: [[backlog]] just computed exactly
+    *   these compacted states and filtered terminal ones, the
+    *   compaction keeps at most one entry per table, and sequential
+    *   processing only publishes the CURRENT table's states — so the
+    *   recheck there was a redundant full-topic read+compact job per
+    *   CCD (N+1 control-topic scans at startup). */
+  private[cdc] def process(ccd: Ccd, recheck: Boolean): Seq[Ccd] = {
+    // at-least-once guard (reference parity: the backlog scan resets
+    // the consumer offset past processed messages, initializer.clj:27-39);
+    // prepare() clears the live queue
+    if (recheck && currentStatus(ccd.table).exists(Status.terminal.contains))
+      return Seq.empty
     val states = checkCcd(ccd) match {
       case Some(err) =>
         Seq(stamp(ccd, Status.Error, error = Some(s"invalid specification: $err")))
@@ -236,7 +260,7 @@ class Initializer(
     * sequentially. Returns every emitted state, per input CCD. */
   def runBacklog(): Seq[(Ccd, Seq[Ccd])] = {
     if (!topics.exists(controlTopic)) topics.create(controlTopic)
-    backlog().map(c => c -> process(c))
+    backlog().map(c => c -> process(c, recheck = false))
   }
 }
 

@@ -99,6 +99,13 @@ class JdbcControlPlane(
     }
   }
 
+  /** Re-arms the trigger using the REGISTERED routing — deliberately
+    * reference-faithful (core.clj:84-87): ensure-trigger on an
+    * existing registration only disables, never re-creates, so a
+    * resubmission that names a DIFFERENT queue/queue-table re-arms
+    * the original routing while the new seed lands in the new topic.
+    * Operators changing a capture's routing must drop the old trigger
+    * registration first (the reference has the same contract). */
   def enableTrigger(table: String): Unit = {
     val (name, queue, queueTable0) = registryRow(table)
       .getOrElse(throw new IllegalStateException(s"no trigger for $table"))

@@ -125,18 +125,9 @@ private[sources] class TopicScan(dir: String, required: StructType,
     s"graft_topic dir=$dir, columns=[${required.fieldNames.mkString(",")}], " +
       s"pushed=[${pushed.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) Array.empty
-    else {
-      val ls = Files.list(p)
-      try ls.iterator().asScala
-        .filter(_.toString.endsWith(".json"))
-        .map(f => TopicFilePartition(f.toString): InputPartition)
-        .toArray
-      finally ls.close()
-    }
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    TopicLog.dataFiles(dir)
+      .map(f => TopicFilePartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TopicReaderFactory(required.fieldNames, pushed)
@@ -163,17 +154,20 @@ private[sources] class TopicMicroBatchStream(dir: String, columns: Array[String]
 
   private val mapper = new ObjectMapper()
 
-  private def listFiles(): Seq[String] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) Seq.empty
-    else {
-      val ls = Files.list(p)
-      try ls.iterator().asScala
-        .filter(_.toString.endsWith(".json"))
-        .map(_.toString).toSeq.sorted
-      finally ls.close()
-    }
-  }
+  /** Backlog files in APPEND order — (mtime, name), not bare name
+    * order: append files carry random-uuid names, so lexicographic
+    * admission under maxFilesPerTrigger could deliver a NEWER append's
+    * offsets before an older one's, and any consumer using the
+    * documented max-seen-offset redelivery guard (ControlStream.
+    * transitions) would permanently discard the older messages as
+    * presumed duplicates. mtime is the staging file's write time,
+    * preserved by the commit's atomic rename, so cross-append order
+    * holds; the name tiebreak pins same-millisecond commits (which can
+    * only be same-epoch tasks — disjoint topic-partitions, order-free). */
+  private def listFiles(): Seq[String] =
+    TopicLog.dataFiles(dir)
+      .map(f => (Files.getLastModifiedTime(Paths.get(f)).toMillis, f))
+      .sorted.map(_._2)
 
   override def initialOffset(): rstreaming.Offset = TopicStreamOffset(Seq.empty)
   override def latestOffset(): rstreaming.Offset = TopicStreamOffset(listFiles())
@@ -385,13 +379,34 @@ private[sources] class TopicWrite(dir: String, bases: Option[String] = None)
   * write, and nothing else — [[FileTopicStore]]'s richer stats scan
   * also needs dirty-ratio counts and stays separate. */
 private[engine] object TopicLog {
-  def nonEmpty(dir: String): Boolean = {
+  /** The one "data files of a topic dir" listing, shared by every V2
+    * read path and the store's emptiness checks: `*.json`, EXCLUDING
+    * dot-prefixed names. Hidden files are staging/compaction
+    * artifacts by convention (FileTopicStore.compact stages its
+    * crash-safe swap dot-prefixed; the V2 writer stages as
+    * `.staging-*`), and Spark's own InMemoryFileIndex hides them from
+    * the classic read paths — a V2 listing that matched bare
+    * `endsWith(".json")` would read a crashed compaction's staged
+    * copies as data (every surviving row delivered twice) and could
+    * open a hidden file mid-rename. Previously four call sites each
+    * re-implemented this filter, which is exactly how three of them
+    * missed the hidden-file rule at once. */
+  def dataFiles(dir: String): Seq[String] = {
     val p = Paths.get(dir)
-    Files.isDirectory(p) && {
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
       val ls = Files.list(p)
-      try ls.anyMatch(_.toString.endsWith(".json")) finally ls.close()
+      try ls.iterator().asScala
+        .filter { f =>
+          val name = f.getFileName.toString
+          name.endsWith(".json") && !name.startsWith(".")
+        }
+        .map(_.toString).toVector
+      finally ls.close()
     }
   }
+
+  def nonEmpty(dir: String): Boolean = dataFiles(dir).nonEmpty
 
   def partitionBases(dir: String): Map[Int, Long] = {
     if (!nonEmpty(dir)) Map.empty

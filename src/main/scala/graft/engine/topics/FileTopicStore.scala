@@ -252,10 +252,9 @@ class FileTopicStore(
     }
   }
 
-  private def hasFiles(topic: String): Boolean = {
-    val ls = Files.list(dir(topic))
-    try ls.anyMatch(_.toString.endsWith(".json")) finally ls.close()
-  }
+  // shared listing contract (excludes dot-prefixed staging artifacts)
+  private def hasFiles(topic: String): Boolean =
+    graft.engine.sources.TopicLog.nonEmpty(dir(topic).toString)
 
   /** Storage-side compaction: rewrite the log keeping only the latest
     * message per key (Kafka's background log cleaner, triggered
@@ -285,12 +284,9 @@ class FileTopicStore(
     // store's single-writer contract (it is called from append() itself
     // or as explicit maintenance), so no file appears between this
     // listing and the survivor frame's.
-    val old: Seq[Path] = {
-      val ls = Files.list(dir(topic))
-      try ls.filter(_.toString.endsWith(".json"))
-        .iterator().asScala.toVector
-      finally ls.close()
-    }
+    val old: Seq[Path] =
+      graft.engine.sources.TopicLog.dataFiles(dir(topic).toString)
+        .map(Paths.get(_))
     // Survivor set from ONE pinned listing — readCompacted IS the
     // survivor semantics (latest per key ∪ all un-keyed rows). Deriving
     // the un-keyed half from a second spark.read would list the

@@ -187,4 +187,32 @@ class InitializerSpec extends AnyFunSuite {
     assert(Identifiers.mqTable("schema.obj") == "mq_obj")
     intercept[IllegalArgumentException](Identifiers.splitTableRef("noschema"))
   }
+
+  test("releaseSeed fires after initialize on success AND on error, " +
+    "exactly once each (seed_store finally-drop parity)") {
+    val released = scala.collection.mutable.ArrayBuffer.empty[String]
+    val root = Files.createTempDirectory("graft-init-rel").toString
+    val store = new FileTopicStore(spark, root, sleeper = _ => ())
+    val plane = new InMemoryControlPlane()
+    val seedView = (table: String) =>
+      if (table == "tpch.nation")
+        Some(SeedViews.forTable(
+          spark.read.parquet(s"$sf/nation.parquet"), table, Seq("n_nationkey")))
+      else None
+    val init = new Initializer(spark, plane, store, "control", seedView,
+      releaseSeed = released += _,
+      now = () => new Timestamp(1700000001000L))
+    store.create("control")
+
+    val ok = init.process(ccd())
+    assert(ok.last.status == Status.Active)
+    assert(released.toSeq == Seq("tpch.nation"),
+      "the view must be released exactly once after a successful seed")
+
+    // error path: unknown table fails INSIDE initialize (post-prepare)
+    val bad = init.process(ccd(table = "tpch.missing", queue = "q_missing"))
+    assert(bad.last.status == Status.Error)
+    assert(released.toSeq == Seq("tpch.nation", "tpch.missing"),
+      "the view must be released on the error path too (finally-drop)")
+  }
 }
