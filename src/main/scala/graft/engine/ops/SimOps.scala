@@ -481,11 +481,21 @@ object SimOps {
     * so fusion is bit-stable cross-engine (the float spelling ties
     * unpredictably). ONE scored pass (localCheckpoint) feeds both
     * rankings; ranks come from integer floor-scaled scores with
-    * vec_id tie-breaks. The global rank windows are per-QUERY (the
-    * candidate pool at scale is the ANN probe result, not the corpus
-    * — here the whole corpus so the oracle can replay it). */
+    * vec_id tie-breaks.
+    *
+    * Rank recovery is BOUNDED — no un-partitioned rank window (that
+    * spelling moves the whole scored corpus to ONE task): each
+    * ranking's top-100 comes from `orderBy + limit` (per-task O(k)
+    * heaps, TakeOrderedAndProject), and because a row reaches the
+    * fused output only with rank ≤ 100 in at least one ordering, the
+    * ≤200-row union of the two top-100 lists contains every possible
+    * output row. The output reports EXACT GLOBAL ranks in both
+    * orderings — a survivor can rank 3rd by cosine and 5,000th by L2
+    * — so one broadcast pass over the checkpointed scored frame
+    * counts, per survivor, the rows ordering strictly before it
+    * (map-side partial aggregation to ≤200 groups; the corpus itself
+    * never shuffles and never lands in one task). */
   val simRrf: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val ve = vecs(s, d)
     val q = ve.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
     val scored = ve.filter($"vec_id" =!= 0)
@@ -495,11 +505,25 @@ object SimOps {
       .withColumn("l2_e6", floor(expr("graft_l2(v, qv)") * 1e6).cast("long"))
       .select($"vec_id", $"cos_e6", $"l2_e6")
       .transform(Checkpoints.cut) // one dot/l2 pass feeds both rankings
-    val wc = Window.orderBy($"cos_e6".desc, $"vec_id")
-    val wl = Window.orderBy($"l2_e6".asc, $"vec_id")
-    scored
-      .withColumn("rank_cos", row_number().over(wc))
-      .withColumn("rank_l2", row_number().over(wl))
+    val topCos = scored.orderBy($"cos_e6".desc, $"vec_id").limit(100)
+    val topL2 = scored.orderBy($"l2_e6".asc, $"vec_id").limit(100)
+    // exact duplicates (rows in both top-100s) collapse; ≤200 rows
+    val survivors = topCos.unionByName(topL2).distinct()
+    val sv = broadcast(survivors.select($"vec_id".as("s_id"),
+      $"cos_e6".as("s_cos"), $"l2_e6".as("s_l2")))
+    val ranked = scored.crossJoin(sv)
+      .groupBy($"s_id", $"s_cos", $"s_l2")
+      .agg(
+        sum(when($"cos_e6" > $"s_cos" ||
+          ($"cos_e6" === $"s_cos" && $"vec_id" < $"s_id"), 1L).otherwise(0L))
+          .as("before_cos"),
+        sum(when($"l2_e6" < $"s_l2" ||
+          ($"l2_e6" === $"s_l2" && $"vec_id" < $"s_id"), 1L).otherwise(0L))
+          .as("before_l2"))
+      .select($"s_id".as("vec_id"),
+        ($"before_cos" + 1L).cast("int").as("rank_cos"),
+        ($"before_l2" + 1L).cast("int").as("rank_l2"))
+    ranked
       .withColumn("rrf",
         when($"rank_cos" <= 100, expr("1000000000000L DIV (60 + rank_cos)"))
           .otherwise(0L)

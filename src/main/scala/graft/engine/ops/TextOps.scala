@@ -304,10 +304,18 @@ object TextOps {
     * always sum to exactly B). Pure integer arithmetic end to end:
     * floor via integral DIV, remainders compared as `B·tok mod total`
     * — never a float share, so the oracle is hash-exact. Shape:
-    * per-language aggregate (|langs| rows, control-plane-sized), one
-    * window rank over it — corpus touched once, map-side combined. */
+    * per-language aggregate (|langs| rows here; at scale the
+    * allocation key can be domain-sized), corpus touched once,
+    * map-side combined. The remainder rank is computed DISTRIBUTED
+    * via the zipWithIndex pattern ([[CdcOps.cdcProgress]]): range-
+    * partition by the rank order, rank within each partition, add
+    * the cumulative sizes of the preceding partitions — never an
+    * un-partitioned `Window.orderBy` (single-task at scale), and the
+    * under-spend total comes from an aggregate + broadcast, never
+    * `sum(...) OVER ()` (same single-task shape). */
   val mixBudgetAlloc: Q = (s, d) => {
     ensureRegistered(s)
+    import org.apache.spark.sql.expressions.Window
     val per = Tables.documents(s, d)
       .repartition($"doc_id")
       .select($"lang", size(tokens($"text")).cast("long").as("toks"))
@@ -316,17 +324,28 @@ object TextOps {
     // B·tokens runs in DECIMAL(38,0) (oracle: HUGEINT): a BIGINT
     // product overflows once a language holds > Long.Max/B ≈ 9.2e12
     // tokens — real at the 100 TB scale this op plans for
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(expr(
-        s"(CAST($MixBudget AS DECIMAL(38,0)) * tokens) % total").desc, $"lang")
-    per.crossJoin(broadcast(tot))
+    val ranged = per.crossJoin(broadcast(tot))
       .withColumn("base", expr(
         s"(CAST($MixBudget AS DECIMAL(38,0)) * tokens) DIV total"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("leftover", expr(
-        s"$MixBudget - sum(base) OVER ()"))
+      .withColumn("rem", expr(
+        s"(CAST($MixBudget AS DECIMAL(38,0)) * tokens) % total"))
+      .repartitionByRange($"rem".desc, $"lang")
+      .withColumn("pid", spark_partition_id())
+      .transform(Checkpoints.cut) // pin the sampled range boundaries
+    val sizes = ranged.groupBy($"pid")
+      .agg(count(lit(1)).as("cnt"), sum($"base").as("base_sum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val leftover = MixBudget - sizes.map(_._3).sum
+    val offsets = sizes.map(_._1).zip(
+      sizes.map(_._2).scanLeft(0L)(_ + _)).toMap // pid -> rows before it
+    val rk = row_number().over(
+      Window.partitionBy($"pid").orderBy($"rem".desc, $"lang"))
+      .cast("long") + element_at(typedLit(offsets), $"pid")
+    ranged
+      .withColumn("rk", rk)
       .select($"lang", $"tokens",
-        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
+        ($"base" + when($"rk" <= leftover, 1L).otherwise(0L)).as("alloc"))
       .orderBy($"lang")
   }
 

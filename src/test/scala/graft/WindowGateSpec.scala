@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
+
+import graft.engine.ops.SimOps
+
+/** Surface-wide gate against the single worst window shape at scale: a
+  * rank/analytic window with NO partition spec moves every input row to
+  * ONE task (Spark's own `WindowExec: No Partition Defined` warning) —
+  * correct at test SFs, a guaranteed straggler at 100×. `sim_rrf`
+  * shipped exactly that shape for seven rounds before round 12 replaced
+  * it with bounded top-k + survivor rank recovery; this gate makes the
+  * regression impossible to reintroduce anywhere in the inventory.
+  *
+  * Scope note: a `Checkpoints.cut` materializes its subtree during
+  * query CONSTRUCTION, so windows strictly below a cut are invisible
+  * here (they appear as a LogicalRDD). Every current cut input is
+  * narrow-column scoring with no window; new cuts keep the burden of
+  * that invariant.
+  */
+class WindowGateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no declared query plans an un-partitioned window") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val global = plan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+      }
+      if (global.isEmpty) None else Some(s"$name (${global.size})")
+    }
+    assert(offenders.isEmpty,
+      s"un-partitioned window(s) — single-task at scale; use partitionBy, " +
+        s"orderBy+limit (TakeOrderedAndProject), or the zipWithIndex " +
+        s"pattern: ${offenders.mkString(", ")}")
+  }
+
+  test("sim_rrf ranks via bounded TakeOrdered, not windows") {
+    val p = SimOps.simRrf(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 per ranking must be a per-task O(k) heap")
+    assert(!p.contains("Window"), s"sim_rrf must plan NO window at all:\n$p")
+  }
+
+  /** The per-qid rank ≤ k filters in the sim eval family hold the whole
+    * corpus per query inside one window partition UNLESS the optimizer
+    * pushes the limit into the shuffle (InferWindowGroupLimit): with
+    * the pushdown, each map task forwards only its local top-k per qid.
+    * That pushdown IS the family's scale contract — pin it in the plan
+    * (previously asserted only for sim_batch_topk's shape, which let
+    * the other three drift unguarded; VERDICT r11 item 5). */
+  test("sim eval family plans WindowGroupLimit (rank<=k pushed into the shuffle)") {
+    Seq(
+      "sim_batch_topk" -> SimOps.simBatchTopk,
+      "sim_recall" -> SimOps.simRecall,
+      "sim_matryoshka" -> SimOps.simMatryoshka,
+      "sim_knn_classify" -> SimOps.simKnnClassify,
+    ).foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: rank filter must push a WindowGroupLimit below the window")
+    }
+  }
+}
