@@ -22,52 +22,65 @@ object Bench {
     * methodology break instead of misreading it as a perf change.
     * History: rev 1 = `count()` action, best-of-2 (rounds ≤9);
     * rev 2 = full materialization via `toRdd.count()` (round 10);
-    * rev 3 = 3 passes, first discarded as warm-up, reported time =
-    * min(pass2, pass3) (round 11). Bump the rev on ANY change to
+    * rev 3 = 3 whole-inventory sweeps, first discarded as warm-up,
+    * reported time = min(pass2, pass3) (round 11);
+    * rev 4 = the 3 passes run CONSECUTIVELY PER QUERY, queries in
+    * sorted-name order (round 12). Bump the rev on ANY change to
     * what a per-query number means. */
   private val Methodology =
-    """"timing":"materialize","bench_rev":3"""
+    """"timing":"materialize","bench_rev":4"""
 
-  private final case class Timing(seconds: Double, failed: Boolean)
+  /** One timed pass of one query. Materializes EVERY output row via
+    * the query's own physical plan (toRdd), not count(): under count()
+    * Catalyst prunes the output projection and eliminates the
+    * presentation sort, so a map-only query's actual compute never
+    * runs — a 2.9 s interpreted fingerprint measured as 0.16 s in
+    * round 9, and any regression in a projected column is invisible.
+    * toRdd keeps the work on executors (no driver collect) while
+    * evaluating the full plan. */
+  private def timeOnce(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String,
+                       fn: (org.apache.spark.sql.SparkSession, String) =>
+                         org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val failed =
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); false }
+      catch { case scala.util.control.NonFatal(_) => true }
+    val secs = (System.nanoTime() - t0) / 1e9
+    // drop the checkpoint/cache blocks the query materialized, OUTSIDE
+    // its timed window: queries are independent jobs, and letting 248
+    // queries' localCheckpoint blocks accumulate in one session churns
+    // the storage pool until unrelated queries pay eviction + disk
+    // reads (round-4's sim_batch_topk 3.7x steady-state regression —
+    // byte-identical code, environmental cost)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.sharedState.cacheManager.clearCache()
+    (secs, failed)
+  }
 
-  private def timeAll(spark: org.apache.spark.sql.SparkSession,
-                      sfDir: String): Map[String, Timing] =
-    SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // materialize EVERY output row via the query's own physical plan
-      // (toRdd), not count(): under count() Catalyst prunes the output
-      // projection and eliminates the presentation sort, so a map-only
-      // query's actual compute never runs — a 2.9 s interpreted
-      // fingerprint measured as 0.16 s in round 9, and any regression
-      // in a projected column is invisible. toRdd keeps the work on
-      // executors (no driver collect) while evaluating the full plan.
-      val failed =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); false }
-        catch { case scala.util.control.NonFatal(_) => true }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // drop the checkpoint/cache blocks the query materialized, OUTSIDE
-      // its timed window: queries are independent jobs, and letting 176
-      // queries' localCheckpoint blocks accumulate in one session churns
-      // the storage pool until unrelated queries pay eviction + disk
-      // reads (round-4's sim_batch_topk 3.7x steady-state regression —
-      // byte-identical code, environmental cost)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.sharedState.cacheManager.clearCache()
-      name -> Timing(secs, failed)
-    }
-
-  /** Three passes per query; the FIRST pass is a warm-up and is
-    * DISCARDED from the reported time (recorded in `runs[0]` for
-    * triage): round-10's recorded pairs showed first-run spikes up to
-    * 11× (agg_corr 16.2 vs 1.4 s — JIT, codegen-compiler and
-    * storage-pool churn, not plan cost), so a best-of that includes
-    * pass 1 aliases JVM warm-up into per-query numbers. The reported
-    * time is min(pass2, pass3) — steady-state. The warm-up pass also
-    * absorbs genuine one-time layout builds (join_bucketed's bucketed
-    * table write happens on first call per SF dir), so that row times
-    * the exchange-free probe it exists to demonstrate; the build cost
+  /** Three CONSECUTIVE passes per query (rev 4), queries in
+    * sorted-name order; the FIRST pass is a warm-up and is DISCARDED
+    * from the reported time (recorded in `runs[0]` for triage):
+    * round-10's recorded pairs showed first-run spikes up to 11×
+    * (agg_corr 16.2 vs 1.4 s — JIT, codegen-compiler and storage-pool
+    * churn, not plan cost), so a best-of that includes pass 1 aliases
+    * JVM warm-up into per-query numbers. The reported time is
+    * min(pass2, pass3) — steady-state. The warm-up pass also absorbs
+    * genuine one-time layout builds (join_bucketed's bucketed table
+    * write happens on first call per SF dir), so that row times the
+    * exchange-free probe it exists to demonstrate; the build cost
     * stays visible as runs[0] − runs[1].
+    *
+    * Rev 3 ran the three passes as whole-INVENTORY sweeps, so by a
+    * query's pass 2 the JVM carried 248 queries of code-cache/heap
+    * churn — and for some queries later passes ran SLOWER than cold
+    * (r11: ts_acf 1.13 cold vs 4.88/6.21 "steady"; the "discard the
+    * warm-up" policy then reported the inflated number while the
+    * drift table, computed on min-of-all-runs, stayed empty).
+    * Consecutive per-query passes measure each query while its own
+    * JIT state is hot and make the headline and any drift comparison
+    * the same statistic by construction.
     *
     * All raw pass timings are kept per query — the variance record
     * that lets a per-query drift be triaged against run-to-run noise
@@ -75,16 +88,17 @@ object Bench {
     * round-9 dedup_embed each burned a round for lack of this). */
   private def bench(spark: org.apache.spark.sql.SparkSession, sfDir: String)
       : (Map[String, Double], List[String], Map[String, Seq[Double]]) = {
-    val passes = Seq(timeAll(spark, sfDir), timeAll(spark, sfDir),
-      timeAll(spark, sfDir))
-    val failed = passes.head.keys
-      .filter(k => passes.exists(_(k).failed)).toList.sorted
-    val ok = passes.head.keys.collect {
-      case k if !failed.contains(k) =>
-        k -> passes.tail.map(_(k).seconds).min
+    val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val passes = Seq.fill(3)(timeOnce(spark, sfDir, fn))
+      name -> passes
+    }
+    val failed = all.collect {
+      case (k, ps) if ps.exists(_._2) => k
+    }.toList.sorted
+    val ok = all.collect {
+      case (k, ps) if !ps.exists(_._2) => k -> ps.tail.map(_._1).min
     }.toMap
-    val runs = passes.head.keys
-      .map(k => k -> passes.map(_(k).seconds)).toMap
+    val runs = all.map { case (k, ps) => k -> ps.map(_._1) }.toMap
     (ok, failed, runs)
   }
 
@@ -190,10 +204,20 @@ object Bench {
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the
     // slowest queries until a ~1.4 KB budget is spent, count the rest under
     // "elided", and point at bench_out.json for the complete per-query map.
-    // Printed AFTER spark.stop(): shutdown logs several INFO/WARN lines of
-    // its own, and the JSON line must be the last thing in the captured
-    // stdout tail for the driver's parser to find it.
+    //
+    // The line must be the LAST line in the captured output for the
+    // driver's parser (parsed:null three rounds running otherwise), so
+    // everything that could print after it is silenced first: the root
+    // logger goes OFF before spark.stop() (stop + the JVM shutdown
+    // hooks log several INFO/WARN lines of their own — the
+    // ShutdownHookManager "Deleting directory" lines land after main
+    // returns), and build.sbt routes forked output unprefixed
+    // (StdoutOutput) with the "[success] ..." epilogue suppressed
+    // (showSuccess := false), which previously followed the JSON.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
     spark.stop()
     println(stdoutJson(results, failed, sfDir))
+    System.out.flush()
   }
 }

@@ -227,6 +227,16 @@ object VectorOps {
             "(zero-norm centroid or non-finite input vector)")
       val r = java.math.BigDecimal.valueOf(s * 1000000d)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      // finite but past the encoding's bias bound: (r + 4e9)·1e5 must
+      // stay a valid non-negative long, i.e. |dot| < ~4000 (|r| < 4e9).
+      // The columnar spelling this kernel claims bit-parity with would
+      // raise an ANSI cast error here; a silent toLong saturation (or
+      // multiply wrap) would instead encode a WRONG centroid id — fail
+      // as loudly as the non-finite case.
+      if (r <= -4000000000L || r >= 4000000000L)
+        throw new IllegalArgumentException(
+          s"graft_ivf_encs: dot product $s at centroid $k exceeds the " +
+            "|dot| < 4000 encoding bound (scaled |r| >= 4e9)")
       out(k) = (r + 4000000000L) * 100000L + (c - 1 - k).toLong
       k += 1
     }

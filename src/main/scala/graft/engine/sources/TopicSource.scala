@@ -162,12 +162,22 @@ private[sources] class TopicMicroBatchStream(dir: String, columns: Array[String]
     * transitions) would permanently discard the older messages as
     * presumed duplicates. mtime is the staging file's write time,
     * preserved by the commit's atomic rename, so cross-append order
-    * holds; the name tiebreak pins same-millisecond commits (which can
-    * only be same-epoch tasks — disjoint topic-partitions, order-free). */
+    * holds — compared at FULL FileTime precision (nanoseconds where
+    * the FS provides them), not truncated millis, so the name
+    * tiebreak only decides genuinely same-instant commits (which can
+    * only be same-epoch tasks — disjoint topic-partitions,
+    * order-free). A file can be retired by dirty-ratio compaction
+    * (which may run inside a concurrent append) between the listing
+    * and its stat — such a file's rows were re-written into the
+    * compacted log a reader would pick up instead, so it is dropped,
+    * not an error. */
   private def listFiles(): Seq[String] =
     TopicLog.dataFiles(dir)
-      .map(f => (Files.getLastModifiedTime(Paths.get(f)).toMillis, f))
-      .sorted.map(_._2)
+      .flatMap { f =>
+        try Some((Files.getLastModifiedTime(Paths.get(f)), f))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
+      .sortBy { case (t, f) => (t, f) }.map(_._2)
 
   override def initialOffset(): rstreaming.Offset = TopicStreamOffset(Seq.empty)
   override def latestOffset(): rstreaming.Offset = TopicStreamOffset(listFiles())
@@ -408,9 +418,15 @@ private[engine] object TopicLog {
 
   def nonEmpty(dir: String): Boolean = dataFiles(dir).nonEmpty
 
-  def partitionBases(dir: String): Map[Int, Long] = {
+  def partitionBases(dir: String,
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): Map[Int, Long] = {
+    // the default suits the V2 connector paths (driver-side inside a
+    // write, where `active` IS the writing session); FileTopicStore
+    // threads the DataFrame's own session so a multi-session JVM never
+    // computes offsets with a different session than performs the write
     if (!nonEmpty(dir)) Map.empty
-    else org.apache.spark.sql.SparkSession.active
+    else session
       .read.schema(FileTopicStore.schema).json(dir)
       .groupBy(org.apache.spark.sql.functions.col("partition"))
       .agg(org.apache.spark.sql.functions.max("offset"))

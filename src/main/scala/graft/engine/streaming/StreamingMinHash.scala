@@ -46,7 +46,17 @@ object StreamingMinHash {
     * is a degenerate signature (boilerplate shingles), and C(n,2)
     * candidate pairs from one bucket would dominate all useful work.
     * Inert on the spec corpus (largest bucket ≪ cap — asserted there,
-    * which is what keeps the spec's uncapped oracle exact). */
+    * which is what keeps the spec's uncapped oracle exact).
+    *
+    * Over-cap divergence from the batch twin is ASYMMETRIC, not just
+    * "stop admitting": the batch operator DROPS an over-cap bucket
+    * entirely (zero pairs from it), while this fold has already
+    * emitted C(cap, 2) pairs from the first `cap` members by the time
+    * the cap bites. Twin-comparison harnesses must therefore exclude
+    * the over-cap regime (as the spec corpus does by construction);
+    * in that regime the two operators trade recall differently by
+    * design — streaming favors the earliest-seen members, batch
+    * declares the whole bucket boilerplate. */
   val MaxBand: Long = graft.engine.ops.DedupOps.SimhashMaxBand
 
   /** One bucket's transition — the shared [[BandedBuckets]] fold with

@@ -181,7 +181,8 @@ class FileTopicStore(
     val stats =
       if (dirtyRatio.isDefined) Some(topicStats(topic)) else None
     val bases: Map[Int, Long] = stats.map(_.bases).getOrElse(
-      graft.engine.sources.TopicLog.partitionBases(dir(topic).toString))
+      graft.engine.sources.TopicLog.partitionBases(
+        dir(topic).toString, kv.sparkSession))
     val session = kv.sparkSession
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val seqCol =
@@ -330,9 +331,15 @@ class FileTopicStore(
         }
       finally ls.close()
     }
+    // injectable kill between the two crash windows (tests only; the
+    // default hook is inert): "compact-staged" = hidden staging moved
+    // in, old log untouched; "compact-flipped" = old + new visible
+    // together, old not yet deleted
+    check("compact-staged", topic)
     staged.foreach { case (hidden, visible) =>
       Files.move(hidden, visible, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    check("compact-flipped", topic)
     old.foreach(Files.deleteIfExists(_))
     val rm = Files.walk(tmp)
     try rm.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
@@ -371,7 +378,8 @@ class FileTopicStore(
     val stats =
       if (dirtyRatio.isDefined) Some(topicStats(topic)) else None
     val bases = stats.map(_.bases).getOrElse(
-      graft.engine.sources.TopicLog.partitionBases(dir(topic).toString))
+      graft.engine.sources.TopicLog.partitionBases(
+        dir(topic).toString, kv.sparkSession))
     routed(kv)
       .write.format(classOf[graft.engine.sources.TopicSource].getName)
       .option(graft.engine.sources.TopicSource.BasesOption,

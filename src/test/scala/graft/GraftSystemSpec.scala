@@ -208,4 +208,64 @@ class GraftSystemSpec extends AnyFunSuite {
     assert(sys.topics.readCompacted("q_nation")
       .select(col("key")).distinct().count() == 25)
   }
+
+  test("killed during seed-topic compaction, both crash windows, reader " +
+    "concurrent: no seed row lost or duplicated; restart restores clean") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = Files.createTempDirectory("graft-compact-kill").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val plane = new InMemoryControlPlane()
+    val seedView = nationView(sfDir)
+    val sys = new GraftSystem(spark, root, seedView = seedView, plane = plane)
+    sys.submit("tpch.nation", "q_nation", "mq_nation")
+    sys.runOnce()
+
+    // CDC updates for 10 of the 25 keys → superseded rows on file, so
+    // compaction has real work (a no-op compact can't prove the windows)
+    val seed = Transforms.dmlMsgToSeedMsg(
+      Transforms.seedRowToDmlMsg(seedView("tpch.nation").get))
+    sys.topics.append("q_nation",
+      seed.withColumn("value", concat(col("value"), lit("-v2")))
+        .orderBy("key").limit(10))
+    val expected = sys.topics.readCompacted("q_nation")
+      .select("key", "value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(expected.size == 25 && expected.values.count(_.endsWith("-v2")) == 10)
+
+    // maintenance compaction killed in EACH crash window (a process
+    // kill, not an error — AssertionError from the hook), with a reader
+    // over the crashed on-disk state each time: the compacted view must
+    // be bit-identical to the pre-crash one — nothing lost (window 1:
+    // staging hidden, old intact) and nothing duplicated beyond what
+    // keyed compaction collapses (window 2: old + new visible together)
+    Seq("compact-staged", "compact-flipped").foreach { window =>
+      var fired = false
+      val killer = new FileTopicStore(spark, root,
+        failures = (op, t) => {
+          if (op == window && t == "q_nation") {
+            fired = true
+            throw new AssertionError(s"injected kill: $window")
+          }
+          false
+        })
+      intercept[AssertionError] { killer.compact("q_nation") }
+      assert(fired, s"$window fault point never fired — test proves nothing")
+      val seen = sys.topics.readCompacted("q_nation")
+        .select("key", "value").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(seen == expected,
+        s"reader over the $window crash state diverged from the pre-crash view")
+    }
+
+    // restart over the same root: the CCD is terminal (no re-seed), and
+    // the next maintenance compact() restores a clean duplicate-free log
+    val sys2 = new GraftSystem(spark, root, seedView = seedView, plane = plane)
+    assert(sys2.start().isEmpty, "terminal CCD must not re-run after the kill")
+    new FileTopicStore(spark, root).compact("q_nation")
+    val rows = sys2.topics.readAll("q_nation")
+      .select("key", "value").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(rows.length == 25, s"clean log holds exactly one row per key")
+    assert(rows.toMap == expected, "post-restart log must keep latest per key")
+  }
 }
