@@ -46,6 +46,45 @@ class WindowGateSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"sim_rrf must plan NO window at all:\n$p")
   }
 
+  /** Nested-loop joins are quadratic in the sides' sizes, so the ONLY
+    * acceptable BroadcastNestedLoopJoin is one whose broadcast side is
+    * provably BOUNDED. Family specs already pin the dedup/pipeline/
+    * band families loop-free; this is the surface-wide version with
+    * the bounded sanctioned set spelled out (every entry audited to
+    * its crossJoin(broadcast(...)) site), so a new unbounded loop
+    * join anywhere in the inventory fails loudly instead of riding to
+    * 100 TB. */
+  private val boundedBnlj: Set[String] = Set(
+    // fixed query-vector block (vec_id < 10/20, ≤ 20 rows broadcast)
+    "sim_topk", "sim_range", "sim_multiprobe", "sim_ivf", "sim_ivf_pq",
+    "sim_batch_topk", "sim_knn_classify", "sim_ivf_kmeans",
+    // ≤ 200-row top-100∪top-100 survivor list (rank recovery)
+    "sim_rrf",
+    // 1-row (or |groups|-row, group key bounded) broadcast aggregate
+    // totals: normalizers, bounds, watermarks
+    "agg_linreg", "agg_hll", "agg_histogram", "data_skew_profile",
+    "data_zone_prune", "mix_weights", "mix_temperature", "mix_upsample",
+    "mix_epochs", "mix_dedup_weights", "pipeline_mix", "text_tfidf",
+    "join_tpch_q11", "join_tpch_q22", "stream_late",
+    // the declared cross-join operator itself: two fixed-small catalog
+    // dims (region × nation) — a cross join of dims IS the query
+    "join_cross",
+  )
+
+  test("only queries with a provably bounded broadcast side plan a " +
+    "BroadcastNestedLoopJoin") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("BroadcastNestedLoopJoin") && !boundedBnlj.contains(name))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unsanctioned nested-loop join (quadratic at scale) in: " +
+        s"${offenders.sorted.mkString(", ")} — either make it an " +
+        "equi-join or prove the broadcast side bounded and whitelist it")
+  }
+
   /** The per-qid rank ≤ k filters in the sim eval family hold the whole
     * corpus per query inside one window partition UNLESS the optimizer
     * pushes the limit into the shuffle (InferWindowGroupLimit): with
