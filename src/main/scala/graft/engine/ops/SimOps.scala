@@ -505,6 +505,17 @@ object SimOps {
       .withColumn("l2_e6", floor(expr("graft_l2(v, qv)") * 1e6).cast("long"))
       .select($"vec_id", $"cos_e6", $"l2_e6")
       .transform(Checkpoints.cut) // one dot/l2 pass feeds both rankings
+    rrfFuse(scored)
+  }
+
+  /** Bounded RRF fusion core over a MATERIALIZED (vec_id, cos_e6,
+    * l2_e6) frame — factored so the equivalence against the naive
+    * un-partitioned-window spelling is adversarially testable on
+    * crafted corpora (tie pileups at the top-100 boundary, sizes
+    * straddling 100) independent of the embeddings prep. The input
+    * must be materialized (checkpointed/local) because it is read
+    * three times. */
+  private[graft] def rrfFuse(scored: DataFrame): DataFrame = {
     val topCos = scored.orderBy($"cos_e6".desc, $"vec_id").limit(100)
     val topL2 = scored.orderBy($"l2_e6".asc, $"vec_id").limit(100)
     // exact duplicates (rows in both top-100s) collapse; ≤200 rows
