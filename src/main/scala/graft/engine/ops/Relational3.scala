@@ -68,20 +68,77 @@ object Relational3 {
       .orderBy($"l_orderkey", $"l_linenumber")
 
   /** RANGE frame: sum of all orders within 5000.00 of the current
-    * price for the same priority (value-range window, not row-count). */
+    * price for the same priority (value-range window, not row-count).
+    *
+    * DECOMPOSED since round 12 — the windowed spelling
+    * (`rangeBetween(-5000, 0)` over `partitionBy(o_orderpriority)`)
+    * caps parallelism at the 5 priorities at ANY scale AND pays
+    * O(frame) buffer replay per row (Spark's sliding range frame
+    * rebuilds the aggregate whenever the lower bound moves — ~2.7k
+    * rows per frame at sf0.1; this was the #2 bench row). Identity:
+    * nearby_sum(p) = C(≤ p) − C(< p−5000) over per-(priority, price)
+    * group sums. C is ONE distributed inclusive prefix sum
+    * (range-partition by (priority, price), per-partition running
+    * sums, #partitions-sized offset map — the cdc_progress pattern);
+    * the own-group lookup is an equi-join; the frame-start lookup is
+    * ONE native as-of join (backward: greatest group price ≤ p−5000 —
+    * subtract that group's EXCLUSIVE cum when it sits exactly on the
+    * boundary, else its inclusive cum). Sums run in exact cents
+    * (BIGINT, fold-order-free); boundary comparisons run in DOUBLE
+    * exactly as both engines' RANGE frames compute them (`p − 5000.0`
+    * in double arithmetic — an exact-decimal boundary could flip
+    * ulp-boundary rows vs the oracle). Every stage is hash/range-
+    * parallel except the as-of merge, which is LINEAR per priority
+    * instead of O(n·frame) — and salting (join_asof_salted) extends
+    * it when 1/|priorities| of the corpus outgrows a task. */
   val winRange: Q = (s, d) => {
-    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
-      .rangeBetween(-5000L, 0L)
-    Tables.orders(s, d)
-      .withColumn("nearby_sum",
-        sum($"o_totalprice".cast(dec)).over(w).cast("double"))
-      .select($"o_orderkey", $"o_orderpriority", $"nearby_sum")
-      // materialize the windowed frame before the presentation sort:
-      // the sort's range sampler otherwise re-executes the whole
-      // window (shuffle + per-partition frame walk) a second time —
-      // measured 2× the query. (fn_try's project-above-sort trick
-      // can't apply: the window's own hash shuffle sits between any
-      // pre-sort and the output, destroying its order.)
+    val ord = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        ($"o_totalprice".cast(dec) * 100).cast("long").as("pc"))
+    val g = ord
+      .groupBy($"o_orderpriority".as("g_pri"), $"o_totalprice".as("g_price"))
+      .agg(sum($"pc").as("gc"))
+    val ranged = g.repartitionByRange($"g_pri", $"g_price")
+      .withColumn("pid", spark_partition_id())
+      .transform(Checkpoints.cut) // pin the sampled range boundaries
+    val parts = ranged.groupBy($"pid", $"g_pri").agg(sum($"gc").as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // (priority, pid) -> cents mass in the SAME priority's earlier
+    // partitions; ≤ ~2·#partitions entries (priorities are contiguous
+    // under the range partitioning)
+    val offsets: Map[String, Long] = parts.map { case (pid, pri, _) =>
+      s"$pri|$pid" -> parts.collect {
+        case (p2, pri2, t2) if pri2 == pri && p2 < pid => t2
+      }.sum
+    }.toMap
+    val wp = Window.partitionBy($"pid", $"g_pri").orderBy($"g_price")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranged
+      .withColumn("cum_incl", sum($"gc").over(wp) +
+        element_at(typedLit(offsets),
+          concat($"g_pri", lit("|"), $"pid".cast("string"))))
+      .withColumn("cum_excl", $"cum_incl" - $"gc")
+      .select($"g_pri", $"g_price", $"cum_incl", $"cum_excl")
+      .transform(Checkpoints.cut) // read twice: own-group join + as-of side
+    val own = ord
+      .join(cum.select($"g_pri", $"g_price", $"cum_incl".as("own_cum")),
+        $"o_orderpriority" === $"g_pri" && $"o_totalprice" === $"g_price")
+      .select($"o_orderkey", $"o_orderpriority", $"own_cum",
+        ($"o_totalprice" - 5000.0d).as("frame_start"))
+    graft.engine.plans.AsOfJoin.frames(
+      own,
+      cum.select($"g_pri".as("b_pri"), $"g_price".as("b_price"),
+        $"cum_incl".as("b_incl"), $"cum_excl".as("b_excl")),
+      leftKey = "o_orderpriority", rightKey = "b_pri",
+      leftTime = "frame_start", rightTime = "b_price", rightTie = "b_price",
+      outer = true)
+      .withColumn("excluded", coalesce(
+        when($"b_price" === $"frame_start", $"b_excl").otherwise($"b_incl"),
+        lit(0L)))
+      .select($"o_orderkey", $"o_orderpriority",
+        (($"own_cum" - $"excluded").cast("double") / 100.0d).as("nearby_sum"))
+      // materialize before the presentation sort: the sort's range
+      // sampler otherwise re-executes everything below a second time
       .transform(Checkpoints.cut)
       .orderBy($"o_orderkey")
   }
