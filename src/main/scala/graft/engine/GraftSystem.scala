@@ -33,7 +33,13 @@ class GraftSystem(
     /** when set, busy keyed topics self-compact at this dirty ratio
       * (Kafka's `min.cleanable.dirty.ratio`, default off ↔ manual
       * `compact()`). */
-    val dirtyRatio: Option[Double] = None) {
+    val dirtyRatio: Option[Double] = None,
+    /** Post-seed cleanup hook threaded to the [[Initializer]] — wire
+      * [[graft.engine.cdc.JdbcSeedSource]]'s release here when
+      * [[seedView]] serves live-database views (the reference's
+      * finally-drop of the server-side seed view, seed_store.clj);
+      * parquet test views need no release, hence the no-op default. */
+    val releaseSeed: String => Unit = _ => ()) {
 
   // the CONTROL topic is exempt from auto-compaction: the submission
   // loop keeps a streaming tail on it, and the file source would
@@ -43,7 +49,7 @@ class GraftSystem(
       dirtyRatio = dirtyRatio, dirtyRatioExempt = Set(controlTopic))
 
   val initializer: Initializer =
-    new Initializer(spark, plane, topics, controlTopic, seedView)
+    new Initializer(spark, plane, topics, controlTopic, seedView, releaseSeed)
 
   // durable per-root checkpoint: restarted systems resume the stream
   // from the last processed offsets instead of replaying the whole

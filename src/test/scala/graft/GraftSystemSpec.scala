@@ -209,6 +209,20 @@ class GraftSystemSpec extends AnyFunSuite {
       .select(col("key")).distinct().count() == 25)
   }
 
+  test("releaseSeed threads through GraftSystem to every initialize (the " +
+    "reference's finally-drop seat)") {
+    val root = Files.createTempDirectory("graft-release").toString
+    val released = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sys = new GraftSystem(spark, root,
+      seedView = nationView("/root/testdata/sf0.001"),
+      plane = new InMemoryControlPlane(),
+      releaseSeed = released += _)
+    sys.submit("tpch.nation", "q_nation", "mq_nation")
+    sys.runOnce()
+    assert(released.toSeq == Seq("tpch.nation"),
+      "the hook must fire exactly once per initialize, success path included")
+  }
+
   test("killed during seed-topic compaction, both crash windows, reader " +
     "concurrent: no seed row lost or duplicated; restart restores clean") {
     import org.apache.spark.sql.functions.{col, concat, lit}
