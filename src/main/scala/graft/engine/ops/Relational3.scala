@@ -91,8 +91,16 @@ object Relational3 {
     * parallel except the as-of merge, which is LINEAR per priority
     * instead of O(n·frame) — and salting (join_asof_salted) extends
     * it when 1/|priorities| of the corpus outgrows a task. */
-  val winRange: Q = (s, d) => {
-    val ord = Tables.orders(s, d)
+  val winRange: Q = (s, d) =>
+    nearbySum(Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice"))
+
+  /** The decomposed value-range window over any `(o_orderkey,
+    * o_orderpriority, o_totalprice)` frame — factored out of
+    * [[winRange]] so NearbySumSpec can fuzz it against a local model
+    * of the windowed spelling on adversarial boundary/tie shapes. */
+  def nearbySum(orders: DataFrame): DataFrame = {
+    val ord = orders
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
         ($"o_totalprice".cast(dec) * 100).cast("long").as("pc"))
     val g = ord

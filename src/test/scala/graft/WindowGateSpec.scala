@@ -85,6 +85,32 @@ class WindowGateSpec extends AnyFunSuite {
         "equi-join or prove the broadcast side bounded and whitelist it")
   }
 
+  /** Canary: the gate's detector must actually FIRE on a violating
+    * plan (a gate that cannot fail proves nothing — the round-11
+    * vacuous-baseline lesson). Build the exact shapes the two gates
+    * exist to forbid and assert each detector sees them. */
+  test("gate canary: detectors trip on a global window and an " +
+    "unbounded loop join") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{row_number, expr}
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, i % 7)).toDF("id", "g")
+
+    val globalWin = df.withColumn("r",
+      row_number().over(W.orderBy($"id")))
+    val winHits = globalWin.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty => w
+      case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+    }
+    assert(winHits.nonEmpty,
+      "window-gate detector failed to flag a deliberately global window")
+
+    val loop = df.as("a").join(df.as("b"), expr("a.id < b.id"))
+    assert(loop.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+      "loop-join-gate detector failed to flag a deliberate theta join")
+  }
+
   /** The per-qid rank ≤ k filters in the sim eval family hold the whole
     * corpus per query inside one window partition UNLESS the optimizer
     * pushes the limit into the shuffle (InferWindowGroupLimit): with
