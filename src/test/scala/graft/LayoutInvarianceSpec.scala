@@ -66,6 +66,32 @@ class LayoutInvarianceSpec extends AnyFunSuite {
         diffs.mkString(", "))
   }
 
+  test("every SparkEntry query returns identical rows with broadcast " +
+    "joins disabled (forced shuffle joins, whole surface)") {
+    // The sf0.01 forced-SMJ sweep below is scoped to the join_* family
+    // by NAME — but implicit broadcast-join choices also hide in subq_*
+    // (scalar/IN subqueries plan as broadcast exchanges), ts_asof_grid,
+    // dedup_contamination and friends. autoBroadcastJoinThreshold=-1
+    // flips every IMPLICIT broadcast to a shuffle join (explicit
+    // broadcast() hints are unaffected by the threshold), so running
+    // the WHOLE surface here closes the scope gap: any query whose
+    // result leans on which side was broadcast diverges.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val diffs = SparkTest.confLock.synchronized {
+      baseline // force under default conf before mutating (see above)
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, "-1")
+      try names.filter { n =>
+        val alt = SparkEntry.queries(n)(spark, sf).collect()
+          .map(_.toString).toSeq
+        alt != baseline(n)
+      } finally spark.conf.set(key, saved)
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.size} queries change results with broadcast joins " +
+        s"disabled: ${diffs.mkString(", ")}")
+  }
+
   // ---- second scale factor: stats-sensitive queries -------------
   // Broadcast↔SMJ boundaries flip with table STATS, so a sweep pinned
   // at one SF can never catch a layout dependence that only appears
