@@ -92,6 +92,31 @@ class LayoutInvarianceSpec extends AnyFunSuite {
         s"disabled: ${diffs.mkString(", ")}")
   }
 
+  test("every SparkEntry query returns identical rows with ANSI mode " +
+    "flipped off") {
+    // Spark 4 runs ANSI-on by default; the legacy mode turns a class
+    // of runtime errors (overflow, bad casts, out-of-range element_at)
+    // into silent NULLs. No declared query errors under ANSI, so the
+    // two modes must agree — a divergence here means a query is
+    // leaning on a silent-null path that ANSI would have refused, the
+    // kind of hidden wrongness that surfaces only after a config
+    // change on a production cluster.
+    val key = "spark.sql.ansi.enabled"
+    val diffs = SparkTest.confLock.synchronized {
+      baseline // force under default conf before mutating (see above)
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try names.filter { n =>
+        val alt = SparkEntry.queries(n)(spark, sf).collect()
+          .map(_.toString).toSeq
+        alt != baseline(n)
+      } finally spark.conf.set(key, saved)
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.size} queries change results with ANSI off: " +
+        diffs.mkString(", "))
+  }
+
   // ---- second scale factor: stats-sensitive queries -------------
   // Broadcast↔SMJ boundaries flip with table STATS, so a sweep pinned
   // at one SF can never catch a layout dependence that only appears
