@@ -96,9 +96,17 @@ object ControlStream {
   /** One micro-batch of the submission loop: decode the RAW message
     * values back to CCDs (one parse, no lossy re-serialize of the
     * projected columns) and orchestrate each sequentially in timestamp
-    * order. */
-  private def processBatch(init: Initializer)(batch: DataFrame): Unit = {
-    val ccds = init.decodeCcds(batch.select(col("key"), col("value")))
+    * order, ties in TOPIC-OFFSET order. The offset sort before decode
+    * matters: collect order is partition order, not pinned, and the
+    * stable timestamp sort alone would let two same-millisecond
+    * submissions of the SAME key race on which lifecycle runs first —
+    * the at-least-once recheck then drops the loser, so the surviving
+    * config would be nondeterministic. Same-key messages share a topic
+    * partition, so their offsets totally order them (the V2 admission
+    * contract); sorting the whole control batch is driver-cheap. */
+  private[graft] def processBatch(init: Initializer)(batch: DataFrame): Unit = {
+    val ccds = init.decodeCcds(
+      batch.sort(col("offset")).select(col("key"), col("value")))
     ccds.sortBy(_.timestamp.getTime).foreach(init.process)
   }
 

@@ -206,4 +206,36 @@ class ControlStreamSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n")).first.getLong(0)
     assert(streamTotal == events.count(), "every event lands in exactly one window")
   }
+
+  test("same-millisecond same-key submissions process in topic-offset " +
+    "order even when the batch arrives offset-reversed") {
+    // Two submissions of ONE table within the same millisecond: the
+    // batch's collect order is partition order, NOT pinned, and the
+    // stable timestamp sort alone cannot break the tie — whichever
+    // lifecycle ran first would win (the at-least-once recheck drops
+    // the second), a nondeterministic surviving config. processBatch
+    // must therefore order by topic offset. Feed it the batch rows
+    // offset-REVERSED to prove the contract does not ride on readAll's
+    // natural order.
+    val root = Files.createTempDirectory("graft-order").toString
+    val store = new FileTopicStore(spark, root, sleeper = _ => ())
+    val init0 = new Initializer(spark, new InMemoryControlPlane(), store,
+      "control", _ => None)
+    store.create("control")
+    val ts = new Timestamp(1700000000000L)
+    // one publishAll → one append; the seq column pins offsets 0,1
+    init0.publishAll(Seq(
+      Ccd("tpch.nation", "q_first", "mq", None, Status.Submitted, ts),
+      Ccd("tpch.nation", "q_second", "mq", None, Status.Submitted, ts)))
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val recording = new Initializer(spark, new InMemoryControlPlane(), store,
+      "control", _ => None) {
+      override def process(ccd: Ccd): Seq[Ccd] = { seen += ccd.queue; Seq.empty }
+    }
+    val reversed = store.readAll("control")
+      .orderBy(org.apache.spark.sql.functions.col("offset").desc)
+    ControlStream.processBatch(recording)(reversed)
+    assert(seen.toSeq == Seq("q_first", "q_second"),
+      s"batch processed out of append order: $seen")
+  }
 }
