@@ -161,6 +161,46 @@ class LayoutInvarianceSpec extends AnyFunSuite {
         s"sf0.01: ${diffs.mkString(", ")}")
   }
 
+  test("every SparkEntry query returns identical rows under a different " +
+    "file-split layout (tiny maxPartitionBytes)") {
+    // The one layout axis the other sweeps can't reach: how the SCAN
+    // itself is partitioned. On local[32] each sf0.001 table is one
+    // split; on a 1000-executor cluster reading 100 TB, every file is
+    // cut into many ranges and packed into partitions differently —
+    // so a query whose result leans on the initial scan layout
+    // (zipWithIndex over raw scan partitions, first/any_value before
+    // any repartition, spark_partition_id leaking into output) passes
+    // every shuffle/AQE sweep and still breaks on a real cluster.
+    // 8 KiB ranges + zero open cost re-split every table (lineitem
+    // 117 KB → ~15 ranges) and repack the bins.
+    val mKey = "spark.sql.files.maxPartitionBytes"
+    val oKey = "spark.sql.files.openCostInBytes"
+    val diffs = SparkTest.confLock.synchronized {
+      baseline // force under default conf before mutating (see above)
+      val probe = s"$sf/lineitem.parquet"
+      val before = spark.read.parquet(probe).rdd.getNumPartitions
+      val (m0, o0) = (spark.conf.get(mKey), spark.conf.get(oKey))
+      spark.conf.set(mKey, "8192")
+      spark.conf.set(oKey, "0")
+      try {
+        // vacuity guard: the knob must actually change the scan layout,
+        // or the whole sweep is a self-comparison that can never fail
+        val after = spark.read.parquet(probe).rdd.getNumPartitions
+        assert(after > before,
+          s"tiny maxPartitionBytes left the probe scan at $after " +
+            s"partition(s) (was $before) — the sweep proved nothing")
+        names.filter { n =>
+          val alt = SparkEntry.queries(n)(spark, sf).collect()
+            .map(_.toString).toSeq
+          alt != baseline(n)
+        }
+      } finally { spark.conf.set(mKey, m0); spark.conf.set(oKey, o0) }
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.size} queries are file-split-layout-dependent: " +
+        diffs.mkString(", "))
+  }
+
   test("every SparkEntry query returns identical rows in reliable-" +
     "checkpoint mode (spark.graft.checkpointDir set)") {
     // CheckpointsSpec proves representative call sites engage the knob;
