@@ -111,20 +111,25 @@ object Relational3 {
       .transform(Checkpoints.cut) // pin the sampled range boundaries
     val parts = ranged.groupBy($"pid", $"g_pri").agg(sum($"gc").as("t"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    // (priority, pid) -> cents mass in the SAME priority's earlier
-    // partitions; ≤ ~2·#partitions entries (priorities are contiguous
-    // under the range partitioning)
-    val offsets: Map[String, Long] = parts.map { case (pid, pri, _) =>
-      s"$pri|$pid" -> parts.collect {
-        case (p2, pri2, t2) if pri2 == pri && p2 < pid => t2
-      }.sum
-    }.toMap
+    // priority -> (pid -> cents mass in the SAME priority's earlier
+    // partitions); ≤ ~2·#partitions entries total (priorities are
+    // contiguous under the range partitioning). Two-level map, NOT a
+    // "pri|pid" string-concat key: the helper accepts arbitrary
+    // frames, and a priority containing '|' followed by digits could
+    // alias two concat keys and corrupt the cumulative sums
+    val offsets: Map[String, Map[Int, Long]] =
+      parts.groupBy(_._2).map { case (pri, rows) =>
+        pri -> rows.map { case (pid, _, _) =>
+          pid -> parts.collect {
+            case (p2, pri2, t2) if pri2 == pri && p2 < pid => t2
+          }.sum
+        }.toMap
+      }
     val wp = Window.partitionBy($"pid", $"g_pri").orderBy($"g_price")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = ranged
       .withColumn("cum_incl", sum($"gc").over(wp) +
-        element_at(typedLit(offsets),
-          concat($"g_pri", lit("|"), $"pid".cast("string"))))
+        element_at(element_at(typedLit(offsets), $"g_pri"), $"pid"))
       .withColumn("cum_excl", $"cum_incl" - $"gc")
       .select($"g_pri", $"g_price", $"cum_incl", $"cum_excl")
       .transform(Checkpoints.cut) // read twice: own-group join + as-of side

@@ -514,7 +514,12 @@ object SimOps {
     * crafted corpora (tie pileups at the top-100 boundary, sizes
     * straddling 100) independent of the embeddings prep. The input
     * must be materialized (checkpointed/local) because it is read
-    * three times. */
+    * three times, and `vec_id` must be UNIQUE in it: the rank
+    * recovery groups survivors by vec_id (duplicates would collapse)
+    * and excludes same-id rows from the strictly-before counts
+    * (duplicates would be over-excluded) — either divergence from the
+    * row_number spelling is silent. Both call sites score one row per
+    * embedding, so uniqueness holds by construction there. */
   private[graft] def rrfFuse(scored: DataFrame): DataFrame = {
     val topCos = scored.orderBy($"cos_e6".desc, $"vec_id").limit(100)
     val topL2 = scored.orderBy($"l2_e6".asc, $"vec_id").limit(100)

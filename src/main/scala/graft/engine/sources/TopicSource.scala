@@ -175,7 +175,18 @@ private[sources] class TopicMicroBatchStream(dir: String, columns: Array[String]
     TopicLog.dataFiles(dir)
       .flatMap { f =>
         try Some((Files.getLastModifiedTime(Paths.get(f)), f))
-        catch { case _: java.nio.file.NoSuchFileException => None }
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            // tolerated by design for compaction-retired files — but a
+            // file vanishing for ANY other reason (manual deletion,
+            // partial restore, FS corruption) would be silently dropped
+            // from the stream's offsets too, so leave a trace: the one
+            // diagnostic distinguishing "compacted away" from "lost"
+            org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+              s"topic data file vanished between listing and stat " +
+                s"(expected only under concurrent compaction): $f")
+            None
+        }
       }
       .sortBy { case (t, f) => (t, f) }.map(_._2)
 
