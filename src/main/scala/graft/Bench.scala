@@ -25,10 +25,15 @@ object Bench {
     * rev 3 = 3 whole-inventory sweeps, first discarded as warm-up,
     * reported time = min(pass2, pass3) (round 11);
     * rev 4 = the 3 passes run CONSECUTIVELY PER QUERY, queries in
-    * sorted-name order (round 12). Bump the rev on ANY change to
-    * what a per-query number means. */
+    * sorted-name order (round 12);
+    * rev 5 = host-noise defense (round 13): when the steady passes
+    * disagree by >1.5×, up to 2 extra steady passes are taken; the
+    * reported time is the LOWER MEDIAN of the "clean set" (steady
+    * passes within 1.5× of the steady minimum) and the artifact
+    * stamps each query's raw steady spread. Bump the rev on ANY
+    * change to what a per-query number means. */
   private val Methodology =
-    """"timing":"materialize","bench_rev":4"""
+    """"timing":"materialize","bench_rev":5"""
 
   /** One timed pass of one query. Materializes EVERY output row via
     * the query's own physical plan (toRdd), not count(): under count()
@@ -85,26 +90,72 @@ object Bench {
     * All raw pass timings are kept per query — the variance record
     * that lets a per-query drift be triaged against run-to-run noise
     * instead of costing a full re-bench (round-8 tok_bpe_pairs and
-    * round-9 dedup_embed each burned a round for lack of this). */
+    * round-9 dedup_embed each burned a round for lack of this).
+    *
+    * Rev 5 adds a HOST-NOISE defense on top: rev 4 fixed
+    * self-inflicted JVM churn, but external contention was unmodeled —
+    * the round-12 driver run published join_asof at 4.17 s from
+    * steady passes [4.17, 12.74] for a query that reproducibly runs
+    * 0.98 s, because min() of two passes is only as good as the
+    * quieter of the two, and the same mechanism could equally MASK a
+    * real regression. Now, when the steady passes disagree by >1.5×
+    * (intra-query spread no plan property can produce — the passes
+    * are consecutive, same JVM, same data), the query earns up to 2
+    * extra steady passes, and the reported time is the LOWER MEDIAN
+    * of the clean set (steady passes within 1.5× of the steady min) —
+    * an actual measured pass, robust to one or two inflated ones. A
+    * quiet query's clean set is both steady passes and the lower
+    * median IS their min, so rev 5 equals rev 4 exactly when the host
+    * is quiet. Each query's raw steady spread (max/min BEFORE
+    * cleaning) lands in the artifact under "spread", so a noisy
+    * environment is visible in the number's provenance, not just in
+    * its value. */
   private def bench(spark: org.apache.spark.sql.SparkSession, sfDir: String)
-      : (Map[String, Double], List[String], Map[String, Seq[Double]]) = {
+      : (Map[String, Double], List[String], Map[String, Seq[Double]],
+         Map[String, Double]) = {
     val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val passes = Seq.fill(3)(timeOnce(spark, sfDir, fn))
-      name -> passes
+      val passes = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Boolean)]
+      passes ++= Seq.fill(3)(timeOnce(spark, sfDir, fn))
+      def steady = passes.drop(1).collect { case (t, false) => t }
+      var extras = 0
+      while (extras < 2 && steady.nonEmpty &&
+             steady.max / steady.min > 1.5) {
+        passes += timeOnce(spark, sfDir, fn)
+        extras += 1
+      }
+      name -> passes.toSeq
     }
     val failed = all.collect {
       case (k, ps) if ps.exists(_._2) => k
     }.toList.sorted
     val ok = all.collect {
-      case (k, ps) if !ps.exists(_._2) => k -> ps.tail.map(_._1).min
+      case (k, ps) if !ps.exists(_._2) =>
+        k -> lowerMedianOfClean(ps.tail.map(_._1))
     }.toMap
     val runs = all.map { case (k, ps) => k -> ps.map(_._1) }.toMap
-    (ok, failed, runs)
+    val spread = all.collect {
+      case (k, ps) if !ps.exists(_._2) =>
+        val st = ps.tail.map(_._1)
+        k -> st.max / st.min
+    }.toMap
+    (ok, failed, runs, spread)
+  }
+
+  /** The rev-5 per-query statistic: drop steady passes more than 1.5×
+    * above the steady minimum (host contention, not plan cost), then
+    * take the lower median of what remains — always an actual
+    * measured pass. tools/drift.py recomputes this same statistic
+    * from `runs`, so headline and drift stay one statistic. */
+  private def lowerMedianOfClean(steady: Seq[Double]): Double = {
+    val clean = steady.filter(_ <= steady.min * 1.5).sorted
+    clean((clean.size - 1) / 2)
   }
 
   private def json(results: Map[String, Double], failed: List[String],
                    sfDir: String, extra: String,
-                   runs: Map[String, Seq[Double]] = Map.empty): String = {
+                   runs: Map[String, Seq[Double]] = Map.empty,
+                   spread: Map[String, Double] = Map.empty): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // comma decimals on e.g. de_DE JVMs — invalid JSON
     def fmt(v: Double) =
@@ -123,8 +174,19 @@ object Bench {
           "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
         }
         .mkString("{", ",", "}")
+    // raw steady spread (max/min of runs[1:], BEFORE outlier cleaning):
+    // the provenance field that says whether a reported number came from
+    // agreeing passes or from a contended host (rev 5)
+    val sp =
+      if (spread.isEmpty) ""
+      else ",\"spread\":" + spread.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          "\"" + k + "\":" +
+            String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        }
+        .mkString("{", ",", "}")
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -172,11 +234,11 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case scala.util.control.NonFatal(_) => () }
 
-    val (results, failed, runs) = bench(spark, sfDir)
+    val (results, failed, runs, spread) = bench(spark, sfDir)
     // persist the primary result IMMEDIATELY: the optional secondary pass
     // doubles the runtime, and an external timeout mid-secondary must not
     // cost the round its primary perf artifact
-    writeArtifact(json(results, failed, sfDir, "", runs))
+    writeArtifact(json(results, failed, sfDir, "", runs, spread))
 
     // secondary scale factor: the largest sibling STRICTLY SMALLER than
     // the primary, so round-over-round comparisons can see scaling — and
@@ -193,12 +255,12 @@ object Bench {
       .lastOption
     val extra = secondary match {
       case Some(dir) =>
-        val (r2, f2, runs2) = bench(spark, dir.toString)
-        "," + "\"secondary\":" + json(r2, f2, dir.toString, "", runs2)
+        val (r2, f2, runs2, sp2) = bench(spark, dir.toString)
+        "," + "\"secondary\":" + json(r2, f2, dir.toString, "", runs2, sp2)
       case None => ""
     }
 
-    writeArtifact(json(results, failed, sfDir, extra, runs)) // file: primary + secondary
+    writeArtifact(json(results, failed, sfDir, extra, runs, spread)) // file: primary + secondary
     // stdout gets a BUDGETED line: the driver captures a bounded tail of
     // stdout, and even the primary-only line overflowed it in r03 once the
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Per-query drift between two bench_out.json artifacts, on the SAME
-statistic as the headline: min of the non-warm-up passes (runs[1:]),
-falling back to the reported per-query time when runs are absent.
+statistic as the headline: lower median of the clean steady passes
+(rev 5; reduces to min(runs[1:]) on rev-3/4 artifacts), falling back
+to the reported per-query time when runs are absent.
 
 Round-11 lesson: the drift table was computed on min-of-all-runs while
 the headline was min(pass2, pass3), so a 3.8x headline jump (ts_acf)
@@ -15,11 +16,24 @@ import sys
 
 
 def headline(d):
+    """Recompute the headline statistic from raw runs: lower median of
+    the clean set (steady passes within 1.5x of the steady min) —
+    mirrors Bench.lowerMedianOfClean (rev 5) exactly. On a rev-3/4
+    artifact's exactly-2 steady passes this REDUCES to min(runs[1:])
+    (the lower median of 2 clean passes is their min; a dirty pass
+    leaves a 1-element clean set, also the min), so one statistic
+    covers every rev>=3 artifact without a cross-rev seam.
+    """
     runs = d.get("runs", {})
     out = {}
     for q, t in d["queries"].items():
         rs = runs.get(q)
-        out[q] = min(rs[1:]) if rs and len(rs) > 1 else t
+        if not rs or len(rs) < 2:
+            out[q] = t
+        else:
+            steady = rs[1:]
+            clean = sorted(r for r in steady if r <= min(steady) * 1.5)
+            out[q] = clean[(len(clean) - 1) // 2]
     return out
 
 
@@ -29,13 +43,29 @@ def main():
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     if old.get("sf") != new.get("sf"):
         print(f"WARNING: sf differs ({old.get('sf')} vs {new.get('sf')})")
+    ro, rn = old.get("bench_rev", 0), new.get("bench_rev", 0)
+    if min(ro, rn) < 3:
+        # a rev<=2 artifact's runs are best-of-2 with no warm-up
+        # discard — a different statistic headline() cannot reconcile
+        sys.exit(f"REFUSING: bench_rev {ro} vs {rn} — rev<=2 artifacts "
+                 f"(best-of-2, no warm-up discard) cannot be reconciled "
+                 f"with rev>=3 runs; compare same-rev artifacts")
+    if ro != rn:
+        # rev 3/4 whole-inventory sweeps carry code-cache churn that
+        # rev>=4 per-query passes don't — the statistic reconciles,
+        # the MEASUREMENT CONDITIONS may not
+        print(f"WARNING: bench_rev differs ({ro} vs {rn}) — statistic "
+              f"reconciled from raw runs, but rev-3 sweep-order JVM "
+              f"inflation (if present) is a measurement-condition "
+              f"difference; treat drift rows as indicative")
     ho, hn = headline(old), headline(new)
     rows = []
     for q in sorted(set(ho) & set(hn)):
         o, n = ho[q], hn[q]
         if o > 0.05 and n > o * thresh and n - o > 0.2:
             rows.append((q, o, n, n / o))
-    print(f"statistic: min(runs[1:]) | threshold {thresh}x (+0.2s floor) | "
+    print(f"statistic: lower-median-of-clean(runs[1:]) | "
+          f"threshold {thresh}x (+0.2s floor) | "
           f"{len(set(ho) & set(hn))} shared queries")
     print(f"totals (same statistic): {sum(ho.values()):.1f}s -> "
           f"{sum(hn.values()):.1f}s")
