@@ -20,8 +20,20 @@ object Checkpoints {
   /** Conf key selecting reliable checkpointing; unset → local. */
   val DirKey = "spark.graft.checkpointDir"
 
+  /** Test-mode conf: when "true", [[cut]] is the IDENTITY — no
+    * checkpoint, full lineage kept. A checkpoint materializes its
+    * subtree at query construction, so everything below it appears to
+    * later plan inspection as an opaque LogicalRDD; that made cut
+    * subtrees a blind spot for the surface-wide plan gates (a global
+    * window or unbounded loop join BELOW a cut was invisible to
+    * WindowGateSpec). With this knob the gates walk the REAL full
+    * plan. Never set it on a production run: the iterative operators
+    * rely on cut() to bound lineage growth and recovery cost. */
+  val NoCutKey = "spark.graft.noCut"
+
   def cut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
+    if (s.conf.getOption(NoCutKey).contains("true")) return df
     s.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         // setCheckpointDir appends a per-context UUID subdir, so the

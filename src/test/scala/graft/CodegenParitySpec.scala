@@ -43,11 +43,16 @@ class CodegenParitySpec extends AnyFunSuite {
 
   /** Queries whose optimized plan (subqueries included) contains at
     * least one graft native expression — the only surface where the
-    * engine itself contributes a codegen path that could diverge. */
+    * engine itself contributes a codegen path that could diverge.
+    * Detected on [[SharedPlans]] (one shared plan construction for
+    * all plan sweeps, built in noCut mode) — so expressions BELOW a
+    * Checkpoints.cut count toward the scope too; the parity runs
+    * themselves execute the queries normally, and the cut subtree is
+    * materialized under whichever codegen mode is live at execution. */
   private lazy val nativeUsers: Seq[String] = {
     import graft.engine.functions._
     SparkEntry.queries.keys.toSeq.sorted.filter { n =>
-      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan
+      val plan = SharedPlans.optimized(n)
       plan.collectWithSubqueries {
         case node if node.expressions.exists(_.exists {
           case _: DotProduct | _: L2Distance | _: MortonInterleave |
