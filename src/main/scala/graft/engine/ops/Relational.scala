@@ -143,9 +143,17 @@ object Relational {
   /** As-of join: each event matched to the same user's latest order with
     * o_orderdate <= ts. No native as-of in Spark — expressed as an equi
     * join on the user key plus a range residual, reduced with max_by per
-    * event. The equi key keeps it a hash/SMJ join (not a cross product);
-    * at 100 TB the range-reduction is a per-key sort, and hot users are
-    * handled by AQE skew splitting. Oracle: DuckDB ASOF JOIN. */
+    * event. The equi key keeps it a hash/SMJ join (not a cross product),
+    * and the pairs stream through the join iterator into the partial
+    * aggregate without materializing to the shuffle — but the COMPUTE is
+    * O(in-window event×order pairs) per user key: a hot user with many
+    * events AND many orders amplifies work quadratically (measured in
+    * SkewStressSpec: 50M enumerated pairs from 15k rows, ~11× the
+    * native operator's wall time). This is the declared
+    * reference-spelling; at scale, or under hot keys, use
+    * `join_asof_native` (AsOfJoinExec: one sorted merge pass, O(n+m)
+    * per key) or `join_asof_salted` (hot-key salting on top).
+    * Oracle: DuckDB ASOF JOIN. */
   val joinAsof: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val o = Tables.orders(s, d)
