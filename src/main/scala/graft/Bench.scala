@@ -147,7 +147,7 @@ object Bench {
     * take the lower median of what remains — always an actual
     * measured pass. tools/drift.py recomputes this same statistic
     * from `runs`, so headline and drift stay one statistic. */
-  private def lowerMedianOfClean(steady: Seq[Double]): Double = {
+  private[graft] def lowerMedianOfClean(steady: Seq[Double]): Double = {
     val clean = steady.filter(_ <= steady.min * 1.5).sorted
     clean((clean.size - 1) / 2)
   }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The rev-5 headline statistic, pinned: lower median of the clean set
+  * (steady passes within 1.5× of the steady minimum). Both the bench
+  * headline and tools/drift.py's recomputation depend on this exact
+  * definition — a drift between them would silently break the "one
+  * statistic" property the rev-3→4 transition was about. */
+class BenchStatSpec extends AnyFunSuite {
+  private def stat(xs: Double*) = Bench.lowerMedianOfClean(xs)
+
+  test("two agreeing steady passes report their min (rev-4 continuity)") {
+    // the quiet-host case MUST equal rev 4's min(pass2, pass3), or
+    // every cross-round comparison at the rev seam misreads
+    assert(stat(1.0, 1.2) == 1.0)
+    assert(stat(1.2, 1.0) == 1.0)
+    // boundary: exactly 1.5x is still clean; lower median of 2 = min
+    assert(stat(1.0, 1.5) == 1.0)
+  }
+
+  test("a contended pass is dropped, not averaged in") {
+    // the round-12 driver shape: [4.17, 12.74] published 4.17 under
+    // min(); under rev 5 the 12.74 is excluded and the min survives
+    assert(stat(4.17, 12.74) == 4.17)
+    // with extra passes, the median lands on a real clean measurement
+    assert(stat(12.74, 4.17, 4.3, 4.1) == 4.17)
+  }
+
+  test("the reported value is always an actual measured pass") {
+    for (xs <- Seq(Seq(1.0, 1.2), Seq(5.0, 1.0, 1.1, 0.9),
+                   Seq(2.0), Seq(3.0, 3.0, 3.0)))
+      assert(xs.contains(Bench.lowerMedianOfClean(xs)),
+        s"statistic over $xs invented a number")
+  }
+
+  test("majority-noise runs still report from the quiet passes") {
+    // 3 of 4 steady passes inflated: clean = [1.0]; report 1.0 — the
+    // mechanism that stops contention from masking OR faking drift
+    assert(stat(9.0, 1.0, 8.0, 7.5) == 1.0)
+  }
+
+  test("odd clean sets take the true middle") {
+    assert(stat(1.0, 1.1, 1.2) == 1.1)
+    assert(stat(1.2, 1.0, 9.9, 1.1) == 1.1)
+  }
+}
