@@ -34,25 +34,52 @@ object Checkpoints {
   def cut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     if (s.conf.getOption(NoCutKey).contains("true")) return df
-    s.conf.getOption(DirKey).filter(_.nonEmpty) match {
-      case Some(dir) =>
-        // setCheckpointDir appends a per-context UUID subdir, so the
-        // context dir is "live" iff it sits under the CONFIGURED dir —
-        // re-point when the conf changed (the knob is runtime conf and
-        // must win over stale SparkContext state). getCheckpointDir
-        // returns a fs-QUALIFIED path (scheme + authority), so qualify
-        // the configured dir the same way before comparing: comparing
-        // a raw `hdfs://nn/ckpt` conf against the qualified context
-        // path with only one side stripped would never match, and
-        // every cut() would mint a fresh UUID subdir.
-        val cfg = qualify(s, dir.stripSuffix("/"))
-        val live = s.sparkContext.getCheckpointDir.exists { c =>
-          val cn = qualify(s, c)
-          cn == cfg || cn.startsWith(cfg + "/")
-        }
-        if (!live) s.sparkContext.setCheckpointDir(dir.stripSuffix("/"))
-        df.checkpoint()
-      case None => df.localCheckpoint()
+    reliableDir(df) match {
+      case Some(_) => df.checkpoint()
+      case None    => df.localCheckpoint()
+    }
+  }
+
+  /** [[cut]] that also returns the row count OF THE MATERIALIZATION
+    * JOB. An eager checkpoint already runs a `count()` internally to
+    * force every partition; iterative operators whose convergence test
+    * is "did the row count change?" (k-core peeling) or that gate a
+    * broadcast on the materialized size (triangle counting) otherwise
+    * pay a second action re-reading the whole just-checkpointed frame
+    * — a full O(rows) storage scan per round under reliable
+    * checkpointing at scale. Identical result frame to `cut(df)` plus
+    * `df.count()`; one job instead of two (noCut test mode keeps the
+    * two-job spelling — plans there are built for gate inspection, not
+    * timing). */
+  def cutCounted(df: DataFrame): (DataFrame, Long) = {
+    val s = df.sparkSession
+    if (s.conf.getOption(NoCutKey).contains("true")) return (df, df.count())
+    org.apache.spark.sql.graft.PlanBridge
+      .checkpointCounted(df, reliable = reliableDir(df).isDefined)
+  }
+
+  /** Resolve the reliable-checkpoint dir (None → local checkpointing)
+    * and make sure the SparkContext points at it. */
+  private def reliableDir(df: DataFrame): Option[String] = {
+    val s = df.sparkSession
+    if (s.conf.getOption(NoCutKey).contains("true")) return None
+    s.conf.getOption(DirKey).filter(_.nonEmpty).map { dir =>
+      // setCheckpointDir appends a per-context UUID subdir, so the
+      // context dir is "live" iff it sits under the CONFIGURED dir —
+      // re-point when the conf changed (the knob is runtime conf and
+      // must win over stale SparkContext state). getCheckpointDir
+      // returns a fs-QUALIFIED path (scheme + authority), so qualify
+      // the configured dir the same way before comparing: comparing
+      // a raw `hdfs://nn/ckpt` conf against the qualified context
+      // path with only one side stripped would never match, and
+      // every cut() would mint a fresh UUID subdir.
+      val cfg = qualify(s, dir.stripSuffix("/"))
+      val live = s.sparkContext.getCheckpointDir.exists { c =>
+        val cn = qualify(s, c)
+        cn == cfg || cn.startsWith(cfg + "/")
+      }
+      if (!live) s.sparkContext.setCheckpointDir(dir.stripSuffix("/"))
+      dir
     }
   }
 

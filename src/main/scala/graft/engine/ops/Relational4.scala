@@ -163,9 +163,11 @@ object Relational4 {
       .filter($"l_orderkey" % 4 === 0)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
     // edges feeds degrees, orientation, and the final edge count —
-    // materialize once (Checkpoints.cut: reliable checkpoint when
-    // spark.graft.checkpointDir is set, local blocks otherwise).
-    val edges = Checkpoints.cut(li.as("a")
+    // materialize once (Checkpoints.cutCounted: reliable checkpoint
+    // when spark.graft.checkpointDir is set, local blocks otherwise;
+    // the broadcast-gate/output count comes from the materialization
+    // job itself instead of a second full-frame scan).
+    val (edges, nEdges) = Checkpoints.cutCounted(li.as("a")
       .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .select($"a.pk".as("u"), $"b.pk".as("v"))
       .distinct())
@@ -195,12 +197,11 @@ object Relational4 {
     // ~35M wedge rows). ABOVE the knob (a 100 TB co-occurrence graph's
     // edge set does not fit in an executor) the closure hash-partitions
     // the wedges against the edge relation on (b, c) — the textbook MR
-    // formulation; same result, one more shuffle. |E| is already known
-    // exactly (the checkpoint was just materialized), so the gate costs
-    // one cheap count that the output needs anyway.
+    // formulation; same result, one more shuffle. |E| is known exactly
+    // and for free: cutCounted surfaced it from the checkpoint's own
+    // materialization job.
     val maxBroadcastEdges = s.conf.get(
       "spark.graft.triangles.broadcastMaxEdges", "10000000").toLong
-    val nEdges = edges.count()
     val wedges = oriented.as("o1")
       .join(oriented.as("o2"),
         $"o1.src" === $"o2.src" && $"o1.rdst" < $"o2.rdst")

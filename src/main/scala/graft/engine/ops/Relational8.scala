@@ -214,29 +214,29 @@ object Relational8 {
     *
     * Scale story per round: ONE map-side-combined degree aggregate +
     * two semi-joins keyed on the edge endpoints (never a broadcast —
-    * the survivor set is |V|-sized), with [[Checkpoints.cut]] pinning
-    * each round's edges so lineage stays flat; convergence costs one
-    * count() action per round on the just-checkpointed frame. Same
+    * the survivor set is |V|-sized), with [[Checkpoints.cutCounted]]
+    * pinning each round's edges AND surfacing the convergence count
+    * from the same materialization job — a separate count() would
+    * re-read the whole just-checkpointed edge set every round, a full
+    * O(|E|) storage scan per round under reliable checkpointing. Same
     * deterministic 25% order sample as graph_triangles (disclosed,
     * algorithm sample-free). */
   val graphKcore: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
       .filter($"l_orderkey" % 4 === 0)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-    var e = Checkpoints.cut(li.as("a")
+    var (e, n) = Checkpoints.cutCounted(li.as("a")
       .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .select($"a.pk".as("u"), $"b.pk".as("v")).distinct())
-    var n = e.count()
     var r = 0
     var done = false
     while (r < KCoreMaxRounds && !done) {
       val keep = e.select($"u".as("n")).unionAll(e.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("dg"))
         .filter($"dg" >= KCoreK).select($"n")
-      val next = Checkpoints.cut(
+      val (next, m) = Checkpoints.cutCounted(
         e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"))
-      val m = next.count()
       done = m == n
       e = next; n = m; r += 1
     }

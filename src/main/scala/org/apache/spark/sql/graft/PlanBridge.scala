@@ -2,6 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The one `private[sql]` bridge this library uses: turn a custom
@@ -14,4 +15,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Eager checkpoint that SURFACES the materialization count. This is
+    * a faithful transcript of `Dataset.checkpoint(eager = true)`
+    * (Dataset.scala: `toRdd.map(_.copy())` → `rdd.{local,}checkpoint()`
+    * → `rdd.count()` → wrap via `LogicalRDD.fromDataset`), except the
+    * `count()` Spark's implementation runs purely to force
+    * materialization — and then discards — is returned to the caller.
+    * Iterative operators that need a per-round convergence count
+    * (k-core peeling, triangle-gate sizing) otherwise pay a SECOND
+    * action that re-reads the entire just-checkpointed dataset: free at
+    * a glance on local[32] cached blocks, a full O(|E|) storage scan
+    * per round on a reliable-checkpoint 100 TB run. */
+  def checkpointCounted(df: DataFrame, reliable: Boolean): (DataFrame, Long) = {
+    val ds = df.asInstanceOf[Dataset[_]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
+    val n = rdd.count()
+    val logical = LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    (Dataset.ofRows(ds.sparkSession, logical), n)
+  }
 }

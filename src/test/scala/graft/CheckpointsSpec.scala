@@ -109,6 +109,40 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  test("cutCounted returns the materialization count, engages reliable " +
+    "mode, and yields the same frame as cut()") {
+    val df = spark.range(0, 1000).toDF("n")
+      .withColumn("g", org.apache.spark.sql.functions.col("n") % 7)
+    // local-blocks mode: count matches, rows match a plain cut
+    val (cutLocal, nLocal) = Checkpoints.cutCounted(df)
+    assert(nLocal == 1000L)
+    assert(cutLocal.collect().map(_.toString).sorted.toSeq ==
+      Checkpoints.cut(df).collect().map(_.toString).sorted.toSeq)
+    // reliable mode: same contract, and the checkpoint actually lands
+    withReliableDir { dir =>
+      val before = rddDirs(dir)
+      val (cutRel, nRel) = Checkpoints.cutCounted(df)
+      assert(nRel == 1000L)
+      assert(cutRel.count() == 1000L)
+      assert(rddDirs(dir) > before,
+        s"cutCounted in reliable mode wrote no checkpoint under $dir")
+    }
+  }
+
+  test("cutCounted under spark.graft.noCut is the identity frame with a " +
+    "correct count (gate sweeps see the full subtree)") {
+    SparkTest.confLock.synchronized {
+      spark.conf.set(Checkpoints.NoCutKey, "true")
+      try {
+        val df = spark.range(0, 77).toDF("n")
+        val (out, n) = Checkpoints.cutCounted(df)
+        assert(n == 77L)
+        assert(out eq df, "noCut cutCounted must return the input frame " +
+          "untouched so plan gates walk the real subtree")
+      } finally spark.conf.unset(Checkpoints.NoCutKey)
+    }
+  }
+
   test("the conf knob, not SparkContext state, selects reliable mode") {
     SparkTest.confLock.synchronized {
       // a context that once ran reliable mode keeps its checkpoint dir;
