@@ -171,15 +171,19 @@ object Relational4 {
       .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .select($"a.pk".as("u"), $"b.pk".as("v"))
       .distinct())
-    // (degree, id) rank as one sortable BIGINT; partkeys < 10^7 at
-    // every SF here (wider base or a struct ordering at larger ids).
+    // (degree, id) rank as a STRUCT — Spark orders structs
+    // lexicographically in comparisons and greatest(), so the
+    // degree-major/id-minor orientation order needs no packing and
+    // holds at ANY id width (a `dg * base + id` BIGINT pack would
+    // silently corrupt the orientation the day ids outgrow the base —
+    // a 100 TB id space does). Ties are impossible: id is unique.
     // The degree table is |V|-sized — broadcast it so the 2 rank
     // joins stay map-side over the edge list (at graphs where |V|
     // itself outgrows broadcast, these become shuffle equi-joins and
     // the algorithm is unchanged).
     val deg = edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("dg"))
-      .select($"n", ($"dg" * 10000000L + $"n").as("rank"))
+      .select($"n", struct($"dg", $"n").as("rank"))
     val oriented = Checkpoints.cut(edges
       .join(broadcast(deg).withColumnRenamed("n", "u").withColumnRenamed("rank", "ru"), Seq("u"))
       .join(broadcast(deg).withColumnRenamed("n", "v").withColumnRenamed("rank", "rv"), Seq("v"))

@@ -5,13 +5,17 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The one `private[sql]` bridge this library uses: turn a custom
-  * [[LogicalPlan]] (e.g. [[graft.engine.plans.AsOfJoin]]) into a
-  * DataFrame. `Dataset.ofRows` is how every Spark relational API
-  * constructs frames; extensions that introduce new logical operators
-  * (Delta, Hudi, Sedona, …) use exactly this package-placement pattern
-  * because `SparkSessionExtensions` has injection points for rules and
-  * strategies but not for plan construction. */
+/** The `private[sql]` bridge this library uses — two entry points,
+  * both faithful transcripts of what Spark's own public APIs do
+  * internally. [[ofRows]] turns a custom [[LogicalPlan]] (e.g.
+  * [[graft.engine.plans.AsOfJoin]]) into a DataFrame — `Dataset.ofRows`
+  * is how every Spark relational API constructs frames; extensions
+  * that introduce new logical operators (Delta, Hudi, Sedona, …) use
+  * exactly this package-placement pattern because
+  * `SparkSessionExtensions` has injection points for rules and
+  * strategies but not for plan construction. [[checkpointCounted]] is
+  * `Dataset.checkpoint(eager = true)` with the internal forcing
+  * count() returned instead of discarded. */
 object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
