@@ -100,13 +100,16 @@ object Relational4 {
     * of the stable doc_id, reduced mod 100 → 80/10/10. Map-only, no
     * shuffle, reproducible across runs/engines/partitionings — the
     * property a training pipeline needs so a document's split never
-    * changes when the corpus grows. (The multiply stays exact in
-    * BIGINT for ids < ~3.5e9; beyond that, reduce the id mod 2^32
-    * first — same distribution, same window.) */
+    * changes when the corpus grows. The multiply runs in DECIMAL(38,0)
+    * (HUGEINT oracle): a BIGINT product overflows past ids ~3.5e9 —
+    * a 100 TB corpus's id space — and would throw under ANSI mode or
+    * silently wrap (and re-bucket every document) under legacy mode;
+    * decimal is exact to 1e38 with the identical value at every id. */
   val dataSplit: Q = (s, d) =>
     Tables.documents(s, d)
       .select($"doc_id",
-        expr("(doc_id * 2654435761) % 4294967296 % 100").as("bucket"))
+        expr("CAST(CAST(doc_id AS DECIMAL(38,0)) * 2654435761" +
+          " % 4294967296 % 100 AS BIGINT)").as("bucket"))
       .select($"doc_id", $"bucket",
         when($"bucket" < 80, "train")
           .when($"bucket" < 90, "valid")
@@ -420,12 +423,14 @@ object Relational4 {
         |SELECT k, count(1) AS n_users FROM act GROUP BY 1 ORDER BY k""".stripMargin,
 
     "data_split" ->
-      """SELECT doc_id,
-        |  (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
-        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'valid'
+      """WITH b AS (SELECT doc_id,
+        |  CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 % 100
+        |       AS BIGINT) AS bucket FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid'
         |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "text_pii" ->
       """WITH raw AS (SELECT doc_id,

@@ -100,6 +100,26 @@ class Relational4Spec extends AnyFunSuite {
     })
   }
 
+  test("data_split's bucket formula is exact past the BIGINT-product id " +
+    "range (a 100 TB corpus's id space)") {
+    // ids above ~3.5e9 overflow doc_id * 2654435761 in BIGINT — the
+    // decimal spelling must keep computing the true Knuth-hash bucket
+    // (checked against BigInt math) instead of throwing (ANSI) or
+    // silently re-bucketing (legacy wrap)
+    import spark.implicits._
+    val ids = Seq(0L, 3500000000L, 4000000001L, Long.MaxValue / 3, Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .select($"doc_id", org.apache.spark.sql.functions.expr(
+        "CAST(CAST(doc_id AS DECIMAL(38,0)) * 2654435761" +
+          " % 4294967296 % 100 AS BIGINT)").as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val expect = ((BigInt(id) * BigInt(2654435761L)) % BigInt(4294967296L) %
+        100).toLong
+      assert(got(id) == expect, s"id $id: got ${got(id)}, want $expect")
+    }
+  }
+
   test("text_pii redacts the injected contact info on every row") {
     val rows = Relational4.textPii(spark, sf).collect()
     assert(rows.nonEmpty)
