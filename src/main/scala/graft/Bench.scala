@@ -46,11 +46,16 @@ object Bench {
   private def timeOnce(spark: org.apache.spark.sql.SparkSession,
                        sfDir: String,
                        fn: (org.apache.spark.sql.SparkSession, String) =>
-                         org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+                         org.apache.spark.sql.DataFrame)
+      : (Double, Boolean, Option[org.apache.spark.sql.DataFrame]) = {
     val t0 = System.nanoTime()
-    val failed =
-      try { fn(spark, sfDir).queryExecution.toRdd.count(); false }
-      catch { case scala.util.control.NonFatal(_) => true }
+    val executed =
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.count()
+        Some(df)
+      }
+      catch { case scala.util.control.NonFatal(_) => None }
     val secs = (System.nanoTime() - t0) / 1e9
     // drop the checkpoint/cache blocks the query materialized, OUTSIDE
     // its timed window: queries are independent jobs, and letting 248
@@ -61,7 +66,10 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     spark.sharedState.cacheManager.clearCache()
-    (secs, failed)
+    // the frame rides back so the caller can read the pass's
+    // shuffle-write metrics post-hoc (driver-side SQLMetric values
+    // survive the unpersist — no extra jobs)
+    (secs, executed.isEmpty, executed)
   }
 
   /** Three CONSECUTIVE passes per query (rev 4), queries in
@@ -112,34 +120,49 @@ object Bench {
     * its value. */
   private def bench(spark: org.apache.spark.sql.SparkSession, sfDir: String)
       : (Map[String, Double], List[String], Map[String, Seq[Double]],
-         Map[String, Double]) = {
+         Map[String, Double], Map[String, (Long, Long)]) = {
     val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val passes = scala.collection.mutable.ArrayBuffer
-        .empty[(Double, Boolean)]
+        .empty[(Double, Boolean, Option[org.apache.spark.sql.DataFrame])]
       passes ++= Seq.fill(3)(timeOnce(spark, sfDir, fn))
-      def steady = passes.drop(1).collect { case (t, false) => t }
+      def steady = passes.drop(1).collect { case (t, false, _) => t }
       var extras = 0
       while (extras < 2 && steady.nonEmpty &&
              steady.max / steady.min > 1.5) {
         passes += timeOnce(spark, sfDir, fn)
         extras += 1
       }
-      name -> passes.toSeq
+      // shuffle-write metrics of the last executed pass: deterministic
+      // per plan+data (unlike wall time), so a round-over-round change
+      // here is a PLAN change — the regression signal host noise can't
+      // fake or hide. Read post-hoc from driver-side SQLMetrics; no
+      // extra execution. (Exchanges below a Checkpoints.cut ran at
+      // query construction and are out of this plan tree — the number
+      // covers the timed final plan.)
+      val shuffle = passes.reverseIterator.collectFirst {
+        case (_, false, Some(df)) =>
+          val st = graft.engine.Metrics.statsOfExecuted(df)
+          (st.recordsWritten, st.bytesWritten)
+      }
+      (name, passes.toSeq.map(p => (p._1, p._2)), shuffle)
     }
     val failed = all.collect {
-      case (k, ps) if ps.exists(_._2) => k
+      case (k, ps, _) if ps.exists(_._2) => k
     }.toList.sorted
     val ok = all.collect {
-      case (k, ps) if !ps.exists(_._2) =>
+      case (k, ps, _) if !ps.exists(_._2) =>
         k -> lowerMedianOfClean(ps.tail.map(_._1))
     }.toMap
-    val runs = all.map { case (k, ps) => k -> ps.map(_._1) }.toMap
+    val runs = all.map { case (k, ps, _) => k -> ps.map(_._1) }.toMap
     val spread = all.collect {
-      case (k, ps) if !ps.exists(_._2) =>
+      case (k, ps, _) if !ps.exists(_._2) =>
         val st = ps.tail.map(_._1)
         k -> st.max / st.min
     }.toMap
-    (ok, failed, runs, spread)
+    val shuffles = all.collect {
+      case (k, _, Some(s)) => k -> s
+    }.toMap
+    (ok, failed, runs, spread, shuffles)
   }
 
   /** The rev-5 per-query statistic: drop steady passes more than 1.5×
@@ -155,7 +178,8 @@ object Bench {
   private def json(results: Map[String, Double], failed: List[String],
                    sfDir: String, extra: String,
                    runs: Map[String, Seq[Double]] = Map.empty,
-                   spread: Map[String, Double] = Map.empty): String = {
+                   spread: Map[String, Double] = Map.empty,
+                   shuffles: Map[String, (Long, Long)] = Map.empty): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // comma decimals on e.g. de_DE JVMs — invalid JSON
     def fmt(v: Double) =
@@ -185,8 +209,20 @@ object Bench {
             String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
         }
         .mkString("{", ",", "}")
+    // per-query shuffle-write records/bytes of the last timed pass:
+    // deterministic per plan+data, so drift here = a plan change, not
+    // host noise (artifact-only; additive to the rev-5 schema — the
+    // timing statistic is untouched)
+    val sh =
+      if (shuffles.isEmpty) ""
+      else ",\"shuffle_records\":" + shuffles.toSeq.sortBy(_._1)
+        .map { case (k, (r, _)) => "\"" + k + "\":" + r }
+        .mkString("{", ",", "}") +
+        ",\"shuffle_bytes\":" + shuffles.toSeq.sortBy(_._1)
+          .map { case (k, (_, b)) => "\"" + k + "\":" + b }
+          .mkString("{", ",", "}")
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -234,11 +270,11 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case scala.util.control.NonFatal(_) => () }
 
-    val (results, failed, runs, spread) = bench(spark, sfDir)
+    val (results, failed, runs, spread, shuffles) = bench(spark, sfDir)
     // persist the primary result IMMEDIATELY: the optional secondary pass
     // doubles the runtime, and an external timeout mid-secondary must not
     // cost the round its primary perf artifact
-    writeArtifact(json(results, failed, sfDir, "", runs, spread))
+    writeArtifact(json(results, failed, sfDir, "", runs, spread, shuffles))
 
     // secondary scale factor: the largest sibling STRICTLY SMALLER than
     // the primary, so round-over-round comparisons can see scaling — and
@@ -255,12 +291,12 @@ object Bench {
       .lastOption
     val extra = secondary match {
       case Some(dir) =>
-        val (r2, f2, runs2, sp2) = bench(spark, dir.toString)
-        "," + "\"secondary\":" + json(r2, f2, dir.toString, "", runs2, sp2)
+        val (r2, f2, runs2, sp2, sh2) = bench(spark, dir.toString)
+        "," + "\"secondary\":" + json(r2, f2, dir.toString, "", runs2, sp2, sh2)
       case None => ""
     }
 
-    writeArtifact(json(results, failed, sfDir, extra, runs, spread)) // file: primary + secondary
+    writeArtifact(json(results, failed, sfDir, extra, runs, spread, shuffles)) // file: primary + secondary
     // stdout gets a BUDGETED line: the driver captures a bounded tail of
     // stdout, and even the primary-only line overflowed it in r03 once the
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the

@@ -25,8 +25,17 @@ object Metrics {
     * exchange in the final (AQE-resolved) plan. Reused exchanges are
     * counted once — their write happened once. */
   def shuffleStats(df: DataFrame): ShuffleStats = {
-    val qe = df.queryExecution
-    qe.toRdd.count() // executes THIS QueryExecution's physical plan
+    df.queryExecution.toRdd.count() // executes THIS QueryExecution's plan
+    statsOfExecuted(df)
+  }
+
+  /** Read the shuffle-write metrics of a frame whose QueryExecution
+    * has ALREADY run (e.g. the last timed pass of a bench query) —
+    * walk-only, no jobs. Scope caveat: exchanges below a
+    * [[graft.engine.ops.Checkpoints.cut]] materialized at query
+    * construction are not in this plan tree and are not counted —
+    * the numbers cover the timed final plan. */
+  def statsOfExecuted(df: DataFrame): ShuffleStats = {
     var exchanges = 0
     var records = 0L
     var bytes = 0L
@@ -43,7 +52,7 @@ object Metrics {
         other.children.foreach(walk)
         other.subqueries.foreach(walk)
     }
-    walk(qe.executedPlan)
+    walk(df.queryExecution.executedPlan)
     ShuffleStats(exchanges, records, bytes)
   }
 }

@@ -21,6 +21,22 @@ class MetricsSpec extends AnyFunSuite {
     assert(s.recordsWritten == 0L, s"map-only plan wrote shuffle records: $s")
   }
 
+  test("statsOfExecuted reads an executed plan's metrics without jobs, " +
+    "matching shuffleStats exactly") {
+    import spark.implicits._
+    val df = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    val executed = Metrics.shuffleStats(df) // runs the plan
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val readBack = Metrics.statsOfExecuted(df) // walk-only
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(readBack == executed,
+      s"post-hoc read $readBack differs from execute-time stats $executed")
+    assert(jobsAfter == jobsBefore,
+      "statsOfExecuted launched jobs — it must be a driver-side walk " +
+        "(Bench reads it after every timed pass)")
+  }
+
   test("partial aggregation shuffles O(groups × partitions), not O(rows)") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

@@ -37,9 +37,19 @@ def headline(d):
     return out
 
 
+def load(path):
+    d = json.load(open(path))
+    # the driver's BENCH_r{N}.json wraps the builder artifact it parsed
+    # from stdout under "parsed" — unwrap so committed round artifacts
+    # compare directly against a local bench_out.json
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        return d["parsed"]
+    return d
+
+
 def main():
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
+    old = load(sys.argv[1])
+    new = load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     if old.get("sf") != new.get("sf"):
         print(f"WARNING: sf differs ({old.get('sf')} vs {new.get('sf')})")
@@ -79,6 +89,27 @@ def main():
         print("improved >1.5x:")
         for q, o, n in sorted(improved, key=lambda x: x[2] - x[1])[:15]:
             print(f"  {q}: {o:.2f}s -> {n:.2f}s")
+
+    # shuffle-record drift: unlike wall time, shuffle volume is
+    # deterministic per plan+data, so ANY change here is a plan change
+    # — the regression signal host noise can neither fake nor hide.
+    # (Field present from round 13; silently absent on older artifacts.)
+    so, sn = old.get("shuffle_records"), new.get("shuffle_records")
+    if so and sn:
+        shared = sorted(set(so) & set(sn))
+        moved = [(q, so[q], sn[q]) for q in shared
+                 if sn[q] != so[q] and max(so[q], sn[q]) > 1000
+                 and (so[q] == 0 or sn[q] / max(so[q], 1) > 1.1
+                      or sn[q] / max(so[q], 1) < 0.9)]
+        print(f"shuffle-record drift (>10% and >1000 records, "
+              f"{len(shared)} shared queries):")
+        if not moved:
+            print("  EMPTY - no plan moved its shuffle volume")
+        for q, o, n in sorted(moved, key=lambda x: -abs(x[2] - x[1]))[:20]:
+            print(f"  {q}: {o} -> {n} records")
+    elif sn and not so:
+        print("shuffle-record drift: old artifact predates the field; "
+              "baseline established this round")
 
 
 if __name__ == "__main__":
