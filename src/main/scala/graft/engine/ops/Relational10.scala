@@ -250,9 +250,16 @@ object Relational10 {
     * counts, the top-[[SkewTopK]] heavy hitters by (count desc, key),
     * each key's corpus share in basis points and its skew factor vs
     * the mean key (count·K·10⁴ DIV N — >10⁴ means hotter than
-    * average). ONE map-side-combined count aggregate (the shuffle
-    * carries distinct keys); totals are a 1-row broadcast; the top-K
-    * over a total order plans TakeOrdered, never a global sort. */
+    * average). The ratio products run in DECIMAL(38,0) (HUGEINT
+    * oracle): a BIGINT c·n_keys·10⁴ overflows at corpus-scale counts
+    * times corpus-scale key cardinality — exactly the regime this
+    * diagnostic exists for — throwing under ANSI mode or silently
+    * mis-profiling the hottest keys under legacy wrap; decimal is
+    * exact to 1e38, and the emitted ratios are small by construction
+    * (share ≤ 10⁴, skew ≤ n_keys·10⁴). ONE map-side-combined count
+    * aggregate (the shuffle carries distinct keys); totals are a
+    * 1-row broadcast; the top-K over a total order plans TakeOrdered,
+    * never a global sort. */
   val dataSkewProfile: Q = (s, d) => {
     val counts = Tables.events(s, d).groupBy($"user_id")
       .agg(count(lit(1)).as("c"))
@@ -262,8 +269,10 @@ object Relational10 {
       .orderBy($"c".desc, $"user_id")
       .limit(SkewTopK)
       .select($"user_id", $"c", $"n_total", $"n_keys",
-        expr("c * 10000 DIV n_total").as("share_bp"),
-        expr("c * n_keys * 10000 DIV n_total").as("skew_e4"))
+        expr("CAST(c AS DECIMAL(38,0)) * 10000 DIV n_total")
+          .as("share_bp"),
+        expr("CAST(c AS DECIMAL(38,0)) * n_keys * 10000 DIV n_total")
+          .as("skew_e4"))
   }
 
   // ---------------------------------------------------------------- hashing trick
@@ -427,8 +436,10 @@ object Relational10 {
         | t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
         |              CAST(count(1) AS BIGINT) AS n_keys FROM c)
         |SELECT user_id, c, n_total, n_keys,
-        |  c * 10000 // n_total AS share_bp,
-        |  c * n_keys * 10000 // n_total AS skew_e4
+        |  CAST(CAST(c AS HUGEINT) * 10000 // n_total AS BIGINT)
+        |    AS share_bp,
+        |  CAST(CAST(c AS HUGEINT) * n_keys * 10000 // n_total AS BIGINT)
+        |    AS skew_e4
         |FROM c, t
         |ORDER BY c DESC, user_id LIMIT $SkewTopK""".stripMargin,
 

@@ -433,19 +433,31 @@ object Relational6 {
     * spelling of the rank formula `G = (2Σi·xᵢ − (n+1)Σxᵢ) / (nΣxᵢ)`
     * over ascending ranks: ties contribute the same Σi·xᵢ under any
     * tie order, so the result is deterministic without a unique sort
-    * key. ONE source-hash exchange feeds both the ranking window and
-    * the aggregate; emitted in integer millionths. */
+    * key. The rank-weighted sums run in DECIMAL(38,0) (HUGEINT
+    * oracle): a BIGINT `Σi·x` overflows once n·x̄·n/2 passes ~9e18 —
+    * ~1e7 docs per source at 1e5-char documents, certain inside a
+    * 100 TB corpus — throwing under ANSI mode or silently corrupting
+    * the coefficient under legacy wrap; decimal keeps the identical
+    * values exact to ~1e15 docs/source (the tsAcf discipline). ONE
+    * source-hash exchange feeds both the ranking window and the
+    * aggregate; emitted in integer millionths. */
+  /** The decimal Gini spelling over (n, sx, six) — shared with the
+    * spec's past-BIGINT-range canary so the canary exercises the
+    * exact production expression. */
+  private[graft] val GiniE6Expr =
+    "CAST(((2 * six - (CAST(n AS DECIMAL(38,0)) + 1) * sx)" +
+      " * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
+
   val aggGini: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.partitionBy($"source").orderBy($"x", $"doc_id")
     Tables.documents(s, d)
       .select($"source", $"doc_id", $"n_chars".cast("long").as("x"))
       .withColumn("i", row_number().over(w).cast("long"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
-        sum($"i" * $"x").as("six"))
-      .select($"source", $"n",
-        expr("((2 * six - (n + 1) * sx) * 1000000) DIV (n * sx)")
-          .as("gini_e6"))
+      .agg(count(lit(1)).as("n"), sum($"x".cast(dec)).as("sx"),
+        sum($"i".cast(dec) * $"x").as("six"))
+      .select($"source", $"n", expr(GiniE6Expr).as("gini_e6"))
       .orderBy($"source")
   }
 
@@ -850,11 +862,12 @@ object Relational6 {
         |  FROM documents),
         | s AS (
         |  SELECT source, CAST(count(1) AS BIGINT) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) AS six
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(i AS HUGEINT) * x) AS six
         |  FROM r GROUP BY source)
         |SELECT source, n,
-        |  CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT)
-        |    AS gini_e6
+        |  CAST(((2 * six - (CAST(n AS HUGEINT) + 1) * sx) * 1000000)
+        |    // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_e6
         |FROM s ORDER BY source""".stripMargin,
     "text_ttr" ->
       """WITH t AS (

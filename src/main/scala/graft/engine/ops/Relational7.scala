@@ -116,9 +116,20 @@ object Relational7 {
     * previous-point dependence — this variant is one window pass, so
     * it parallelizes by bucket at any scale.
     *
+    * The n-scaled deviation runs in DECIMAL(38,0) (HUGEINT oracle): a
+    * BIGINT `v_mu·n` wraps once a bucket holds ~9e12 µ-unit-rows —
+    * inside a 100 TB stream's hot hours — and a silent legacy wrap
+    * would pick the WRONG survivor per bucket; decimal keeps the
+    * argmax comparison exact to 1e38. Only the reported `dev`
+    * magnitude is cast back to BIGINT at output (loud under ANSI if a
+    * bucket's deviation itself outgrows 9.2e18 — at that point the
+    * stream should bucket finer, as any per-bucket global statistic
+    * must).
+    *
     * ONE shuffle: count/sum/max windows and the final argmax
     * aggregate all cluster by bucket_us. */
   val tsDownsample: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.partitionBy($"bucket_us")
     Tables.events(s, d)
       .select($"event_id",
@@ -127,14 +138,14 @@ object Relational7 {
       .withColumn("bucket_us",
         expr("ts_us DIV 3600000000 * 3600000000"))
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("sum_mu", sum($"v_mu").over(w))
-      .withColumn("dev", abs($"v_mu" * $"n" - $"sum_mu"))
+      .withColumn("sum_mu", sum($"v_mu".cast(dec)).over(w))
+      .withColumn("dev", abs($"v_mu".cast(dec) * $"n" - $"sum_mu"))
       .withColumn("maxd", max($"dev").over(w))
       .filter($"dev" === $"maxd")
       .groupBy($"bucket_us")
       .agg(min($"event_id").as("event_id"),
         min_by($"v_mu", $"event_id").as("v_mu"),
-        max($"dev").as("dev"),
+        max($"dev").cast("long").as("dev"),
         max($"n").as("n_in_bucket"))
       .orderBy($"bucket_us")
   }
@@ -148,9 +159,25 @@ object Relational7 {
     * uniform). Shannon entropy is deliberately NOT emitted: libm `ln`
     * is not correctly rounded, so floor-scaling it is a cross-engine
     * half-ulp hazard, while these forms are closed under integer
-    * arithmetic. Two map-side-combined hash aggregates on keys that
-    * nest ((source, lang) → source), so the second is shuffle-free
-    * under the first's partitioning. */
+    * arithmetic. The quadratic count terms run in DECIMAL(38,0)
+    * (HUGEINT oracle): a BIGINT `c·c` overflows past ~3e9 docs per
+    * (source, lang) and `n_docs²·10⁶` past a mere ~3e6 docs per
+    * source — certain inside a 100 TB corpus — throwing under ANSI
+    * mode or silently corrupting both indices under legacy wrap;
+    * decimal keeps the identical values exact to ~1e16 docs/source
+    * (the tsAcf discipline). Two map-side-combined hash aggregates on
+    * keys that nest ((source, lang) → source), so the second is
+    * shuffle-free under the first's partitioning. */
+  /** The decimal index spellings over (n_docs, ss) — shared with the
+    * spec's past-BIGINT-range canary so the canary exercises the
+    * exact production expressions. */
+  private[graft] val SimpsonE6Expr =
+    "CAST((CAST(n_docs AS DECIMAL(38,0)) * n_docs - ss) * 1000000" +
+      " DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
+  private[graft] val EffLangsE4Expr =
+    "CAST(CAST(n_docs AS DECIMAL(38,0)) * n_docs * 10000 DIV ss" +
+      " AS BIGINT)"
+
   val aggDiversity: Q = (s, d) =>
     Tables.documents(s, d)
       .groupBy($"source", $"lang")
@@ -158,11 +185,10 @@ object Relational7 {
       .groupBy($"source")
       .agg(sum($"c").as("n_docs"),
         count(lit(1)).as("n_langs"),
-        sum($"c" * $"c").as("ss"))
-      .withColumn("simpson_e6",
-        expr("(n_docs * n_docs - ss) * 1000000 DIV (n_docs * n_docs)"))
-      .withColumn("eff_langs_e4",
-        expr("n_docs * n_docs * 10000 DIV ss"))
+        sum($"c".cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * $"c").as("ss"))
+      .withColumn("simpson_e6", expr(SimpsonE6Expr))
+      .withColumn("eff_langs_e4", expr(EffLangsE4Expr))
       .select($"source", $"n_docs", $"n_langs", $"simpson_e6",
         $"eff_langs_e4")
       .orderBy($"source")
@@ -220,20 +246,29 @@ object Relational7 {
     * row per user is where the series' level most plausibly shifted
     * (the telemetry/drift alarm primitive); position also reported as
     * basis points through the series. Ties break to the smallest
-    * event_id. ONE user-hash exchange: ordered running sum, unordered
-    * totals, and the final argmax aggregate all cluster on user_id. */
+    * event_id. The n-scaled statistic runs in DECIMAL(38,0) (HUGEINT
+    * oracle): a BIGINT `n·cums` wraps once a user's series passes
+    * ~3e6 µ-unit-rows — routine inside a 100 TB stream — and a silent
+    * legacy wrap would alarm on the WRONG row; decimal keeps the
+    * argmax comparison exact to 1e38, with only the reported
+    * `dev_max` magnitude cast back to BIGINT at output (loud under
+    * ANSI past 9.2e18 — at that scale the series is downsampled
+    * first, as any per-key global statistic must be). ONE user-hash
+    * exchange: ordered running sum, unordered totals, and the final
+    * argmax aggregate all cluster on user_id. */
   val tsChangepoint: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
     val wAll = Window.partitionBy($"user_id")
     Tables.events(s, d)
       .select($"user_id", $"event_id",
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
         expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
-      .withColumn("cums", sum($"v_mu").over(
+      .withColumn("cums", sum($"v_mu".cast(dec)).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("t", row_number().over(wOrd).cast("long"))
       .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("sy", sum($"v_mu").over(wAll))
+      .withColumn("sy", sum($"v_mu".cast(dec)).over(wAll))
       .withColumn("dev", abs($"n" * $"cums" - $"t" * $"sy"))
       .withColumn("maxd", max($"dev").over(wAll))
       .filter($"dev" === $"maxd")
@@ -241,7 +276,7 @@ object Relational7 {
       .agg(min($"event_id").as("cp_event_id"),
         min_by($"t", $"event_id").as("tSel"),
         max($"n").as("nAll"),
-        max($"dev").as("dev_max"))
+        max($"dev").cast("long").as("dev_max"))
       .select($"user_id", $"cp_event_id",
         expr("tSel * 10000 DIV nAll").as("cp_pos_bp"), $"dev_max")
       .orderBy($"user_id")
@@ -470,12 +505,12 @@ object Relational7 {
         | scored AS (
         |  SELECT event_id, v_mu, bucket_us,
         |    count(1) OVER w AS n,
-        |    sum(v_mu) OVER w AS sum_mu
+        |    sum(CAST(v_mu AS HUGEINT)) OVER w AS sum_mu
         |  FROM b WINDOW w AS (PARTITION BY bucket_us)),
         | dev AS (
         |  SELECT event_id, v_mu, bucket_us, n,
-        |    abs(v_mu * n - sum_mu) AS dev,
-        |    max(abs(v_mu * n - sum_mu))
+        |    abs(CAST(v_mu AS HUGEINT) * n - sum_mu) AS dev,
+        |    max(abs(CAST(v_mu AS HUGEINT) * n - sum_mu))
         |      OVER (PARTITION BY bucket_us) AS maxd
         |  FROM scored)
         |SELECT bucket_us,
@@ -531,12 +566,12 @@ object Relational7 {
         |  FROM events),
         | st AS (
         |  SELECT user_id, event_id,
-        |    sum(v_mu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS cums,
+        |    sum(CAST(v_mu AS HUGEINT)) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS cums,
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts_us, event_id) AS BIGINT) AS t,
         |    count(1) OVER (PARTITION BY user_id) AS n,
-        |    sum(v_mu) OVER (PARTITION BY user_id) AS sy
+        |    sum(CAST(v_mu AS HUGEINT)) OVER (PARTITION BY user_id) AS sy
         |  FROM e),
         | dev AS (
         |  SELECT user_id, event_id, t, n,
@@ -641,12 +676,13 @@ object Relational7 {
         |  SELECT source,
         |    CAST(sum(c) AS BIGINT) AS n_docs,
         |    CAST(count(1) AS BIGINT) AS n_langs,
-        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |    sum(CAST(c AS HUGEINT) * c) AS ss
         |  FROM per GROUP BY source)
         |SELECT source, n_docs, n_langs,
-        |  CAST((n_docs * n_docs - ss) * 1000000 // (n_docs * n_docs)
-        |    AS BIGINT) AS simpson_e6,
-        |  CAST(n_docs * n_docs * 10000 // ss AS BIGINT) AS eff_langs_e4
+        |  CAST((CAST(n_docs AS HUGEINT) * n_docs - ss) * 1000000
+        |    // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS simpson_e6,
+        |  CAST(CAST(n_docs AS HUGEINT) * n_docs * 10000 // ss AS BIGINT)
+        |    AS eff_langs_e4
         |FROM agg ORDER BY source""".stripMargin,
   )
 }

@@ -197,14 +197,22 @@ object TextOps {
   }
 
   /** Top-3 keywords per document by an INTEGER-EXACT tf-idf ranking:
-    * score = tf · N_docs · 10⁶ DIV df (BIGINT division). Log-free on
-    * purpose — ln()'s low bits are implementation-defined, so a
-    * conventional tf·ln(N/df) could rank ties differently across
-    * engines; integer scores rank identically everywhere and preserve
-    * the tf·(N/df) order. Shape: one tf aggregate (doc, term), one
-    * vocab-sized df aggregate, an equi-join on term, and a per-doc
-    * ranked window — every stage partial-aggregates map-side; nothing
-    * is corpus-global except the broadcast scalar N. */
+    * score = tf · N_docs · 10⁶ DIV df. Log-free on purpose — ln()'s
+    * low bits are implementation-defined, so a conventional
+    * tf·ln(N/df) could rank ties differently across engines; integer
+    * scores rank identically everywhere and preserve the tf·(N/df)
+    * order. The product runs in DECIMAL(38,0) (HUGEINT oracle): in
+    * BIGINT, tf·N_docs·10⁶ overflows once N_docs·tf passes ~9e12 —
+    * any 100 TB corpus — throwing under ANSI mode or silently
+    * re-ranking every keyword under legacy wrap; the decimal product
+    * is exact to ~1e38, so the BIGINT quotient (DIV's result type)
+    * narrows only when the SCORE itself exceeds 9.2e18 — i.e.
+    * tf·N/df·10⁶, which only an appears-in-~every-doc term reaches,
+    * and such terms are stopwords by construction. Shape: one tf
+    * aggregate (doc, term), one vocab-sized df aggregate, an
+    * equi-join on term, and a per-doc ranked window — every stage
+    * partial-aggregates map-side; nothing is corpus-global except the
+    * broadcast scalar N. */
   val textTfidf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).repartition($"doc_id")
@@ -215,7 +223,8 @@ object TextOps {
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
     tf.join(df, "term")
       .crossJoin(broadcast(n))
-      .withColumn("score", expr("tf * n_docs * 1000000 DIV df"))
+      .withColumn("score", expr(
+        "CAST(tf AS DECIMAL(38,0)) * n_docs * 1000000 DIV df"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"doc_id", $"term", $"score")
@@ -718,9 +727,12 @@ object TextOps {
         | df AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
         | n AS (SELECT count(1) AS n_docs FROM documents),
         | scored AS (
-        |  SELECT doc_id, tf.term AS term, (tf * n_docs * 1000000) // df AS score,
+        |  SELECT doc_id, tf.term AS term,
+        |    CAST((CAST(tf AS HUGEINT) * n_docs * 1000000) // df AS BIGINT)
+        |      AS score,
         |    row_number() OVER (PARTITION BY doc_id
-        |                       ORDER BY (tf * n_docs * 1000000) // df DESC, tf.term) AS rn
+        |      ORDER BY (CAST(tf AS HUGEINT) * n_docs * 1000000) // df DESC,
+        |        tf.term) AS rn
         |  FROM tf JOIN df ON tf.term = df.term, n)
         |SELECT doc_id, term, score FROM scored WHERE rn <= 3
         |ORDER BY doc_id, score DESC, term""".stripMargin,

@@ -282,6 +282,34 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("agg_gini's rank-weighted formula is exact past the BIGINT-product " +
+    "range (a 100 TB corpus's per-source doc counts)") {
+    // Σi·x overflows BIGINT once n·x̄·n/2 passes ~9e18 (~1e7 docs per
+    // source at 1e5-char documents) — the decimal spelling must keep
+    // computing the true coefficient, checked against BigInt math on
+    // aggregates synthesized at corpus scale
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // (n docs, per-doc char count): past-overflow scales with skew so
+    // gini is non-trivial — one giant doc atop n-1 uniform ones
+    Seq((20000000L, 100000L), (1000000000L, 30000L)).foreach {
+      case (n, x) =>
+        val big = 50L * x // the giant doc, rank n (largest)
+        val sx = BigInt(x) * (n - 1) + big
+        // uniform docs occupy ranks 1..n-1: Σi·x = x·(n-1)n/2, + big·n
+        val six = BigInt(x) * (BigInt(n - 1) * n / 2) + BigInt(big) * n
+        val exp = (((2 * six - (BigInt(n) + 1) * sx) * 1000000) /
+          (BigInt(n) * sx)).toLong
+        val got = Seq((n, sx.toString, six.toString)).toDF("n", "sxs", "sixs")
+          .select($"n", $"sxs".cast(dec).as("sx"), $"sixs".cast(dec).as("six"))
+          .select(expr(engine.ops.Relational6.GiniE6Expr).as("gini_e6"))
+          .head().getLong(0)
+        assert(got == exp,
+          s"n=$n: decimal gini $got != BigInt reference $exp")
+        assert(exp >= 0 && exp < 1000000, "canary itself must be in range")
+    }
+  }
+
   test("text_ttr invariants: types <= tokens, hapax <= types, ratios bounded") {
     val rows = engine.ops.Relational6.textTtr(spark, sf).collect()
     assert(rows.nonEmpty)

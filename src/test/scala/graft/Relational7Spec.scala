@@ -102,6 +102,37 @@ class Relational7Spec extends AnyFunSuite {
     }
   }
 
+  test("agg_diversity's quadratic indices are exact past the BIGINT-product " +
+    "range (a 100 TB corpus's per-source doc counts)") {
+    // n_docs²·10⁶ overflows BIGINT past a mere ~3e6 docs per source and
+    // c·c past ~3e9 per (source, lang) — the decimal spellings must keep
+    // computing the true indices, checked against BigInt math on
+    // language-count mixes synthesized at corpus scale
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(
+      Seq(3000000L, 2999999L),          // just past the ×10⁶ edge
+      Seq(4000000000L, 1000000000L),    // c·c past BIGINT
+      Seq(900000000000L, 90000000000L, 10000000000L) // 1e12 docs
+    ).foreach { counts =>
+      val ss = counts.map(c => BigInt(c) * c).sum
+      val n2 = BigInt(counts.sum) * counts.sum
+      val expSimpson = ((n2 - ss) * 1000000 / n2).toLong
+      val expEff = (n2 * 10000 / ss).toLong
+      val got = counts.toDF("c")
+        .agg(sum($"c").as("n_docs"),
+          sum($"c".cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * $"c").as("ss"))
+        .select(expr(Relational7.SimpsonE6Expr).as("simpson_e6"),
+          expr(Relational7.EffLangsE4Expr).as("eff_langs_e4"))
+        .head()
+      assert(got.getLong(0) == expSimpson,
+        s"counts=$counts: decimal simpson ${got.getLong(0)} != $expSimpson")
+      assert(got.getLong(1) == expEff,
+        s"counts=$counts: decimal eff-langs ${got.getLong(1)} != $expEff")
+    }
+  }
+
   test("dedup_substring fractions are bounded and duplication is mutual") {
     val rows = DedupOps.dedupSubstring(spark, sf).collect()
     assert(rows.nonEmpty)
