@@ -116,15 +116,18 @@ object Relational7 {
     * previous-point dependence — this variant is one window pass, so
     * it parallelizes by bucket at any scale.
     *
-    * The n-scaled deviation runs in DECIMAL(38,0) (HUGEINT oracle): a
-    * BIGINT `v_mu·n` wraps once a bucket holds ~9e12 µ-unit-rows —
-    * inside a 100 TB stream's hot hours — and a silent legacy wrap
-    * would pick the WRONG survivor per bucket; decimal keeps the
-    * argmax comparison exact to 1e38. Only the reported `dev`
-    * magnitude is cast back to BIGINT at output (loud under ANSI if a
-    * bucket's deviation itself outgrows 9.2e18 — at that point the
-    * stream should bucket finer, as any per-bucket global statistic
-    * must).
+    * The n-scaled deviation PRODUCT runs in DECIMAL(38,0) (HUGEINT
+    * oracle): a BIGINT `v_mu·n` wraps once a bucket holds ~9e12
+    * µ-unit-rows — inside a 100 TB stream's hot hours — and a silent
+    * legacy wrap would pick the WRONG survivor per bucket; the
+    * decimal product keeps the argmax comparison exact to 1e38. The
+    * count/sum WINDOWS stay BIGINT (decimal window accumulators
+    * measured 2× the whole-query cost; a BIGINT bucket sum holds to
+    * ~9e12 µ-unit-rows and fails loudly under ANSI past it), and only
+    * the reported `dev` magnitude is cast back at output (loud under
+    * ANSI if a bucket's deviation itself outgrows 9.2e18 — at that
+    * point the stream should bucket finer, as any per-bucket global
+    * statistic must).
     *
     * ONE shuffle: count/sum/max windows and the final argmax
     * aggregate all cluster by bucket_us. */
@@ -138,8 +141,9 @@ object Relational7 {
       .withColumn("bucket_us",
         expr("ts_us DIV 3600000000 * 3600000000"))
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("sum_mu", sum($"v_mu".cast(dec)).over(w))
-      .withColumn("dev", abs($"v_mu".cast(dec) * $"n" - $"sum_mu"))
+      .withColumn("sum_mu", sum($"v_mu").over(w))
+      .withColumn("dev",
+        abs($"v_mu".cast(dec) * $"n" - $"sum_mu".cast(dec)))
       .withColumn("maxd", max($"dev").over(w))
       .filter($"dev" === $"maxd")
       .groupBy($"bucket_us")
@@ -246,12 +250,15 @@ object Relational7 {
     * row per user is where the series' level most plausibly shifted
     * (the telemetry/drift alarm primitive); position also reported as
     * basis points through the series. Ties break to the smallest
-    * event_id. The n-scaled statistic runs in DECIMAL(38,0) (HUGEINT
+    * event_id. The n-scaled PRODUCT runs in DECIMAL(38,0) (HUGEINT
     * oracle): a BIGINT `n·cums` wraps once a user's series passes
     * ~3e6 µ-unit-rows — routine inside a 100 TB stream — and a silent
-    * legacy wrap would alarm on the WRONG row; decimal keeps the
-    * argmax comparison exact to 1e38, with only the reported
-    * `dev_max` magnitude cast back to BIGINT at output (loud under
+    * legacy wrap would alarm on the WRONG row; the decimal product
+    * keeps the argmax comparison exact to 1e38. The running/total sum
+    * WINDOWS stay BIGINT (decimal window accumulators measured 2× the
+    * whole-query cost; a BIGINT series sum holds to ~9e12 µ-unit-rows
+    * and fails loudly under ANSI past it), and only the reported
+    * `dev_max` magnitude is cast back to BIGINT at output (loud under
     * ANSI past 9.2e18 — at that scale the series is downsampled
     * first, as any per-key global statistic must be). ONE user-hash
     * exchange: ordered running sum, unordered totals, and the final
@@ -264,12 +271,13 @@ object Relational7 {
       .select($"user_id", $"event_id",
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
         expr("CAST(floor(value * 1000) AS BIGINT)").as("v_mu"))
-      .withColumn("cums", sum($"v_mu".cast(dec)).over(
+      .withColumn("cums", sum($"v_mu").over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("t", row_number().over(wOrd).cast("long"))
       .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("sy", sum($"v_mu".cast(dec)).over(wAll))
-      .withColumn("dev", abs($"n" * $"cums" - $"t" * $"sy"))
+      .withColumn("sy", sum($"v_mu").over(wAll))
+      .withColumn("dev",
+        abs($"n" * $"cums".cast(dec) - $"t" * $"sy".cast(dec)))
       .withColumn("maxd", max($"dev").over(wAll))
       .filter($"dev" === $"maxd")
       .groupBy($"user_id")
@@ -505,12 +513,12 @@ object Relational7 {
         | scored AS (
         |  SELECT event_id, v_mu, bucket_us,
         |    count(1) OVER w AS n,
-        |    sum(CAST(v_mu AS HUGEINT)) OVER w AS sum_mu
+        |    sum(v_mu) OVER w AS sum_mu
         |  FROM b WINDOW w AS (PARTITION BY bucket_us)),
         | dev AS (
         |  SELECT event_id, v_mu, bucket_us, n,
-        |    abs(CAST(v_mu AS HUGEINT) * n - sum_mu) AS dev,
-        |    max(abs(CAST(v_mu AS HUGEINT) * n - sum_mu))
+        |    abs(CAST(v_mu AS HUGEINT) * n - CAST(sum_mu AS HUGEINT)) AS dev,
+        |    max(abs(CAST(v_mu AS HUGEINT) * n - CAST(sum_mu AS HUGEINT)))
         |      OVER (PARTITION BY bucket_us) AS maxd
         |  FROM scored)
         |SELECT bucket_us,
@@ -566,17 +574,17 @@ object Relational7 {
         |  FROM events),
         | st AS (
         |  SELECT user_id, event_id,
-        |    sum(CAST(v_mu AS HUGEINT)) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS cums,
+        |    sum(v_mu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cums,
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts_us, event_id) AS BIGINT) AS t,
         |    count(1) OVER (PARTITION BY user_id) AS n,
-        |    sum(CAST(v_mu AS HUGEINT)) OVER (PARTITION BY user_id) AS sy
+        |    sum(v_mu) OVER (PARTITION BY user_id) AS sy
         |  FROM e),
         | dev AS (
         |  SELECT user_id, event_id, t, n,
-        |    abs(n * cums - t * sy) AS dev,
-        |    max(abs(n * cums - t * sy))
+        |    abs(n * CAST(cums AS HUGEINT) - t * CAST(sy AS HUGEINT)) AS dev,
+        |    max(abs(n * CAST(cums AS HUGEINT) - t * CAST(sy AS HUGEINT)))
         |      OVER (PARTITION BY user_id) AS maxd
         |  FROM st)
         |SELECT user_id,

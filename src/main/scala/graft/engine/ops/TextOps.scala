@@ -201,18 +201,25 @@ object TextOps {
     * low bits are implementation-defined, so a conventional
     * tf·ln(N/df) could rank ties differently across engines; integer
     * scores rank identically everywhere and preserve the tf·(N/df)
-    * order. The product runs in DECIMAL(38,0) (HUGEINT oracle): in
-    * BIGINT, tf·N_docs·10⁶ overflows once N_docs·tf passes ~9e12 —
-    * any 100 TB corpus — throwing under ANSI mode or silently
-    * re-ranking every keyword under legacy wrap; the decimal product
-    * is exact to ~1e38, so the BIGINT quotient (DIV's result type)
-    * narrows only when the SCORE itself exceeds 9.2e18 — i.e.
-    * tf·N/df·10⁶, which only an appears-in-~every-doc term reaches,
-    * and such terms are stopwords by construction. Shape: one tf
-    * aggregate (doc, term), one vocab-sized df aggregate, an
-    * equi-join on term, and a per-doc ranked window — every stage
-    * partial-aggregates map-side; nothing is corpus-global except the
-    * broadcast scalar N. */
+    * order. A naive BIGINT tf·N_docs·10⁶ overflows once N_docs·tf
+    * passes ~9e12 — any 100 TB corpus — throwing under ANSI mode or
+    * silently re-ranking every keyword under legacy wrap; and putting
+    * the product in DECIMAL(38,0) on the (doc, term) stream measures
+    * 2× slower (decimals leave the compact-Long codegen path). So the
+    * division is SPLIT instead: per term, q = N·10⁶ DIV df and
+    * r = N·10⁶ % df are computed once on the vocab-sized df aggregate
+    * (in decimal — free at vocab cardinality, exact past BIGINT), and
+    * the per-row score is the algebraically identical
+    * `tf·q + (tf·r) DIV df` — pure BIGINT whole-stage codegen, exact
+    * whenever the score itself is BIGINT-representable (tf·r < tf·df
+    * and tf·q ≤ score never overflow first; only an
+    * appears-in-~every-doc term's score passes 9.2e18, and such terms
+    * are stopwords by construction). The oracle keeps the one-line
+    * HUGEINT product — the differential gate proves the split exact.
+    * Shape: one tf aggregate (doc, term), one vocab-sized df
+    * aggregate, an equi-join on term, and a per-doc ranked window —
+    * every stage partial-aggregates map-side; nothing is
+    * corpus-global except the broadcast scalar N. */
   val textTfidf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).repartition($"doc_id")
@@ -220,11 +227,13 @@ object TextOps {
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n)).select($"term", $"df",
+      expr("CAST(n_docs AS DECIMAL(38,0)) * 1000000 DIV df").as("idf_q"),
+      expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 % df AS BIGINT)")
+        .as("idf_r"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
-    tf.join(df, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("score", expr(
-        "CAST(tf AS DECIMAL(38,0)) * n_docs * 1000000 DIV df"))
+    tf.join(idf, "term")
+      .withColumn("score", expr("tf * idf_q + (tf * idf_r) DIV df"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"doc_id", $"term", $"score")
