@@ -355,7 +355,10 @@ object Relational8 {
     * polyhash(norm_text)) — 16-byte rows shuffle, never full texts;
     * per-source rollup is map-side combined; the corpus total is a
     * 1-row broadcast cross-join. Weights are floor-scaled basis
-    * points, DIV on BIGINT. */
+    * points; the ratio product runs in DECIMAL(38,0) (HUGEINT
+    * oracle) on the |sources|-row rollup — free at that cardinality,
+    * and a BIGINT eff_toks·10⁴ would wrap past ~9e14 tokens in one
+    * source, within reach of a petabyte-class corpus. */
   val mixDedupWeights: Q = (s, d) => {
     TextFeatures.ensureRegistered(s)
     val docs = Tables.documents(s, d)
@@ -372,7 +375,8 @@ object Relational8 {
     val tot = src.agg(sum($"eff_toks").cast("long").as("t"))
     src.crossJoin(broadcast(tot))
       .select($"source", $"eff_toks", $"n_docs", $"n_uniq",
-        expr("(eff_toks * 10000) DIV t").as("weight_bp"))
+        expr("CAST(eff_toks AS DECIMAL(38,0)) * 10000 DIV t")
+          .as("weight_bp"))
       .orderBy($"source")
   }
 
@@ -646,7 +650,8 @@ object Relational8 {
         |  FROM uniq GROUP BY source),
         | tot AS (SELECT CAST(SUM(eff_toks) AS BIGINT) AS t FROM src)
         |SELECT source, eff_toks, n_docs, n_uniq,
-        |  CAST(eff_toks * 10000 // t AS BIGINT) AS weight_bp
+        |  CAST(CAST(eff_toks AS HUGEINT) * 10000 // t AS BIGINT)
+        |    AS weight_bp
         |FROM src, tot ORDER BY source""".stripMargin
     },
     "join_bucketed" ->
