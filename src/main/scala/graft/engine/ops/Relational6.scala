@@ -98,12 +98,19 @@ object Relational6 {
     * key, rank within partitions, add per-partition offsets (a
     * #partitions-sized driver map). No single-task `Window.orderBy`,
     * no driver-side sort — the 100 TB permutation is a range
-    * exchange + local sorts. */
+    * exchange + local sorts. The range width follows
+    * `spark.sql.shuffle.partitions` (NOT a pinned count: global
+    * position = within-partition rank + offset holds for any
+    * contiguous-range partitioning, including AQE-coalesced, so
+    * parallelism scales with the cluster while rows stay identical —
+    * the partition-count invariance sweep exercises exactly this);
+    * only the emitted shard count (`pos % 8`) is part of the query's
+    * contract. */
   val dataShuffle: Q = (s, d) => {
     val hashed = Tables.documents(s, d)
       .select($"doc_id",
         md5(concat(lit("graft:"), $"doc_id".cast("string"))).as("h"))
-      .repartitionByRange(8, $"h", $"doc_id")
+      .repartitionByRange($"h", $"doc_id")
       .withColumn("pid", spark_partition_id())
       .transform(Checkpoints.cut) // pin sampled range boundaries across the two jobs
     val sizes = hashed.groupBy($"pid").agg(count(lit(1)).as("cnt"))
