@@ -332,23 +332,91 @@ object Relational6 {
     visited.orderBy($"dist", $"node")
   }
 
-  /** Grouped multi-quantile profile: one `percentile(col, array(...))`
-    * aggregate computes all four cut points in a single pass (ONE
-    * shuffle, one per-group sort inside the aggregate) and posexplode
-    * melts them to (group, quantile-index, value) rows — vs four
-    * separate percentile aggregates re-sorting the group four times
-    * (the oracle spells it that way; equality also proves the array
-    * form). Exact interpolated percentiles on 2-decimal money doubles,
-    * rounded as in agg_percentile (established hash-green). */
-  val aggQuantiles: Q = (s, d) =>
-    Tables.orders(s, d)
-      .groupBy($"o_orderpriority")
-      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
-        .as("qs"))
-      .select($"o_orderpriority", posexplode($"qs"))
+  /** Grouped multi-quantile profile: exact interpolated percentiles
+    * per priority, computed DISTRIBUTED so no single task ever holds a
+    * group. The built-in grouped `percentile()` buffers every distinct
+    * value of a group in one reducer's hash map and ships it as one
+    * row — a group with 1e9 distinct values OOMs that executor at
+    * 100 TB. Here the corpus range-partitions on (group, value) — a
+    * hot group SPLITS across partitions — with the data moving exactly
+    * once: a per-partition sort, `monotonically_increasing_id` above
+    * it (consecutive within a partition by contract), and the
+    * per-group rank recovered as `mid − min(mid) + rows-before` via a
+    * per-(group, pid) extent table that is ≤ |groups| + #partitions
+    * rows BY CONSTRUCTION (each range partition holds a contiguous
+    * (g, v) run, so it meets at most 2 group boundaries) — the same
+    * control-plane-sized-collect contract as [[Relational3.nearbySum]]
+    * and [[TextOps.mixBudgetAlloc]], valid because the profile key is
+    * an enumerable domain (order priority); a domain-sized group
+    * column would swap the two literal maps for extent-table-sized
+    * broadcast joins, leaving the corpus path unchanged. The
+    * flanking-row pick is a literal-map filter (≤ 8 survivors per
+    * group), and the interpolation `lo + (hi − lo)·frac` matches the
+    * oracle's IEEE arithmetic exactly as in
+    * [[Relational2.aggPercentile]] (both sides rounded to 4). The
+    * checkpoint pins the sampled range boundaries and stamped ids so
+    * the extent scan and the ranked scan see identical values; the
+    * ranks are invariant to where the boundaries land. */
+  val aggQuantiles: Q = (s, d) => {
+    val ranged = Tables.orders(s, d)
+      .select($"o_orderpriority".as("g"), $"o_totalprice".as("v"))
+      .where($"v".isNotNull) // percentile/quantile_cont both skip nulls
+      .repartitionByRange($"g", $"v")
+      .sortWithinPartitions($"g", $"v")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("mid", monotonically_increasing_id())
+      .transform(Checkpoints.cut)
+    val ext = ranged.groupBy($"g", $"pid")
+      .agg(count(lit(1)).as("cnt"), min($"mid").as("mn"))
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // per (g, pid): rows of g before this pid, minus the pid's first
+    // stamped id — one two-level lookup turns `mid` into the 0-based
+    // per-group rank (struct-keyed map-of-maps, never a string concat)
+    val shift: Map[String, Map[Int, Long]] = ext.groupBy(_._1).map {
+      case (g, parts) =>
+        val sorted = parts.sortBy(_._2)
+        val before = sorted.map(_._3).scanLeft(0L)(_ + _)
+        g -> sorted.zip(before)
+          .map { case ((_, pid, _, mn), off) => pid -> (off - mn) }.toMap
+    }
+    val totals = ext.groupBy(_._1).map { case (g, ps) => g -> ps.map(_._3).sum }
+    // percentile marks per group: r = p·(n−1), flanked by ranks
+    // floor(r)/ceil(r) — the same double arithmetic as the oracle
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val marks = totals.map { case (g, n) =>
+      g -> qs.map { p =>
+        val r = p * (n - 1).max(0L)
+        (math.floor(r).toLong, math.ceil(r).toLong, r - math.floor(r))
+      }
+    }
+    val needed: Map[String, Seq[Long]] = marks.map { case (g, ms) =>
+      g -> ms.flatMap { case (lo, hi, _) => Seq(lo, hi) }.distinct.toSeq
+    }
+    val loLit = typedLit(marks.map { case (g, ms) => g -> ms.map(_._1) })
+    val hiLit = typedLit(marks.map { case (g, ms) => g -> ms.map(_._2) })
+    val frLit = typedLit(marks.map { case (g, ms) => g -> ms.map(_._3) })
+    val qv = qs.indices.map { i =>
+      val lo = element_at(element_at(loLit, $"g"), i + 1)
+      val hi = element_at(element_at(hiLit, $"g"), i + 1)
+      val lov = max(when($"idx" === lo, $"v"))
+      val hiv = max(when($"idx" === hi, $"v"))
+      (lov + (hiv - lov) * element_at(element_at(frLit, $"g"), i + 1))
+        .as(s"qv$i")
+    }
+    ranged
+      .withColumn("idx",
+        $"mid" + element_at(element_at(typedLit(shift), $"g"), $"pid"))
+      .filter(array_contains(element_at(typedLit(needed), $"g"), $"idx"))
+      .groupBy($"g")
+      .agg(qv.head, qv.tail: _*)
+      .select($"g".as("o_orderpriority"),
+        posexplode(array(qs.indices.map(i => col(s"qv$i")): _*)))
       .select($"o_orderpriority", $"pos".cast("long").as("qi"),
         round($"col", 4).as("qv"))
       .orderBy($"o_orderpriority", $"qi")
+  }
 
   /** Edit-distance fuzzy dedup with BLOCKING — the entity-resolution
     * pattern, distinct from the hash families (MinHash/SimHash bound
