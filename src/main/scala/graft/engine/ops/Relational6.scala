@@ -95,10 +95,12 @@ object Relational6 {
     * recompute — and assign round-robin shards from the global
     * position. The position is computed DISTRIBUTED with the same
     * zipWithIndex pattern as cdc_progress: range-partition on the hash
-    * key, rank within partitions, add per-partition offsets (a
-    * #partitions-sized driver map). No single-task `Window.orderBy`,
-    * no driver-side sort — the 100 TB permutation is a range
-    * exchange + local sorts. The range width follows
+    * key, sort within partitions, stamp `monotonically_increasing_id`
+    * above the sort (consecutive within a partition by contract) and
+    * shift it by per-partition offsets (a #partitions-sized driver
+    * map). No single-task `Window.orderBy`, no driver-side sort, and
+    * no second exchange just to rank — the 100 TB permutation is ONE
+    * range exchange + local sorts. The range width follows
     * `spark.sql.shuffle.partitions` (NOT a pinned count: global
     * position = within-partition rank + offset holds for any
     * contiguous-range partitioning, including AQE-coalesced, so
@@ -111,16 +113,19 @@ object Relational6 {
       .select($"doc_id",
         md5(concat(lit("graft:"), $"doc_id".cast("string"))).as("h"))
       .repartitionByRange($"h", $"doc_id")
+      .sortWithinPartitions($"h", $"doc_id")
       .withColumn("pid", spark_partition_id())
-      .transform(Checkpoints.cut) // pin sampled range boundaries across the two jobs
-    val sizes = hashed.groupBy($"pid").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = sizes.map(_._1).zip(
-      sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
+      .withColumn("mid", monotonically_increasing_id())
+      .transform(Checkpoints.cut) // pin sampled boundaries + stamped ids
+    val sizes = hashed.groupBy($"pid")
+      .agg(count(lit(1)).as("cnt"), min($"mid").as("mn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val before = sizes.map(_._2).scanLeft(0L)(_ + _)
+    val shift = sizes.zip(before) // pid -> rows before it − its first id
+      .map { case ((pid, _, mn), off) => pid -> (off - mn) }.toMap
     hashed
-      .withColumn("pos",
-        row_number().over(Window.partitionBy($"pid").orderBy($"h", $"doc_id"))
-          .cast("long") + element_at(typedLit(offsets), $"pid") - 1L)
+      .withColumn("pos", $"mid" + element_at(typedLit(shift), $"pid"))
       .select($"doc_id", $"h", $"pos", ($"pos" % 8).as("shard"))
       .orderBy($"pos")
   }
