@@ -71,46 +71,17 @@ object CdcOps {
     * reference's conflated progress channel (live path:
     * [[graft.engine.streaming.ProgressTracker]]).
     *
-    * The global ordered index is computed DISTRIBUTED: range-partition
-    * by the ledger order, sort within each partition, stamp
-    * `monotonically_increasing_id` ABOVE the sort (consecutive within
-    * a partition by its contract), and recover the 1-based global rank
-    * as `mid − min(mid in pid) + rows-before-pid + 1` from a
-    * #partitions-sized driver map (the zipWithIndex pattern). A
-    * `Window.orderBy` without partitioning would drag the whole log
-    * through one task — exactly the kind of plan that dies at
-    * 100 TB — and the earlier `Window.partitionBy(pid)` rank spelling
-    * paid a SECOND full exchange (hash by pid) just to rank rows the
-    * range shuffle had already placed; stamping above the local sort
-    * keeps the rank a narrow projection, so the log moves exactly
-    * once. The checkpoint pins the (sampled, otherwise per-job) range
-    * boundaries AND the stamped ids so the offset scan and the ranked
-    * scan see identical values; the global rank is invariant to where
-    * the boundaries land. */
+    * The global ordered index is the [[graft.engine.ops.ZipIndex]]
+    * rank in ledger order — one range exchange, never a single-task
+    * `Window.orderBy` (which would drag the whole log through one
+    * task, exactly the kind of plan that dies at 100 TB) and never a
+    * second exchange just to rank. */
   val cdcProgress: Q = (s, d) => {
-    val ranged = Tables.events(s, d)
-      .select($"event_id", $"ts")
-      .repartitionByRange($"ts", $"event_id")
-      .sortWithinPartitions($"ts", $"event_id")
-      .withColumn("pid", spark_partition_id())
-      .withColumn("mid", monotonically_increasing_id())
-      .transform(Checkpoints.cut)
-    val sizes = ranged.groupBy($"pid")
-      .agg(count(lit(1)).as("cnt"), min($"mid").as("mn"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val total = sizes.map(_._2).sum
-    val before = sizes.map(_._2).scanLeft(0L)(_ + _) // rows before pid
-    // pid -> 1 + (rows before it) − (its first id): one O(1)
-    // map-literal lookup turns the stamped id into the 1-based global
-    // rank (a when/otherwise chain over pids would nest one level per
-    // partition — thousands deep at cluster partition counts, past the
-    // JVM method-size limit codegen tolerates)
-    val shift = sizes.zip(before)
-      .map { case ((pid, _, mn), off) => pid -> (off - mn + 1L) }.toMap
-    ranged
-      .withColumn("seeded",
-        $"mid" + element_at(typedLit(shift), $"pid"))
+    val (idxed, total) = graft.engine.ops.ZipIndex.ranked(
+      Tables.events(s, d).select($"event_id", $"ts"),
+      Seq($"ts", $"event_id"), "idx0")
+    idxed
+      .withColumn("seeded", $"idx0" + 1L)
       .withColumn("total", lit(total))
       .filter(expr("(seeded * 50) DIV total > ((seeded - 1) * 50) DIV total"))
       .select($"seeded", $"total", $"event_id")

@@ -50,49 +50,23 @@ object Relational2 {
   }
 
   /** Exact linear-interpolation percentiles of o_totalprice, computed
-    * DISTRIBUTED: range-partition by value, rank within each partition,
-    * add the cumulative sizes of the preceding partitions (the
-    * zipWithIndex pattern, [[CdcOps.cdcProgress]]), then pick the two
-    * neighbor rows of each percentile position and interpolate exactly
-    * as the oracle does (`lo + (hi − lo)·frac` on the same IEEE
-    * doubles, both sides rounded to 4).
+    * DISTRIBUTED: the [[ZipIndex]] global rank in value order, then
+    * pick the two neighbor rows of each percentile position and
+    * interpolate exactly as the oracle does (`lo + (hi − lo)·frac` on
+    * the same IEEE doubles, both sides rounded to 4).
     *
     * The built-in `percentile()` aggregate would hold EVERY distinct
     * value in one reducer's hash map and ship it as a single
     * buffer row (measured: one 4 MB shuffle record at sf0.1 — the
     * whole column through one task) — the exact shape that OOMs a
-    * 100 TB executor. Here every stage is partition-parallel AND the
-    * data moves exactly once: one range exchange, a per-partition
-    * sort, then `monotonically_increasing_id` stamped ABOVE the sort
-    * (consecutive within a partition by its contract) so the global
-    * rank is `mid − min(mid in pid) + rows-before-pid` — a narrow
-    * projection, where the [[CdcOps.cdcProgress]] window spelling
-    * would pay a second full exchange just to rank. The checkpoint
-    * pins both the sampled range boundaries and the stamped ids so
-    * the #partitions-sized offset scan and the ranked scan see
-    * identical values; the global rank is invariant to where the
-    * boundaries land. */
+    * 100 TB executor. ZipIndex keeps every stage partition-parallel
+    * and moves the data exactly once. */
   val aggPercentile: Q = (s, d) => {
-    val ranged = Tables.orders(s, d)
-      .select($"o_totalprice".as("v"))
-      .where($"v".isNotNull) // percentile/quantile_cont both skip nulls
-      .repartitionByRange($"v")
-      .sortWithinPartitions($"v")
-      .withColumn("pid", spark_partition_id())
-      .withColumn("mid", monotonically_increasing_id())
-      .transform(Checkpoints.cut)
-    val sizes = ranged.groupBy($"pid")
-      .agg(count(lit(1)).as("cnt"), min($"mid").as("mn"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val total = sizes.map(_._2).sum
-    val before = sizes.map(_._2).scanLeft(0L)(_ + _) // rows before pid
-    // pid -> (rows before it) − (its first id): one element_at turns
-    // the stamped id into the global 0-based rank
-    val shift = sizes.zip(before)
-      .map { case ((pid, _, mn), off) => pid -> (off - mn) }.toMap
-    val idxed = ranged.withColumn("idx",
-      $"mid" + element_at(typedLit(shift), $"pid"))
+    val (idxed, total) = ZipIndex.ranked(
+      Tables.orders(s, d)
+        .select($"o_totalprice".as("v"))
+        .where($"v".isNotNull), // percentile/quantile_cont both skip nulls
+      Seq($"v"), "idx")
     val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
     // percentile position r = p·(n−1); the flanking ranks are driver
     // literals, so the scan keeps ≤ 6 rows of the whole corpus

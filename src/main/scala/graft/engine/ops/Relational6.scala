@@ -93,14 +93,10 @@ object Relational6 {
   /** Deterministic global training shuffle: order the corpus by
     * md5(seed:doc_id) — a reproducible permutation any worker can
     * recompute — and assign round-robin shards from the global
-    * position. The position is computed DISTRIBUTED with the same
-    * zipWithIndex pattern as cdc_progress: range-partition on the hash
-    * key, sort within partitions, stamp `monotonically_increasing_id`
-    * above the sort (consecutive within a partition by contract) and
-    * shift it by per-partition offsets (a #partitions-sized driver
-    * map). No single-task `Window.orderBy`, no driver-side sort, and
-    * no second exchange just to rank — the 100 TB permutation is ONE
-    * range exchange + local sorts. The range width follows
+    * position. The position is the [[ZipIndex]] global rank on the
+    * hash key — no single-task `Window.orderBy`, no driver-side sort,
+    * and no second exchange just to rank: the 100 TB permutation is
+    * ONE range exchange + local sorts. The range width follows
     * `spark.sql.shuffle.partitions` (NOT a pinned count: global
     * position = within-partition rank + offset holds for any
     * contiguous-range partitioning, including AQE-coalesced, so
@@ -109,23 +105,12 @@ object Relational6 {
     * only the emitted shard count (`pos % 8`) is part of the query's
     * contract. */
   val dataShuffle: Q = (s, d) => {
-    val hashed = Tables.documents(s, d)
-      .select($"doc_id",
-        md5(concat(lit("graft:"), $"doc_id".cast("string"))).as("h"))
-      .repartitionByRange($"h", $"doc_id")
-      .sortWithinPartitions($"h", $"doc_id")
-      .withColumn("pid", spark_partition_id())
-      .withColumn("mid", monotonically_increasing_id())
-      .transform(Checkpoints.cut) // pin sampled boundaries + stamped ids
-    val sizes = hashed.groupBy($"pid")
-      .agg(count(lit(1)).as("cnt"), min($"mid").as("mn"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val before = sizes.map(_._2).scanLeft(0L)(_ + _)
-    val shift = sizes.zip(before) // pid -> rows before it − its first id
-      .map { case ((pid, _, mn), off) => pid -> (off - mn) }.toMap
-    hashed
-      .withColumn("pos", $"mid" + element_at(typedLit(shift), $"pid"))
+    val (idxed, _) = ZipIndex.ranked(
+      Tables.documents(s, d)
+        .select($"doc_id",
+          md5(concat(lit("graft:"), $"doc_id".cast("string"))).as("h")),
+      Seq($"h", $"doc_id"), "pos")
+    idxed
       .select($"doc_id", $"h", $"pos", ($"pos" % 8).as("shard"))
       .orderBy($"pos")
   }
