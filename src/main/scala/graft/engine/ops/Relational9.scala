@@ -24,30 +24,25 @@ object Relational9 {
   // ---------------------------------------------------------------- enumerate
 
   /** Stable global row enumeration of documents by (source, doc_id)
-    * WITHOUT a single-partition window — the two-phase distributed
-    * prefix sum (`PipelineOps.cumBefore`: range-partition on the sort
-    * key, per-partition local window, driver-side #partitions-sized
-    * offset map). The `row_number() OVER (ORDER BY ...)` the oracle
-    * runs is exactly the plan shape that does NOT survive 100 TB (one
-    * task sorts everything); this is its scale-safe equivalent, and
-    * the spec asserts the plan contains no SinglePartition exchange.
+    * WITHOUT a single-partition window — the [[ZipIndex]] global rank.
+    * The `row_number() OVER (ORDER BY ...)` the oracle runs is exactly
+    * the plan shape that does NOT survive 100 TB (one task sorts
+    * everything); this is its scale-safe equivalent, and the spec
+    * asserts the plan contains no SinglePartition exchange.
     *
-    * The composite (source, doc_id) order rides one zero-padded sort
-    * key so the range partitioner sees a single column; doc_id is
-    * unique so the key is too (§7.3 unique-sort-key rule). The
-    * separator is U+0001 — BELOW every printable identifier char —
-    * so prefix-colliding sources (`src1` vs `src10`) concat-sort in
-    * the same order as the (source, doc_id) tuple: with ':' (0x3A,
-    * above '0') `src10:` sorted before `src1:` and every global_idx
-    * in between was silently shifted. */
+    * ZipIndex ranks on the (source, doc_id) columns DIRECTLY — the
+    * earlier `cumBefore(count=1)` spelling had to linearize the tuple
+    * order into one zero-padded U+0001-separated concat key for its
+    * single-column range key, and paid a second full exchange for its
+    * per-partition window; a count prefix sum IS the rank, so both go
+    * away. doc_id is unique, making the tuple a total order (§7.3
+    * unique-sort-key rule). */
   val dataEnumerate: Q = (s, d) => {
-    val keyed = Tables.documents(s, d)
-      .select($"doc_id", $"source",
-        concat($"source", lit("\u0001"), lpad($"doc_id".cast("string"), 12, "0"))
-          .as("k"))
-      .withColumn("one", lit(1L))
-    PipelineOps.cumBefore(keyed, "k", "one")
-      .select($"doc_id", $"source", ($"cum_before" + 1L).as("global_idx"))
+    val (idxed, _) = ZipIndex.ranked(
+      Tables.documents(s, d).select($"doc_id", $"source"),
+      Seq($"source", $"doc_id"), "idx0")
+    idxed
+      .select($"doc_id", $"source", ($"idx0" + 1L).as("global_idx"))
       .orderBy($"global_idx")
   }
 
