@@ -111,6 +111,23 @@ def main():
         print("shuffle-record drift: old artifact predates the field; "
               "baseline established this round")
 
+    # fat-shuffle-row tripwire: a multi-KB AVERAGE shuffle record is
+    # the signature of a whole-dataset aggregation buffer riding one
+    # row (agg_percentile shipped a 4 MB single-record buffer until
+    # round 13 — the shape that OOMs one executor at corpus scale).
+    # Static property of the NEW artifact, not a drift: surface is
+    # clean as of round 13, so any appearance here is a regression.
+    sb = new.get("shuffle_bytes")
+    if sn and sb:
+        fat = [(sb[q] / sn[q], q, sn[q], sb[q]) for q in sn
+               if sn[q] > 0 and sb[q] / sn[q] > 64 * 1024]
+        if fat:
+            print("FAT SHUFFLE ROWS (avg record > 64 KiB — single-row "
+                  "aggregate buffer?):")
+            for a, q, r, b in sorted(fat, reverse=True):
+                print(f"  {q}: {a / 1024:.0f} KiB/record "
+                      f"({r} records, {b} bytes)")
+
 
 if __name__ == "__main__":
     main()
