@@ -216,6 +216,44 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("the (group, pid) extent table of a (g, v) range partition is " +
+    "bounded by |groups| + #partitions at every partition count") {
+    // agg_quantiles' driver-side extent collect claims this bound "by
+    // construction" (each range partition holds a contiguous (g, v)
+    // run, so it meets at most 2 group boundaries); pin the claim on
+    // skewed frames where one group dominates and groups straddle
+    // every boundary
+    import spark.implicits._
+    for (parts <- Seq(2, 7, 32)) {
+      SparkTest.confLock.synchronized {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        spark.conf.set("spark.sql.adaptive.enabled", "false") // keep the
+        // requested width: AQE would coalesce the tiny shuffle and
+        // trivialize the bound
+        try {
+          val df = spark.range(5000)
+            .select(
+              when($"id" < 4000, lit("hot")) // 80% one group
+                .otherwise(concat(lit("g"), ($"id" % 13).cast("string")))
+                .as("g"),
+              ($"id" * 37 % 991).cast("double").as("v"))
+          val ext = df.repartitionByRange($"g", $"v")
+            .select($"g", org.apache.spark.sql.functions
+              .spark_partition_id().as("pid"))
+            .distinct().collect()
+          val groups = ext.map(_.getString(0)).distinct.length
+          val pids = ext.map(_.getInt(1)).distinct.length
+          assert(ext.length <= groups + pids,
+            s"extent rows ${ext.length} > |groups| $groups + " +
+              s"#partitions $pids at $parts shuffle partitions")
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+      }
+    }
+  }
+
   test("dedup_fuzzy pairs stay within blocks and the distance bound") {
     val rows = engine.ops.Relational6.dedupFuzzy(spark, sf).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "canonical pair order")
