@@ -58,6 +58,19 @@ object Checkpoints {
       .checkpointCounted(df, reliable = reliableDir(df).isDefined)
   }
 
+  /** [[cut]] that also counts rows whose boolean `flagCol` is true,
+    * computed BY the materialization pass (the flag total is the
+    * forcing job's own result — exact, no second action re-reading the
+    * checkpoint). noCut test mode keeps the two-job filter/count
+    * spelling. */
+  def cutFlagCounted(df: DataFrame, flagCol: String): (DataFrame, Long) = {
+    val s = df.sparkSession
+    if (s.conf.getOption(NoCutKey).contains("true"))
+      return (df, df.filter(org.apache.spark.sql.functions.col(flagCol)).count())
+    org.apache.spark.sql.graft.PlanBridge
+      .checkpointFlagCounted(df, reliable = reliableDir(df).isDefined, flagCol)
+  }
+
   /** Resolve the reliable-checkpoint dir (None → local checkpointing)
     * and make sure the SparkContext points at it. */
   private def reliableDir(df: DataFrame): Option[String] = {

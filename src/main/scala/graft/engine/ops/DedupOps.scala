@@ -502,17 +502,21 @@ object DedupOps {
         .join(labels, edges("doc_b") === labels("doc"))
         .select(edges("doc_a").as("doc"), $"label", lit(false).as("own"))
       // the aggregate carries the node's PREVIOUS label alongside the
-      // new minimum, so convergence detection is a narrow scan of the
-      // checkpointed round result — no extra join job per round.
-      // Checkpoints.cut honors spark.graft.checkpointDir: reliable
-      // checkpointing on a cluster (executor loss mustn't kill a
-      // 100 TB run mid-iteration), local blocks on local[32].
-      val next = Checkpoints.cut(
+      // new minimum, and the changed-row count IS the checkpoint's own
+      // materialization-job result (cutFlagCounted) — no second action
+      // re-reading the round result, which at reliable-checkpoint
+      // scale is a full O(|V|) storage scan per round. Checkpoints
+      // honor spark.graft.checkpointDir: reliable checkpointing on a
+      // cluster (executor loss mustn't kill a 100 TB run
+      // mid-iteration), local blocks on local[32].
+      val (next, chg) = Checkpoints.cutFlagCounted(
         labels.select($"doc", $"label", lit(true).as("own"))
           .unionByName(viaEdges)
           .groupBy($"doc")
-          .agg(min($"label").as("label"), min(when($"own", $"label")).as("prev")))
-      changed = next.filter($"label" < $"prev").count()
+          .agg(min($"label").as("label"), min(when($"own", $"label")).as("prev"))
+          .withColumn("chg", $"label" < $"prev"),
+        "chg")
+      changed = chg
       labels = next.select($"doc", $"label")
       rounds += 1
     }

@@ -39,4 +39,33 @@ object PlanBridge {
     val logical = LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
     (Dataset.ofRows(ds.sparkSession, logical), n)
   }
+
+  /** [[checkpointCounted]] that additionally counts rows whose BOOLEAN
+    * column `flagCol` is true, computed BY the materialization pass —
+    * iterative operators whose convergence test is "did any row
+    * change?" (label-propagation components) otherwise re-read the
+    * entire just-checkpointed frame every round, a full O(rows)
+    * storage scan per round at reliable-checkpoint scale.
+    *
+    * The forcing action here is a per-partition flag count collected
+    * to the driver (#partitions longs) instead of `count()` — it
+    * computes every partition exactly like the count does, and the
+    * flag total is the JOB'S RESULT, so it is exact by definition (an
+    * accumulator in the materialization map double-fires: the
+    * checkpoint's doCheckpoint pass re-executes partitions — measured
+    * 2× on the spec frame). */
+  def checkpointFlagCounted(df: DataFrame, reliable: Boolean,
+      flagCol: String): (DataFrame, Long) = {
+    val ds = df.asInstanceOf[Dataset[_]]
+    val idx = ds.schema.fieldIndex(flagCol)
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
+    val flagged = rdd.mapPartitions { it =>
+      var c = 0L
+      it.foreach(r => if (!r.isNullAt(idx) && r.getBoolean(idx)) c += 1)
+      Iterator.single(c)
+    }.collect().sum
+    val logical = LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    (Dataset.ofRows(ds.sparkSession, logical), flagged)
+  }
 }

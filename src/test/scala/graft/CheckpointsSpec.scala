@@ -129,6 +129,43 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  test("cutFlagCounted counts flagged rows from the materialization " +
+    "pass, engages reliable mode, and yields the same frame as cut()") {
+    val df = spark.range(0, 1000).toDF("n")
+      .withColumn("chg", org.apache.spark.sql.functions.col("n") % 5 === 0)
+    val (cutLocal, flagged) = Checkpoints.cutFlagCounted(df, "chg")
+    assert(flagged == 200L, "every 5th of 1000 rows is flagged")
+    assert(cutLocal.collect().map(_.toString).sorted.toSeq ==
+      Checkpoints.cut(df).collect().map(_.toString).sorted.toSeq)
+    // zero-flag frame: the convergence-relevant case — must be exact 0
+    val (_, zero) = Checkpoints.cutFlagCounted(
+      df.withColumn("chg", org.apache.spark.sql.functions.lit(false)), "chg")
+    assert(zero == 0L)
+    withReliableDir { dir =>
+      val before = rddDirs(dir)
+      val (cutRel, nRel) = Checkpoints.cutFlagCounted(df, "chg")
+      assert(nRel == 200L)
+      assert(cutRel.count() == 1000L)
+      assert(rddDirs(dir) > before,
+        s"cutFlagCounted in reliable mode wrote no checkpoint under $dir")
+    }
+  }
+
+  test("cutFlagCounted under spark.graft.noCut is the identity frame " +
+    "with a correct flag count") {
+    SparkTest.confLock.synchronized {
+      spark.conf.set(Checkpoints.NoCutKey, "true")
+      try {
+        val df = spark.range(0, 77).toDF("n")
+          .withColumn("chg", org.apache.spark.sql.functions.col("n") < 10)
+        val (out, n) = Checkpoints.cutFlagCounted(df, "chg")
+        assert(n == 10L)
+        assert(out eq df, "noCut cutFlagCounted must return the input " +
+          "frame untouched so plan gates walk the real subtree")
+      } finally spark.conf.unset(Checkpoints.NoCutKey)
+    }
+  }
+
   test("cutCounted under spark.graft.noCut is the identity frame with a " +
     "correct count (gate sweeps see the full subtree)") {
     SparkTest.confLock.synchronized {
