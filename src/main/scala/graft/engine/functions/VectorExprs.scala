@@ -99,6 +99,30 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
   }
 
+  /** Non-overlapping occurrence count of `g` in `s`, scanning left to
+    * right — the same match set java.util.regex `replaceAll` (and the
+    * oracle's `replace`) removes, so it equals the
+    * `(length(s) − length(replace(s, g, ''))) / length(g)` spelling
+    * exactly, without materializing a copy of the document per needle.
+    * Byte-level compare is sound on UTF-8: the encoding is
+    * self-synchronizing, so an encoded needle can only match at
+    * code-point boundaries. Empty needle → 0 (the length-diff spelling
+    * divides by zero there; no caller passes one). */
+  def countSub(s: UTF8String, g: UTF8String): Int = {
+    val hay = s.getBytes
+    val nee = g.getBytes
+    if (nee.length == 0) return 0
+    var i = 0
+    var c = 0
+    val last = hay.length - nee.length
+    while (i <= last) {
+      var j = 0
+      while (j < nee.length && hay(i + j) == nee(j)) j += 1
+      if (j == nee.length) { c += 1; i += nee.length } else i += 1
+    }
+    c
+  }
+
   // the MinHash permutation tables (DedupOps.A / DedupOps.B) — any
   // change must update the simhash DuckDB oracle twins in DedupOps
   private val SimA = Array(7L, 13, 31, 43, 59, 61, 73, 97, 101, 127,
@@ -293,7 +317,7 @@ object VectorOps {
     val names = Seq("graft_dot", "graft_polyhash", "graft_l2",
       "graft_morton", "graft_matvec", "graft_winhash", "graft_simhash",
       "graft_tokens", "graft_bloom_agg", "graft_might_contain",
-      "graft_ivf_encs")
+      "graft_ivf_encs", "graft_count_sub")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -314,6 +338,8 @@ object VectorOps {
       exprs => Tokenize(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_ivf_encs",
       exprs => IvfEncs(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_count_sub",
+      exprs => CountSubstr(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -378,6 +404,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_ivf_encs"),
       new ExpressionInfo(classOf[IvfEncs].getName, "graft_ivf_encs"),
       (exprs: Seq[Expression]) => IvfEncs(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_count_sub"),
+      new ExpressionInfo(classOf[CountSubstr].getName, "graft_count_sub"),
+      (exprs: Seq[Expression]) => CountSubstr(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -560,6 +589,28 @@ case class Tokenize(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Tokenize =
     copy(child = newChild)
+}
+
+/** Codegen'd non-overlapping substring occurrence count
+  * ([[VectorOps.countSub]]) — the n-gram profile scorer's inner loop,
+  * replacing a regexp_replace-per-needle spelling that built a copy of
+  * the document for every profile gram. */
+case class CountSubstr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any, g: Any): Any =
+    VectorOps.countSub(s.asInstanceOf[UTF8String], g.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, g) =>
+      s"graft.engine.functions.VectorOps.countSub($s, $g)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountSubstr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd 32-bit SimHash of a token-hash array ([[VectorOps.simHash]]). */

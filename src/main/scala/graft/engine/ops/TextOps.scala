@@ -155,20 +155,23 @@ object TextOps {
       .orderBy($"doc_id")
 
   /** Character-n-gram language ID: count occurrences of each
-    * language's profile trigrams in the lower-cased text (occurrence
-    * count via the length-difference trick — exact, no regex engine
-    * variation), argmax with fixed en>de>fr>es tie order. The n-gram
-    * counterpart of [[textLangid]]'s stopword voting. */
+    * language's profile trigrams in the lower-cased text (the native
+    * `graft_count_sub` non-overlapping scan — exact, no regex engine
+    * variation, and no regexp_replace building a copy of the document
+    * per needle: 16 needles × a full-text replace each was the
+    * family's slowest map stage), argmax with fixed en>de>fr>es tie
+    * order. The n-gram counterpart of [[textLangid]]'s stopword
+    * voting; the oracle keeps the length-difference `replace`
+    * spelling, so the differential gate proves the scan equal to it. */
   val textLangidNgram: Q = (s, d) => {
+    ensureRegistered(s)
     val profiles = Seq(
       "en" -> Seq("the", "ing", "ion", "and"),
       "de" -> Seq("der", "sch", "ein", "und"),
       "fr" -> Seq("les", "ent", "que", "eur"),
       "es" -> Seq("los", "cio", "dad", "ado"))
     def hits(grams: Seq[String]): Column =
-      grams.map(g =>
-        ((length($"lt") - length(regexp_replace($"lt", java.util.regex.Pattern.quote(g), "")))
-          / g.length).cast("int"))
+      grams.map(g => call_function("graft_count_sub", $"lt", lit(g)))
         .reduce(_ + _)
     val withHits = profiles.foldLeft(
       Tables.documents(s, d).withColumn("lt", lower($"text"))) {

@@ -49,4 +49,42 @@ class TokensSpec extends AnyFunSuite {
       .select("text").collect().map(_.getString(0)).toSeq
     both(texts)
   }
+
+  /** `graft_count_sub` vs the length-difference replace spelling it
+    * replaced in text_langid_ngram (the DuckDB oracle keeps replace,
+    * so this equivalence is the correctness argument). */
+  private def bothCounts(pairs: Seq[(String, String)]): Unit = {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val rows = pairs.toDF("t", "g").repartition(8).selectExpr(
+      "graft_count_sub(t, g) AS fast",
+      "CAST((length(t) - length(replace(t, g, ''))) / length(g) AS INT)" +
+        " AS ref").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"substring counters diverge on #$i: ${pairs(i)}")
+    }
+  }
+
+  test("native substring counter matches the replace spelling, " +
+    "including overlap and multi-byte cases") {
+    val rnd = new scala.util.Random(47)
+    val fixed = Seq(
+      ("aaaa", "aa"),   // non-overlapping: 2, not 3
+      ("aaa", "aa"),    // 1
+      ("ababab", "aba"),// 1 (left-to-right non-overlap)
+      ("", "the"), ("the", "the"), ("thethe", "the"),
+      ("ééé", "éé"),    // multi-byte self-sync: 1
+      ("中文中文中", "中文中"), ("xyz", "q"))
+    val alpha = "abthe中é "
+    val fuzz = (1 to 300).map { _ =>
+      val t = (1 to rnd.nextInt(40))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val g = (1 to (1 + rnd.nextInt(3)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (t, g)
+    }
+    bothCounts(fixed ++ fuzz)
+  }
 }
