@@ -31,7 +31,9 @@ object ZipIndex {
     * returns the total row count (free from the offset scan). Ties in
     * `order` rank arbitrarily-but-deterministically within a
     * partition; pass a unique key suffix for a total order. The input
-    * is materialized (checkpoint) — call once per frame. */
+    * is materialized (checkpoint) — call once per frame. Column names
+    * `_graft_pid`/`_graft_mid` are reserved scratch (shadowed inputs
+    * would corrupt the rank). */
   def ranked(df: DataFrame, order: Seq[Column], idxCol: String)
       : (DataFrame, Long) = {
     val ranged = df
