@@ -123,6 +123,63 @@ object VectorOps {
     c
   }
 
+  /** Count code points of `s` that are members of the ASCII set
+    * `set` — equal to `length(regexp_replace(s, "[^<set>]", ""))`
+    * because in UTF-8 every non-ASCII code point consists solely of
+    * bytes ≥ 0x80, so a byte-membership scan over an all-ASCII set
+    * counts exactly the matching code points, without the regex
+    * engine building a stripped copy of the document. `set` must be
+    * pure ASCII (callers pass literals). */
+  def countIn(s: UTF8String, set: UTF8String): Int = {
+    val hay = s.getBytes
+    val sb = set.getBytes
+    var member = 0L // bitset over bytes 0..127 in two longs
+    var member2 = 0L
+    var i = 0
+    while (i < sb.length) {
+      val b = sb(i)
+      if (b >= 64) member2 |= 1L << (b - 64) else member |= 1L << b
+      i += 1
+    }
+    var c = 0
+    i = 0
+    while (i < hay.length) {
+      val b = hay(i)
+      if (b >= 0) {
+        if (b >= 64) { if (((member2 >> (b - 64)) & 1L) == 1L) c += 1 }
+        else if (((member >> b) & 1L) == 1L) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** One-pass per-document code-point histogram statistics:
+    * (distinct code points, Σ count², total code points) — the
+    * closed form of `explode(split(text, '')) → two grouped
+    * aggregates` that text_char_diversity otherwise pays a corpus
+    * ×|doc| row multiplication for. Iterates CODE POINTS (surrogate
+    * pairs stay whole), exactly the units the split spelling and the
+    * DuckDB oracle count. */
+  def charStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val hist = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val prev = hist.get(cp)
+      hist.put(cp, if (prev == null) 1L else prev + 1L)
+    }
+    var s2 = 0L
+    val it = hist.values().iterator()
+    while (it.hasNext) { val c = it.next(); s2 += c * c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hist.size.toLong, s2, n))
+  }
+
   // the MinHash permutation tables (DedupOps.A / DedupOps.B) — any
   // change must update the simhash DuckDB oracle twins in DedupOps
   private val SimA = Array(7L, 13, 31, 43, 59, 61, 73, 97, 101, 127,
@@ -317,7 +374,8 @@ object VectorOps {
     val names = Seq("graft_dot", "graft_polyhash", "graft_l2",
       "graft_morton", "graft_matvec", "graft_winhash", "graft_simhash",
       "graft_tokens", "graft_bloom_agg", "graft_might_contain",
-      "graft_ivf_encs", "graft_count_sub")
+      "graft_ivf_encs", "graft_count_sub", "graft_count_in",
+      "graft_char_stats")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -340,6 +398,10 @@ object VectorOps {
       exprs => IvfEncs(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_count_sub",
       exprs => CountSubstr(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_count_in",
+      exprs => CountInSet(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_char_stats",
+      exprs => CharStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -407,6 +469,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_count_sub"),
       new ExpressionInfo(classOf[CountSubstr].getName, "graft_count_sub"),
       (exprs: Seq[Expression]) => CountSubstr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in"),
+      (exprs: Seq[Expression]) => CountInSet(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_char_stats"),
+      new ExpressionInfo(classOf[CharStats].getName, "graft_char_stats"),
+      (exprs: Seq[Expression]) => CharStats(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -611,6 +679,50 @@ case class CountSubstr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CountSubstr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd ASCII-set code-point counter ([[VectorOps.countIn]]) —
+  * the char-class ratio features' inner loop, replacing a
+  * regexp_replace-then-length spelling that stripped a copy of the
+  * document per feature. */
+case class CountInSet(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any, set: Any): Any =
+    VectorOps.countIn(s.asInstanceOf[UTF8String], set.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, set) =>
+      s"graft.engine.functions.VectorOps.countIn($s, $set)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountInSet =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd per-document code-point histogram statistics
+  * ([[VectorOps.charStats]]): struct(n_distinct, s2, n). */
+case class CharStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("s2", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    VectorOps.charStats(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.engine.functions.VectorOps.charStats($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharStats =
+    copy(child = newChild)
 }
 
 /** Codegen'd 32-bit SimHash of a token-hash array ([[VectorOps.simHash]]). */

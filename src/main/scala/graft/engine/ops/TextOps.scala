@@ -106,18 +106,25 @@ object TextOps {
 
   /** Quality scoring: alphabetic ratio, punctuation ratio, stopword
     * ratio, and a blended 0–1 quality score (the usual pre-training
-    * heuristic filter features). */
-  val textQuality: Q = (s, d) =>
+    * heuristic filter features). The class counts are the native
+    * `graft_count_in` byte scan — same exact integers as the
+    * `length(regexp_replace(text, "[^…]", ""))` spelling (the oracle
+    * keeps it; ASCII classes count identically on a byte scan because
+    * non-ASCII code points have no ASCII bytes) without stripping a
+    * copy of the document per feature. */
+  val textQuality: Q = (s, d) => {
+    ensureRegistered(s)
+    val letters = (('a' to 'z') ++ ('A' to 'Z')).mkString
     Tables.documents(s, d)
       .withColumn("toks", tokens($"text"))
       // raw (unrounded) ratios feed the blended score: rounding first
       // would create exact half-way cases at the final 4-dp round,
       // where engines' double-rounding modes diverge (SURVEY §7.3c)
       .withColumn("alpha_raw",
-        length(regexp_replace($"text", "[^a-zA-Z]", "")).cast("double")
+        call_function("graft_count_in", $"text", lit(letters)).cast("double")
           / nullif(length($"text"), lit(0)))
       .withColumn("punct_raw",
-        length(regexp_replace($"text", "[^.,;:!?]", "")).cast("double")
+        call_function("graft_count_in", $"text", lit(".,;:!?")).cast("double")
           / nullif(length($"text"), lit(0)))
       .withColumn("alpha_ratio", round($"alpha_raw", 4))
       .withColumn("punct_ratio", round($"punct_raw", 4))
@@ -134,6 +141,7 @@ object TextOps {
           * lit(10000.0)).cast("long"))
       .select($"doc_id", $"alpha_ratio", $"punct_ratio", $"stop_ratio", $"quality")
       .orderBy($"doc_id")
+  }
 
   /** Language ID by stopword-marker voting (n-gram-free heuristic:
     * count hits against per-language marker sets, argmax with a fixed
@@ -463,18 +471,25 @@ object TextOps {
     * are engine-defined. Shape: per-(doc, char) count → per-doc Σc² —
     * both map-side-combined; at 100 TB it is one narrow two-level
     * aggregate (≤ alphabet-size rows per doc). */
-  val textCharDiversity: Q = (s, d) =>
+  val textCharDiversity: Q = (s, d) => {
+    ensureRegistered(s)
     Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select($"doc_id", explode(split(lower($"text"), "")).as("c"))
-      .filter($"c" =!= "")
-      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_distinct_chars"),
-        expr("cast(floor(cast(sum(cnt * cnt) as double) " +
-          "/ (sum(cnt) * sum(cnt)) * 10000D) as bigint)").as("collision_bp"))
+      .repartition($"doc_id") // single-row-group scans can't split;
+                              // spread the per-doc kernel across tasks
+      // one native pass per document replaces
+      // explode(split(text, '')) → (doc, char) counts → per-doc agg:
+      // the explode multiplies the corpus by |doc| rows BEFORE any
+      // aggregation — at 100 TB that is petabytes of generated rows
+      // for two numbers per document. Same code-point units, same
+      // exact integers into the same double tree as the oracle.
+      .withColumn("st", call_function("graft_char_stats", lower($"text")))
+      .filter($"st.n" > 0) // empty docs are ABSENT in the explode
+                           // spelling (no rows survive the split)
+      .select($"doc_id", $"st.n_distinct".as("n_distinct_chars"),
+        expr("cast(floor(cast(st.s2 as double) " +
+          "/ (st.n * st.n) * 10000D) as bigint)").as("collision_bp"))
       .orderBy($"doc_id")
+  }
 
   /** Function words for the Gopher stopword rule, drawn from the
     * synthetic corpus's high-frequency vocabulary (the real pipeline

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Differential fuzz of the native `graft_tokens` tokenizer against
@@ -64,6 +65,65 @@ class TokensSpec extends AnyFunSuite {
     rows.zipWithIndex.foreach { case (r, i) =>
       assert(r.getInt(0) == r.getInt(1),
         s"substring counters diverge on #$i: ${pairs(i)}")
+    }
+  }
+
+  /** `graft_count_in` vs the strip-then-length regexp spelling it
+    * replaced in text_quality. */
+  test("native set counter matches the regexp_replace spelling on " +
+    "adversarial strings") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val rnd = new scala.util.Random(53)
+    val alpha = "aZ9 .,;:!?-_éÜ中🙂\t\n"
+    val texts = Seq("", "abcXYZ", "...", "é.a,é", "🙂!🙂?", "中文abc.,") ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(50))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val letters = (('a' to 'z') ++ ('A' to 'Z')).mkString
+    for (set <- Seq(letters, ".,;:!?")) {
+      val rows = texts.toDF("t").repartition(8).selectExpr(
+        s"graft_count_in(t, '$set') AS fast",
+        s"length(regexp_replace(t, '[^${set.replace("?", "\\\\?")
+          .replace(".", "\\\\.")}]', '')) AS ref").collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(0) == r.getInt(1),
+          s"set counters diverge on #$i set=$set: ${texts(i)}")
+      }
+    }
+  }
+
+  /** `graft_char_stats` vs the explode(split(text, '')) double
+    * aggregate it replaced in text_char_diversity — same code-point
+    * units, including surrogate pairs. */
+  test("native char stats match the explode-split spelling on " +
+    "adversarial strings") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val rnd = new scala.util.Random(59)
+    val alpha = "ab9 .é中🙂"
+    val texts = Seq("a", "aa", "ab", "é", "🙂🙂a", "中中中文") ++
+      (1 to 150).map(_ => (1 to (1 + rnd.nextInt(40)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t").repartition(8)
+    val fast = df.selectExpr("id", "graft_char_stats(t) AS st")
+      .selectExpr("id", "st.n_distinct AS nd", "st.s2 AS s2", "st.n AS n")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ref = df.selectExpr("id", "explode(split(t, '')) AS c")
+      .where("c <> ''")
+      .groupBy($"id", $"c").count()
+      .groupBy($"id")
+      .agg(count(lit(1)).as("nd"),
+        sum($"count" * $"count").as("s2"), sum($"count").as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ref.foreach { case (id, expd) =>
+      assert(fast(id) == expd,
+        s"char stats diverge on #$id: '${texts(id.toInt).take(40)}' " +
+          s"fast=${fast(id)} ref=$expd")
     }
   }
 
