@@ -180,6 +180,44 @@ object VectorOps {
       Array[Any](hist.size.toLong, s2, n))
   }
 
+  /** One-pass (n_ws, n_bpe) token counts — the closed form of
+    * text_token_count's two regexp_extract_all passes:
+    * n_ws = maximal runs of non-`\s` (Java `\s` = ASCII
+    * `[ \t\n\f\r]`), n_bpe = matches of
+    * `[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t\r\n]` (letter runs count 1, each
+    * digit 1, every other code point 1 unless space/tab/CR/LF — NB
+    * ``/`\f` DO count there). Byte scan: continuation bytes
+    * (0b10xxxxxx) extend the non-\s run but are not code points;
+    * a multi-byte lead byte is a non-letter code point. */
+  def tokenCounts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    var i = 0
+    var nws = 0
+    var nbpe = 0
+    var inWord = false   // inside a non-\s run
+    var inLetters = false // inside an ASCII letter run
+    while (i < b.length) {
+      val by = b(i)
+      val asciiWs = by == ' ' || by == '\t' || by == '\n' ||
+        by == 0x0B || by == '\f' || by == '\r'
+      if (asciiWs) inWord = false
+      else if (!inWord) { nws += 1; inWord = true }
+      if ((by & 0xC0) != 0x80) { // a code point starts here
+        val letter = (by >= 'a' && by <= 'z') || (by >= 'A' && by <= 'Z')
+        if (letter) { if (!inLetters) { nbpe += 1; inLetters = true } }
+        else {
+          inLetters = false
+          val digit = by >= '0' && by <= '9'
+          val bpeWs = by == ' ' || by == '\t' || by == '\r' || by == '\n'
+          if (digit || !bpeWs) nbpe += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nws, nbpe))
+  }
+
   // the MinHash permutation tables (DedupOps.A / DedupOps.B) — any
   // change must update the simhash DuckDB oracle twins in DedupOps
   private val SimA = Array(7L, 13, 31, 43, 59, 61, 73, 97, 101, 127,
@@ -375,7 +413,7 @@ object VectorOps {
       "graft_morton", "graft_matvec", "graft_winhash", "graft_simhash",
       "graft_tokens", "graft_bloom_agg", "graft_might_contain",
       "graft_ivf_encs", "graft_count_sub", "graft_count_in",
-      "graft_char_stats")
+      "graft_char_stats", "graft_token_counts")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -402,6 +440,8 @@ object VectorOps {
       exprs => CountInSet(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_char_stats",
       exprs => CharStats(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_token_counts",
+      exprs => TokenCounts(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -475,6 +515,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_char_stats"),
       new ExpressionInfo(classOf[CharStats].getName, "graft_char_stats"),
       (exprs: Seq[Expression]) => CharStats(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+      (exprs: Seq[Expression]) => TokenCounts(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -701,6 +744,29 @@ case class CountInSet(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CountInSet =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd one-pass token counts ([[VectorOps.tokenCounts]]):
+  * struct(n_ws, n_bpe). */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("n_ws",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_bpe",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    VectorOps.tokenCounts(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.engine.functions.VectorOps.tokenCounts($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
 }
 
 /** Codegen'd per-document code-point histogram statistics

@@ -48,21 +48,27 @@ object PipelineOps {
     * checkpoint — without it each subtree re-scans the corpus and
     * re-runs the regexp chain (and projection collapse would re-inline
     * tokens() into every stopword filter). */
-  private def tokedDocs(s: SparkSession, d: String): DataFrame =
+  private def tokedDocs(s: SparkSession, d: String): DataFrame = {
+    ensureRegistered(s)
     Tables.documents(s, d).repartition($"doc_id")
       .select($"doc_id", $"lang", $"text", tokens($"text").as("toks"))
       .transform(Checkpoints.cut)
+  }
 
   /** Per-doc verdicts over a tokenized corpus frame (unordered). */
   private def cleanVerdict(docs: DataFrame): DataFrame = {
     // map-only per-doc signals + the dup flag (one shuffle on the
     // normalized body; min-doc_id survivorship like dedup_exact)
     val sig = docs
+      // native ASCII-set scans (graft_count_in) — same exact counts as
+      // the regexp_replace-strip spelling the oracle keeps (TextOps.
+      // textQuality has the equivalence argument and the fuzz spec)
       .withColumn("alpha_raw",
-        length(regexp_replace($"text", "[^a-zA-Z]", "")).cast("double")
+        call_function("graft_count_in", $"text",
+          lit((('a' to 'z') ++ ('A' to 'Z')).mkString)).cast("double")
           / nullif(length($"text"), lit(0)))
       .withColumn("punct_raw",
-        length(regexp_replace($"text", "[^.,;:!?]", "")).cast("double")
+        call_function("graft_count_in", $"text", lit(".,;:!?")).cast("double")
           / nullif(length($"text"), lit(0)))
       // empty / whitespace-only text → null ratios → quality must be
       // 0 (drop), not null (a null would skip the < MinQuality gate

@@ -91,18 +91,22 @@ object TextOps {
 
   /** Token counting: whitespace tokens, BPE-ish subword count (letter
     * runs / single digits / single punctuation — the shape of a GPT-2
-    * pre-tokenizer), and mean token length. */
-  val textTokenCount: Q = (s, d) =>
+    * pre-tokenizer), and mean token length. Both counts come from ONE
+    * native byte scan (`graft_token_counts`) instead of two
+    * regexp_extract_all passes that each materialize a match array
+    * per document only to take its size; the oracle keeps the regex
+    * spellings, and TokensSpec fuzzes the equivalence. */
+  val textTokenCount: Q = (s, d) => {
+    ensureRegistered(s)
     Tables.documents(s, d)
-      .withColumn("n_ws",
-        size(regexp_extract_all($"text", lit("\\S+"), lit(0))))
-      .withColumn("n_bpe",
-        size(regexp_extract_all($"text",
-          lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\r\\n]"), lit(0))))
+      .withColumn("tc", call_function("graft_token_counts", $"text"))
+      .withColumn("n_ws", $"tc.n_ws")
+      .withColumn("n_bpe", $"tc.n_bpe")
       .withColumn("avg_token_len",
         round(length($"text").cast("double") / nullif($"n_ws", lit(0)), 4))
       .select($"doc_id", $"n_ws", $"n_bpe", $"avg_token_len")
       .orderBy($"doc_id")
+  }
 
   /** Quality scoring: alphabetic ratio, punctuation ratio, stopword
     * ratio, and a blended 0–1 quality score (the usual pre-training

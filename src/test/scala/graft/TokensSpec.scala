@@ -127,6 +127,34 @@ class TokensSpec extends AnyFunSuite {
     }
   }
 
+  /** `graft_token_counts` vs the two regexp_extract_all spellings it
+    * replaced in text_token_count. */
+  test("native token counts match the regexp spellings on adversarial " +
+    "strings") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val rnd = new scala.util.Random(61)
+    // includes vertical tab / form feed (\s-class but NOT excluded by
+    // the bpe char class) and multi-byte code points
+    val alpha = "aZ9 .!-é中🙂\t\n\r\f"
+    val texts = Seq("", " ", "a b", "ab12cd", "é é", "🙂a🙂", "ab\fc",
+      "x\r\ny", "...") ++
+      (1 to 250).map(_ => (1 to rnd.nextInt(50))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val rows = texts.toDF("t").repartition(8).selectExpr(
+      "graft_token_counts(t) AS tc",
+      "size(regexp_extract_all(t, '\\\\S+', 0)) AS ws_ref",
+      "size(regexp_extract_all(t, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\\\t\\\\r\\\\n]', 0)) AS bpe_ref")
+      .selectExpr("tc.n_ws", "tc.n_bpe", "ws_ref", "bpe_ref").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == r.getInt(2) && r.getInt(1) == r.getInt(3),
+        s"token counts diverge on #$i '${texts(i).take(40)}': " +
+          s"fast=(${r.getInt(0)},${r.getInt(1)}) " +
+          s"ref=(${r.getInt(2)},${r.getInt(3)})")
+    }
+  }
+
   test("native substring counter matches the replace spelling, " +
     "including overlap and multi-byte cases") {
     val rnd = new scala.util.Random(47)
