@@ -218,6 +218,55 @@ object VectorOps {
       Array[Any](nws, nbpe))
   }
 
+  /** One-pass (max bigram count, total bigrams) over a token array —
+    * the closed form of text_repetition's
+    * `explode(adjacent-pair transform) → two grouped aggregates`,
+    * which multiplies the corpus by |doc| rows (and runs the pair
+    * transform as an interpreted lambda) to produce two numbers per
+    * document. Pair identity is the (tok_i, ' ', tok_i+1) concat the
+    * declarative spelling groups by. */
+  def bigramStats(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    val m = new java.util.HashMap[String, Long]()
+    var mx = 0L
+    var i = 0
+    while (i < n - 1) {
+      val k = toks.getUTF8String(i).toString + " " +
+        toks.getUTF8String(i + 1).toString
+      val prev = m.get(k)
+      val c = (if (prev == null) 0L else prev) + 1L
+      m.put(k, c)
+      if (c > mx) mx = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](mx, (n - 1).toLong))
+  }
+
+  /** One-pass (non-empty line count, distinct non-empty line count)
+    * over text split on literal '\n' — the closed form of
+    * `filter(split(text, '\n'), ...)` + `array_distinct` (interpreted
+    * lambda + array materialization per document). */
+  def lineStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val seen = new java.util.HashSet[String]()
+    var nLines = 0
+    var start = 0
+    var i = 0
+    while (i <= str.length) {
+      if (i == str.length || str.charAt(i) == '\n') {
+        if (i > start) { nLines += 1; seen.add(str.substring(start, i)) }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, seen.size))
+  }
+
   // the MinHash permutation tables (DedupOps.A / DedupOps.B) — any
   // change must update the simhash DuckDB oracle twins in DedupOps
   private val SimA = Array(7L, 13, 31, 43, 59, 61, 73, 97, 101, 127,
@@ -413,7 +462,8 @@ object VectorOps {
       "graft_morton", "graft_matvec", "graft_winhash", "graft_simhash",
       "graft_tokens", "graft_bloom_agg", "graft_might_contain",
       "graft_ivf_encs", "graft_count_sub", "graft_count_in",
-      "graft_char_stats", "graft_token_counts")
+      "graft_char_stats", "graft_token_counts", "graft_bigram_stats",
+      "graft_line_stats")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -442,6 +492,10 @@ object VectorOps {
       exprs => CharStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_token_counts",
       exprs => TokenCounts(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_bigram_stats",
+      exprs => BigramStats(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_line_stats",
+      exprs => LineStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -518,6 +572,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
       (exprs: Seq[Expression]) => TokenCounts(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_bigram_stats"),
+      new ExpressionInfo(classOf[BigramStats].getName, "graft_bigram_stats"),
+      (exprs: Seq[Expression]) => BigramStats(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_line_stats"),
+      new ExpressionInfo(classOf[LineStats].getName, "graft_line_stats"),
+      (exprs: Seq[Expression]) => LineStats(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -766,6 +826,50 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
       s"graft.engine.functions.VectorOps.tokenCounts($s)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass bigram repetition statistics
+  * ([[VectorOps.bigramStats]]): struct(mx, tot). */
+case class BigramStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("mx", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("tot", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(toks: Any): Any =
+    VectorOps.bigramStats(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.engine.functions.VectorOps.bigramStats($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramStats =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass line statistics ([[VectorOps.lineStats]]):
+  * struct(n, nd) over non-empty '\n'-split lines. */
+case class LineStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("nd",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    VectorOps.lineStats(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.engine.functions.VectorOps.lineStats($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): LineStats =
     copy(child = newChild)
 }
 

@@ -279,25 +279,25 @@ object TextOps {
     * (doc, gram) count → per-doc max/sum — two map-side-combined
     * aggregates; line stats are a pure projection. */
   val textRepetition: Q = (s, d) => {
-    val docs = Tables.documents(s, d).repartition($"doc_id")
-    val bigrams = docs
-      .withColumn("toks", tokens($"text"))
-      .select($"doc_id", explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
-          "ELSE array() END")).as("gram"))
-      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id")
-      .agg(round(max($"cnt").cast("double") / sum($"cnt"), 4).as("top_bigram_frac"))
-    docs
-      .withColumn("lines", expr("filter(split(text, '\\n'), x -> x <> '')"))
+    ensureRegistered(s)
+    // both repetition statistics come from one native pass per doc
+    // (graft_bigram_stats / graft_line_stats): the declarative
+    // spelling exploded every document's adjacent-pair list through
+    // TWO grouped aggregates (a corpus × |doc| row multiplication for
+    // two numbers per document) and ran the pair transform + line
+    // filter as interpreted lambdas; map-only now, same exact
+    // integers into the same double tree as the oracle (which keeps
+    // the declarative form — TokensSpec fuzzes the kernels)
+    Tables.documents(s, d).repartition($"doc_id")
+      .withColumn("bs", call_function("graft_bigram_stats", tokens($"text")))
+      .withColumn("ls", call_function("graft_line_stats", $"text"))
       .select($"doc_id",
-        when(size($"lines") > 0,
-          round((size($"lines") - size(array_distinct($"lines"))).cast("double")
-            / size($"lines"), 4)).otherwise(0.0).as("dup_line_frac"))
-      .join(bigrams, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"top_bigram_frac", lit(0.0)).as("top_bigram_frac"),
-        $"dup_line_frac")
+        when($"bs.tot" > 0,
+          round($"bs.mx".cast("double") / $"bs.tot", 4))
+          .otherwise(0.0).as("top_bigram_frac"),
+        when($"ls.n" > 0,
+          round(($"ls.n" - $"ls.nd").cast("double") / $"ls.n", 4))
+          .otherwise(0.0).as("dup_line_frac"))
       .orderBy($"doc_id")
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{count, lit, sum}
+import org.apache.spark.sql.functions.{count, expr, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Differential fuzz of the native `graft_tokens` tokenizer against
@@ -152,6 +152,51 @@ class TokensSpec extends AnyFunSuite {
         s"token counts diverge on #$i '${texts(i).take(40)}': " +
           s"fast=(${r.getInt(0)},${r.getInt(1)}) " +
           s"ref=(${r.getInt(2)},${r.getInt(3)})")
+    }
+  }
+
+  /** `graft_bigram_stats` / `graft_line_stats` vs the explode /
+    * filter-split spellings they replaced in text_repetition. */
+  test("native repetition stats match the declarative spellings on " +
+    "adversarial strings") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val rnd = new scala.util.Random(67)
+    val words = Seq("a", "b", "ab", "the", "9")
+    val texts = Seq("", "a", "a b", "a b a b a b", "x\n\nx\ny\n",
+      "line\nline\nline", "\n\n\n") ++
+      (1 to 200).map { _ =>
+        (1 to rnd.nextInt(30)).map(_ =>
+          if (rnd.nextInt(6) == 0) "\n" else words(rnd.nextInt(words.length)))
+          .mkString(" ")
+      }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t").repartition(8)
+    val fast = df.selectExpr("id",
+      "graft_bigram_stats(graft_tokens(t)) AS bs",
+      "graft_line_stats(t) AS ls")
+      .selectExpr("id", "bs.mx", "bs.tot", "ls.n", "ls.nd")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    val ref = df
+      .withColumn("toks", expr("graft_tokens(t)"))
+      .withColumn("grams", expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+          "ELSE array() END"))
+      .withColumn("lines", expr("filter(split(t, '\\n'), x -> x <> '')"))
+      .selectExpr("id",
+        "CAST(coalesce(array_max(transform(array_distinct(grams), " +
+          "g -> size(filter(grams, x -> x = g)))), 0) AS BIGINT) AS mx",
+        "CAST(size(grams) AS BIGINT) AS tot",
+        "size(lines) AS n", "size(array_distinct(lines)) AS nd")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    ref.foreach { case (id, expd) =>
+      assert(fast(id) == expd,
+        s"repetition stats diverge on #$id '${texts(id.toInt).take(40)}': " +
+          s"fast=${fast(id)} ref=$expd")
     }
   }
 
