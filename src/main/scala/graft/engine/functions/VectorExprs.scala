@@ -267,6 +267,43 @@ object VectorOps {
       Array[Any](nLines, seen.size))
   }
 
+  /** One-pass Gopher-rule counters over a token array:
+    * (Σ token length, tokens containing an ASCII letter, tokens in the
+    * stopword list — occurrence count, duplicates included, exactly
+    * what `size(filter(toks, x IN (...)))` counts). The declarative
+    * spelling ran three interpreted higher-order lambdas per document,
+    * one of them a regex (`rlike '[a-z]'`) per TOKEN. */
+  def gopherCounts(toks: ArrayData,
+      stops: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val stopSet = new java.util.HashSet[String]()
+    var i = 0
+    while (i < stops.numElements()) {
+      stopSet.add(stops.getUTF8String(i).toString)
+      i += 1
+    }
+    var sumLen = 0L
+    var nAlpha = 0L
+    var nStop = 0L
+    i = 0
+    while (i < toks.numElements()) {
+      val t = toks.getUTF8String(i)
+      sumLen += t.numChars()
+      val b = t.getBytes
+      var j = 0
+      var alpha = false
+      while (!alpha && j < b.length) {
+        val c = b(j)
+        if (c >= 'a' && c <= 'z') alpha = true
+        j += 1
+      }
+      if (alpha) nAlpha += 1
+      if (stopSet.contains(t.toString)) nStop += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sumLen, nAlpha, nStop))
+  }
+
   // the MinHash permutation tables (DedupOps.A / DedupOps.B) — any
   // change must update the simhash DuckDB oracle twins in DedupOps
   private val SimA = Array(7L, 13, 31, 43, 59, 61, 73, 97, 101, 127,
@@ -463,7 +500,7 @@ object VectorOps {
       "graft_tokens", "graft_bloom_agg", "graft_might_contain",
       "graft_ivf_encs", "graft_count_sub", "graft_count_in",
       "graft_char_stats", "graft_token_counts", "graft_bigram_stats",
-      "graft_line_stats")
+      "graft_line_stats", "graft_gopher_counts")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -496,6 +533,8 @@ object VectorOps {
       exprs => BigramStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_line_stats",
       exprs => LineStats(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_gopher_counts",
+      exprs => GopherCounts(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -578,6 +617,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_line_stats"),
       new ExpressionInfo(classOf[LineStats].getName, "graft_line_stats"),
       (exprs: Seq[Expression]) => LineStats(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_gopher_counts"),
+      new ExpressionInfo(classOf[GopherCounts].getName, "graft_gopher_counts"),
+      (exprs: Seq[Expression]) => GopherCounts(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -871,6 +913,31 @@ case class LineStats(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): LineStats =
     copy(child = newChild)
+}
+
+/** Codegen'd one-pass Gopher-rule counters
+  * ([[VectorOps.gopherCounts]]): struct(sum_len, n_alpha, n_stop). */
+case class GopherCounts(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("sum_len", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_alpha", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_stop", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(toks: Any, stops: Any): Any =
+    VectorOps.gopherCounts(toks.asInstanceOf[ArrayData],
+      stops.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, st) =>
+      s"graft.engine.functions.VectorOps.gopherCounts($t, $st)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GopherCounts =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd per-document code-point histogram statistics

@@ -512,16 +512,20 @@ object TextOps {
     * pre-training pipeline applies before tokenization. Map-only: one
     * projection over the scan, no shuffle but the presentation sort. */
   val textGopherRules: Q = (s, d) => {
-    val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+    ensureRegistered(s)
     Tables.documents(s, d)
       .withColumn("toks", tokens($"text"))
       .withColumn("n_words", size($"toks").cast("long"))
-      .withColumn("sum_len", expr(
-        "aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
-      .withColumn("n_alpha", expr(
-        "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS BIGINT)"))
-      .withColumn("n_stop", expr(
-        s"CAST(size(filter(toks, x -> x IN ($stopList))) AS BIGINT)"))
+      // one native pass per doc (graft_gopher_counts) replaces three
+      // interpreted higher-order lambdas — one of them a regex per
+      // TOKEN (`rlike '[a-z]'`); same exact counts, oracle keeps the
+      // declarative spelling, TokensSpec fuzzes the kernel
+      .withColumn("gc",
+        call_function("graft_gopher_counts", $"toks",
+          typedLit(GopherStopwords)))
+      .withColumn("sum_len", $"gc.sum_len")
+      .withColumn("n_alpha", $"gc.n_alpha")
+      .withColumn("n_stop", $"gc.n_stop")
       .withColumn("ok_nwords", $"n_words" >= 10 && $"n_words" <= 1000)
       .withColumn("ok_wordlen",
         $"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10)

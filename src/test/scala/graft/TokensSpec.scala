@@ -200,6 +200,43 @@ class TokensSpec extends AnyFunSuite {
     }
   }
 
+  /** `graft_gopher_counts` vs the three HOF lambdas it replaced in
+    * text_gopher_rules. */
+  test("native gopher counters match the HOF spellings on adversarial " +
+    "token arrays") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val rnd = new scala.util.Random(71)
+    val words = Seq("the", "and", "99", "a1", "z", "0", "be", "have")
+    val texts = Seq("", "the the the", "9 99 999", "of to with") ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(25))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    val stops = graft.engine.ops.TextOps.GopherStopwords
+    val stopList = stops.map(w => s"'$w'").mkString(", ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t").repartition(8)
+      .withColumn("toks", expr("graft_tokens(t)"))
+    val fast = df
+      .withColumn("gc", org.apache.spark.sql.functions.call_function(
+        "graft_gopher_counts", $"toks",
+        org.apache.spark.sql.functions.typedLit(stops)))
+      .selectExpr("id", "gc.sum_len", "gc.n_alpha", "gc.n_stop")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ref = df.selectExpr("id",
+      "aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS sl",
+      "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS BIGINT) AS na",
+      s"CAST(size(filter(toks, x -> x IN ($stopList))) AS BIGINT) AS ns")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ref.foreach { case (id, expd) =>
+      assert(fast(id) == expd,
+        s"gopher counters diverge on #$id '${texts(id.toInt).take(40)}': " +
+          s"fast=${fast(id)} ref=$expd")
+    }
+  }
+
   test("native substring counter matches the replace spelling, " +
     "including overlap and multi-byte cases") {
     val rnd = new scala.util.Random(47)
