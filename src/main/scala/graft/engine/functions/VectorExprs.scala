@@ -304,6 +304,27 @@ object VectorOps {
       Array[Any](sumLen, nAlpha, nStop))
   }
 
+  /** One-pass lexical-diversity statistics over a token array:
+    * (total tokens, distinct tokens, hapax legomena) — the closed form
+    * of text_ttr's `explode(tokens) → (doc, token) counts → per-doc
+    * rollup` corpus × |doc| row multiplication. */
+  def ttrStats(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = new java.util.HashMap[String, Long]()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val k = toks.getUTF8String(i).toString
+      val prev = m.get(k)
+      m.put(k, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    var hapax = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) if (it.next() == 1L) hapax += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, m.size.toLong, hapax))
+  }
+
   // the MinHash permutation tables (DedupOps.A / DedupOps.B) — any
   // change must update the simhash DuckDB oracle twins in DedupOps
   private val SimA = Array(7L, 13, 31, 43, 59, 61, 73, 97, 101, 127,
@@ -500,7 +521,7 @@ object VectorOps {
       "graft_tokens", "graft_bloom_agg", "graft_might_contain",
       "graft_ivf_encs", "graft_count_sub", "graft_count_in",
       "graft_char_stats", "graft_token_counts", "graft_bigram_stats",
-      "graft_line_stats", "graft_gopher_counts")
+      "graft_line_stats", "graft_gopher_counts", "graft_ttr_stats")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -535,6 +556,8 @@ object VectorOps {
       exprs => LineStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_gopher_counts",
       exprs => GopherCounts(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_ttr_stats",
+      exprs => TtrStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -620,6 +643,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_gopher_counts"),
       new ExpressionInfo(classOf[GopherCounts].getName, "graft_gopher_counts"),
       (exprs: Seq[Expression]) => GopherCounts(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_ttr_stats"),
+      new ExpressionInfo(classOf[TtrStats].getName, "graft_ttr_stats"),
+      (exprs: Seq[Expression]) => TtrStats(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -938,6 +964,28 @@ case class GopherCounts(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GopherCounts =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd one-pass lexical-diversity statistics
+  * ([[VectorOps.ttrStats]]): struct(n_tokens, n_types, n_hapax). */
+case class TtrStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_types", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_hapax", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(toks: Any): Any =
+    VectorOps.ttrStats(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.engine.functions.VectorOps.ttrStats($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): TtrStats =
+    copy(child = newChild)
 }
 
 /** Codegen'd per-document code-point histogram statistics

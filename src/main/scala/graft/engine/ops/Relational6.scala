@@ -533,18 +533,25 @@ object Relational6 {
     * of text_char_diversity. Two narrow shuffles: (doc, token) counts
     * first (map-side combined), then the per-doc rollup of three
     * scalars; ratios emitted in basis-point BIGINTs. */
-  val textTtr: Q = (s, d) =>
+  val textTtr: Q = (s, d) => {
+    TextFeatures.ensureRegistered(s)
+    // one native pass per doc (graft_ttr_stats) replaces the
+    // explode(tokens) -> (doc, token) counts -> per-doc rollup shape:
+    // a corpus x |doc| row multiplication for three numbers per
+    // document. Same exact integers, oracle keeps the declarative
+    // spelling, TokensSpec fuzzes the kernel.
     Tables.documents(s, d)
-      .select($"doc_id", explode(TextFeatures.tokens($"text")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        expr("count_if(c = 1)").as("n_hapax"))
-      .select($"doc_id", $"n_tokens", $"n_types", $"n_hapax",
-        expr("(n_types * 10000) DIV n_tokens").as("ttr_e4"),
-        expr("(n_hapax * 10000) DIV n_tokens").as("hapax_e4"))
+      .repartition($"doc_id") // single-row-group scans can't split
+      .withColumn("ts",
+        call_function("graft_ttr_stats", TextFeatures.tokens($"text")))
+      .filter($"ts.n_tokens" > 0) // token-free docs are ABSENT in the
+                                  // explode spelling (no rows survive)
+      .select($"doc_id", $"ts.n_tokens".as("n_tokens"),
+        $"ts.n_types".as("n_types"), $"ts.n_hapax".as("n_hapax"),
+        expr("(ts.n_types * 10000) DIV ts.n_tokens").as("ttr_e4"),
+        expr("(ts.n_hapax * 10000) DIV ts.n_tokens").as("hapax_e4"))
       .orderBy($"doc_id")
+  }
 
   /** Star-schema revenue rollup (TPC-H Q5 shape): lineitem ⋈ orders ⋈
     * customer up the key chain, then nation/region dims joined

@@ -237,6 +237,44 @@ class TokensSpec extends AnyFunSuite {
     }
   }
 
+  /** `graft_ttr_stats` vs the explode/rollup spelling it replaced in
+    * text_ttr. */
+  test("native lexical-diversity stats match the explode spelling") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val rnd = new scala.util.Random(73)
+    val words = Seq("a", "b", "the", "the", "x9", "unique")
+    val texts = Seq("", "a", "a a", "a b a", "one two three") ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(25))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t").repartition(8)
+      .withColumn("toks", expr("graft_tokens(t)"))
+    val fast = df.selectExpr("id", "graft_ttr_stats(toks) AS ts")
+      .selectExpr("id", "ts.n_tokens", "ts.n_types", "ts.n_hapax")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ref = df.select($"id", org.apache.spark.sql.functions
+        .explode($"toks").as("tok"))
+      .groupBy($"id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"id")
+      .agg(sum($"c").as("nt"), count(lit(1)).as("ty"),
+        expr("count_if(c = 1)").as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // explode drops token-free docs; the kernel reports (0,0,0) — the
+    // query reproduces absence with its n_tokens > 0 filter
+    ref.foreach { case (id, expd) =>
+      assert(fast(id) == expd, s"ttr stats diverge on #$id: " +
+        s"'${texts(id.toInt)}' fast=${fast(id)} ref=$expd")
+    }
+    fast.filterNot(kv => ref.contains(kv._1)).foreach { case (id, st) =>
+      assert(st == ((0L, 0L, 0L)),
+        s"doc #$id absent from explode must be token-free, got $st")
+    }
+  }
+
   test("native substring counter matches the replace spelling, " +
     "including overlap and multi-byte cases") {
     val rnd = new scala.util.Random(47)
