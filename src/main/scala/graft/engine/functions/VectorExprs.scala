@@ -325,6 +325,28 @@ object VectorOps {
       Array[Any](n.toLong, m.size.toLong, hapax))
   }
 
+  /** `size(tokens(text))` without materializing the token array —
+    * identical run structure to [[tokens]] (same
+    * `UTF8String.toLowerCase` first, so locale edge cases like İ →
+    * i+combining-dot split runs identically), counting maximal
+    * `[a-z0-9]+` byte runs in one pass. Nine queries need only the
+    * per-document token COUNT; building (and garbage-collecting) a
+    * few-hundred-element string array per document to take its size
+    * was the mixture planners' hottest allocation. */
+  def tokenCount(text: UTF8String): Int = {
+    val b = text.toLowerCase.getBytes
+    var i = 0
+    var c = 0
+    var in = false
+    while (i < b.length) {
+      val d = b(i)
+      val ok = (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+      if (ok) { if (!in) { c += 1; in = true } } else in = false
+      i += 1
+    }
+    c
+  }
+
   // the MinHash permutation tables (DedupOps.A / DedupOps.B) — any
   // change must update the simhash DuckDB oracle twins in DedupOps
   private val SimA = Array(7L, 13, 31, 43, 59, 61, 73, 97, 101, 127,
@@ -521,7 +543,8 @@ object VectorOps {
       "graft_tokens", "graft_bloom_agg", "graft_might_contain",
       "graft_ivf_encs", "graft_count_sub", "graft_count_in",
       "graft_char_stats", "graft_token_counts", "graft_bigram_stats",
-      "graft_line_stats", "graft_gopher_counts", "graft_ttr_stats")
+      "graft_line_stats", "graft_gopher_counts", "graft_ttr_stats",
+      "graft_token_count")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -558,6 +581,8 @@ object VectorOps {
       exprs => GopherCounts(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_ttr_stats",
       exprs => TtrStats(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_token_count",
+      exprs => TokenRunCount(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -646,6 +671,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_ttr_stats"),
       new ExpressionInfo(classOf[TtrStats].getName, "graft_ttr_stats"),
       (exprs: Seq[Expression]) => TtrStats(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenRunCount].getName, "graft_token_count"),
+      (exprs: Seq[Expression]) => TokenRunCount(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -985,6 +1013,24 @@ case class TtrStats(child: Expression) extends UnaryExpression {
       s"graft.engine.functions.VectorOps.ttrStats($t)")
 
   override protected def withNewChildInternal(newChild: Expression): TtrStats =
+    copy(child = newChild)
+}
+
+/** Codegen'd token-run count ([[VectorOps.tokenCount]]) —
+  * `size(graft_tokens(text))` with no array materialization. */
+case class TokenRunCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    VectorOps.tokenCount(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.engine.functions.VectorOps.tokenCount($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenRunCount =
     copy(child = newChild)
 }
 

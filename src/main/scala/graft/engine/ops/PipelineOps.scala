@@ -187,7 +187,7 @@ object PipelineOps {
     * shuffle. All integer arithmetic — no cross-engine hazards. */
   val packSequences: Q = (s, d) =>
     packLayout(Tables.documents(s, d)
-      .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks")))
+      .select($"doc_id", tokenCount($"text").cast("long").as("n_toks")))
 
   /** Distributed EXCLUSIVE prefix sum: appends `cum_before` = Σ`v`
     * over all rows with smaller `id`. repartitionByRange + a

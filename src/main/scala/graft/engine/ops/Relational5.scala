@@ -59,7 +59,7 @@ object Relational5 {
     val tok = Tables.documents(s, d)
       .repartition($"doc_id")
       .select($"doc_id", $"lang",
-        size(TextFeatures.tokens($"text")).cast("long").as("toks"))
+        TextFeatures.tokenCount($"text").cast("long").as("toks"))
     val per = tok.groupBy($"lang").agg(sum($"toks").as("tokens"))
     val reps = per.crossJoin(broadcast(per.agg(max($"tokens").as("max_tokens"))))
       .select($"lang",

@@ -280,7 +280,7 @@ object Relational6 {
   val packWindows: Q = (s, d) =>
     Tables.documents(s, d)
       .select($"doc_id",
-        size(TextFeatures.tokens($"text")).cast("long").as("n"))
+        TextFeatures.tokenCount($"text").cast("long").as("n"))
       .withColumn("k_max",
         when($"n" > 32, expr("(n - 32 + 15) DIV 16")).otherwise(lit(0L)))
       .select($"doc_id", $"n",

@@ -327,7 +327,7 @@ object Relational7 {
     val per = Tables.documents(s, d)
       .repartition($"doc_id")
       .groupBy($"lang")
-      .agg(sum(size(tokens($"text")).cast("long")).as("tokens"))
+      .agg(sum(TextFeatures.tokenCount($"text").cast("long")).as("tokens"))
     val maxT = per.agg(max($"tokens").as("max_t"))
     per.join(broadcast(maxT))
       .withColumn("epochs",

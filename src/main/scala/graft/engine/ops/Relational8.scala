@@ -365,7 +365,7 @@ object Relational8 {
       .select($"source",
         expr(TextFeatures.charHashSql(
           "regexp_replace(trim(lower(text)), '\\\\s+', ' ')")).as("h"),
-        size(TextFeatures.tokens($"text")).cast("long").as("n_toks"))
+        TextFeatures.tokenCount($"text").cast("long").as("n_toks"))
     val uniq = docs.groupBy($"source", $"h")
       .agg(count(lit(1)).as("n_docs"), min($"n_toks").as("n_toks"))
     val src = uniq.groupBy($"source")

@@ -26,6 +26,14 @@ object TextFeatures {
   def tokens(text: Column): Column =
     call_function("graft_tokens", text)
 
+  /** `size(tokens(text))` with no array materialization (native
+    * [[graft.engine.functions.TokenRunCount]]) — for the nine
+    * count-only consumers (mixture planners, packing layouts); the
+    * run structure is identical to [[tokens]] by construction (same
+    * toLowerCase, same byte classes — TokensSpec fuzzes equality). */
+  def tokenCount(text: Column): Column =
+    call_function("graft_token_count", text)
+
   /** Whitespace-normalized text (trim + collapse runs to one space). */
   def normText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
@@ -314,7 +322,7 @@ object TextOps {
   val mixWeights: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .repartition($"doc_id")
-      .select($"lang", size(tokens($"text")).cast("long").as("toks"))
+      .select($"lang", tokenCount($"text").cast("long").as("toks"))
     val per = tok.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"))
     val mn = per.agg(min($"tokens").as("min_tokens"))
@@ -351,7 +359,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val per = Tables.documents(s, d)
       .repartition($"doc_id")
-      .select($"lang", size(tokens($"text")).cast("long").as("toks"))
+      .select($"lang", tokenCount($"text").cast("long").as("toks"))
       .groupBy($"lang").agg(sum($"toks").as("tokens"))
     val tot = per.agg(sum($"tokens").as("total"))
     // B·tokens runs in DECIMAL(38,0) (oracle: HUGEINT): a BIGINT
@@ -396,7 +404,7 @@ object TextOps {
   val mixTemperature: Q = (s, d) => {
     val per = Tables.documents(s, d)
       .repartition($"doc_id")
-      .select($"lang", size(tokens($"text")).cast("long").as("toks"))
+      .select($"lang", tokenCount($"text").cast("long").as("toks"))
       .groupBy($"lang").agg(sum($"toks").as("tokens"))
     val tw = per.agg(expr(
       "aggregate(array_sort(collect_list(struct(lang, tokens))), 0.0D, " +
@@ -418,7 +426,7 @@ object TextOps {
   val pipelineMix: Q = (s, d) => {
     val tokDocs = Tables.documents(s, d)
       .repartition($"doc_id")
-      .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("toks"))
+      .select($"doc_id", $"lang", tokenCount($"text").cast("long").as("toks"))
       .transform(Checkpoints.cut) // one tokenize pass feeds budgets AND the draw
     val per = tokDocs.groupBy($"lang").agg(sum($"toks").as("tokens"))
     val mn = per.agg(min($"tokens").as("min_tokens"))

@@ -275,6 +275,31 @@ class TokensSpec extends AnyFunSuite {
     }
   }
 
+  /** `graft_token_count` vs `size(graft_tokens(text))` — the nine
+    * count-only consumers rely on identical run structure. */
+  test("native token-run count equals the token array's size on " +
+    "adversarial strings") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val rnd = new scala.util.Random(79)
+    val alphabet: IndexedSeq[String] =
+      ('a' to 'z').map(_.toString) ++ ('A' to 'Z').map(_.toString) ++
+        ('0' to '9').map(_.toString) ++
+        Seq(" ", "\t", "\n", ".", ",", "-", "é", "Ü", "ß", "中", "🙂",
+          "İ", "ı")
+    val texts = Seq("", "a", "İstanbul ısparta ß", "a1B2c3", "  .. ") ++
+      (1 to 250).map(_ => (1 to rnd.nextInt(50))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = texts.toDF("t").repartition(8).selectExpr(
+      "graft_token_count(t) AS fast",
+      "size(graft_tokens(t)) AS ref").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"token counts diverge on #$i: '${texts(i).take(40)}'")
+    }
+  }
+
   test("native substring counter matches the replace spelling, " +
     "including overlap and multi-byte cases") {
     val rnd = new scala.util.Random(47)
