@@ -15,6 +15,12 @@ object TimeQ {
         // the output projection and the presentation sort)
         graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
         println(f"pass$pass $n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        // same inter-query cleanup as graft.Bench: without it the
+        // queries' localCheckpoint blocks accumulate across the list
+        // and later passes measure storage-pool eviction, not the plan
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
       }
     }
     if (args.length > 2 && args(2) == "explain")

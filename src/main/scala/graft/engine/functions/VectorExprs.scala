@@ -99,6 +99,50 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
   }
 
+  private val ShingleSep = UTF8String.fromString(" ")
+
+  /** Distinct 3-token shingles of a token array, first-occurrence
+    * order — the closed form of the transform-over-sequence spelling
+    * (`array_distinct(transform(sequence(1, n-2), i ->
+    * concat(t[i], ' ', t[i+1], ' ', t[i+2])))`, ShinglesSpec fuzzes
+    * the equivalence; the DuckDB oracles keep the declarative form).
+    * The HOF spelling runs an interpreted lambda per window with three
+    * boxed element_at calls plus a separate array_distinct pass; this
+    * is one scan with a LinkedHashSet (UTF8String equality is byte
+    * equality — exactly Spark's default-collation string equality).
+    * Fewer than 3 tokens → empty set, matching the guarded CASE. */
+  def shingles(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= n - 3) {
+      seen.add(UTF8String.concatWs(ShingleSep,
+        toks.getUTF8String(i), toks.getUTF8String(i + 1),
+        toks.getUTF8String(i + 2)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Per-element [[polyHash]] of a token array — the closed form of
+    * `transform(toks, t -> graft_polyhash(t))`, whose outer lambda runs
+    * interpreted per token even though the hash itself is native
+    * (the simhash fingerprint queries' hottest map stage after
+    * tokenization). ShinglesSpec fuzzes the equivalence. */
+  def tokHashes(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = polyHash(toks.getUTF8String(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Non-overlapping occurrence count of `g` in `s`, scanning left to
     * right — the same match set java.util.regex `replaceAll` (and the
     * oracle's `replace`) removes, so it equals the
@@ -544,7 +588,7 @@ object VectorOps {
       "graft_ivf_encs", "graft_count_sub", "graft_count_in",
       "graft_char_stats", "graft_token_counts", "graft_bigram_stats",
       "graft_line_stats", "graft_gopher_counts", "graft_ttr_stats",
-      "graft_token_count")
+      "graft_token_count", "graft_shingles", "graft_tok_hashes")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -583,6 +627,10 @@ object VectorOps {
       exprs => TtrStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_token_count",
       exprs => TokenRunCount(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_shingles",
+      exprs => ShingleSet(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_tok_hashes",
+      exprs => TokenHashes(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -674,6 +722,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[TokenRunCount].getName, "graft_token_count"),
       (exprs: Seq[Expression]) => TokenRunCount(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => ShingleSet(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_tok_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "graft_tok_hashes"),
+      (exprs: Seq[Expression]) => TokenHashes(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -855,6 +909,48 @@ case class Tokenize(child: Expression)
       s"graft.engine.functions.VectorOps.tokens($s)")
 
   override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
+/** Codegen'd distinct 3-token shingle set ([[VectorOps.shingles]]) —
+  * the shingle feature pass shared by the n-gram dedup family. */
+case class ShingleSet(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(toks: Any): Any =
+    VectorOps.shingles(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.engine.functions.VectorOps.shingles($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** Codegen'd per-element polyhash of a token array
+  * ([[VectorOps.tokHashes]]) — the simhash pipelines' token-hash stage
+  * without an interpreted outer lambda. */
+case class TokenHashes(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(toks: Any): Any =
+    VectorOps.tokHashes(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.engine.functions.VectorOps.tokHashes($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
     copy(child = newChild)
 }
 

@@ -75,7 +75,7 @@ object DedupOps {
       .select($"doc_id", $"text")
       .repartition($"doc_id")
       .withColumn("toks", tokens($"text"))
-      .withColumn("sh", expr(shingleSetSql("toks")))
+      .withColumn("sh", expr("graft_shingles(toks)"))
       .select($"doc_id", $"sh", size($"sh").as("n"))
       .transform(Checkpoints.cut)
   }
@@ -286,7 +286,7 @@ object DedupOps {
     Tables.documents(s, d)
       .repartition($"doc_id") // single-file scan → spread across cores
       .withColumn("toks", array_distinct(tokens($"text")))
-      .withColumn("th", expr(s"transform(toks, t -> ${charHashSql("t")})"))
+      .withColumn("th", expr("graft_tok_hashes(toks)"))
       .withColumn("simhash", expr(simhashSql))
       .select($"doc_id", $"simhash")
       .orderBy($"doc_id")
@@ -327,7 +327,7 @@ object DedupOps {
       .repartition($"doc_id")
       .withColumn("toks", array_distinct(tokens($"text")))
       .filter(size($"toks") > 0)
-      .withColumn("th", expr(s"transform(toks, t -> ${charHashSql("t")})"))
+      .withColumn("th", expr("graft_tok_hashes(toks)"))
       .withColumn("simhash", expr(simhashSql))
       .select($"doc_id", $"simhash")
       .transform(Checkpoints.cut) // fingerprints feed bands + both join sides

@@ -52,7 +52,11 @@ object TextFeatures {
 
   /** 3-token shingles of a `toks` array column, distinct. Guarded so
     * docs with < 3 tokens get an empty set (sequence() would otherwise
-    * count backwards). */
+    * count backwards). Production queries use the native codegen
+    * `graft_shingles` ([[graft.engine.functions.ShingleSet]]) instead —
+    * the interpreted per-window lambda here was the dedup family's
+    * hottest map stage; this declarative spelling remains as the
+    * ShinglesSpec fuzz reference and the DuckDB oracles' twin. */
   def shingleSetSql(toks: String): String =
     s"CASE WHEN size($toks) >= 3 THEN array_distinct(transform(" +
       s"sequence(1, size($toks) - 2), i -> concat(element_at($toks, i), ' ', " +

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz of the dedup family's native feature kernels
+  * against the declarative spellings they replaced (the DuckDB oracles
+  * keep those spellings, so these equivalences are the correctness
+  * argument end-to-end):
+  *
+  *  - `graft_shingles(toks)` vs the guarded
+  *    `array_distinct(transform(sequence(1, n-2), …))` 3-token shingle
+  *    build ([[graft.engine.ops.TextFeatures.shingleSetSql]]), element
+  *    order included (first occurrence wins in both).
+  *  - `graft_tok_hashes(toks)` vs `transform(toks, t ->
+  *    graft_polyhash(t))` — the simhash pipelines' token-hash stage.
+  */
+class ShinglesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+
+  /** Random token arrays: sizes 0–12 (straddling the <3 empty-set
+    * guard), heavy duplication (small word pool) so array_distinct has
+    * real work, plus multi-byte and case-edge tokens. */
+  private def tokenArrays(seed: Int, n: Int): Seq[Seq[String]] = {
+    val rnd = new scala.util.Random(seed)
+    val words = Seq("a", "b", "ab", "the", "the", "9", "é中", "🙂", "x1",
+      "istanbul", "", " ")
+    Seq(Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", "a", "a", "a"), Seq("a", "b", "a", "b", "a", "b")) ++
+      (1 to n).map(_ => (1 to rnd.nextInt(13))
+        .map(_ => words(rnd.nextInt(words.length))))
+  }
+
+  test("native shingle set matches the transform-over-sequence spelling, " +
+    "order included") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val arrays = tokenArrays(83, 300)
+    val rows = arrays.toDF("toks").repartition(8).selectExpr(
+      "graft_shingles(toks) AS fast",
+      graft.engine.ops.TextFeatures.shingleSetSql("toks") + " AS ref")
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingle sets diverge on #$i: ${arrays(i).take(12)}")
+    }
+  }
+
+  test("native token hashes match the transform-polyhash spelling") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val arrays = tokenArrays(89, 300)
+    val rows = arrays.toDF("toks").repartition(8).selectExpr(
+      "graft_tok_hashes(toks) AS fast",
+      "transform(toks, t -> graft_polyhash(t)) AS ref").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"token hashes diverge on #$i: ${arrays(i).take(12)}")
+    }
+  }
+
+  test("native shingle set matches the declarative spelling on the " +
+    "document corpus") {
+    val s = spark
+    graft.engine.functions.VectorOps.register(s)
+    val rows = graft.engine.Tables.documents(s, "/root/testdata/sf0.01")
+      .selectExpr("graft_tokens(text) AS toks")
+      .selectExpr("graft_shingles(toks) AS fast",
+        graft.engine.ops.TextFeatures.shingleSetSql("toks") + " AS ref")
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingle sets diverge on corpus doc #$i")
+    }
+  }
+}
