@@ -35,7 +35,10 @@ object SimOps {
     graft.engine.functions.VectorOps.register(s)
     Tables.embeddings(s, d)
       .repartition($"vec_id") // single-file scan → spread across cores
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      // native array cast, not transform(x -> cast(...)): the element
+      // cast is identical (float→double widening is exact) but Cast
+      // stays in whole-stage codegen while the lambda runs interpreted
+      .withColumn("v", $"embedding".cast("array<double>"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       .select($"vec_id", $"v", $"nrm")
   }
@@ -204,7 +207,7 @@ object SimOps {
   val embedQuantize: Q = (s, d) =>
     Tables.embeddings(s, d)
       .repartition($"vec_id")
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", $"embedding".cast("array<double>"))
       .withColumn("mn", expr("array_min(v)"))
       .withColumn("scale", (expr("array_max(v)") - $"mn") / 255.0)
       .withColumn("q", expr(
@@ -271,7 +274,7 @@ object SimOps {
       .map(m => s"${code(m)} * ${1L << (2 * m)}L").mkString(" + ")
     Tables.embeddings(s, d)
       .repartition($"vec_id") // single-file scan → spread across cores
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", $"embedding".cast("array<double>"))
       .select($"vec_id", expr(packed).as("pq_code"))
       .orderBy($"vec_id")
   }
@@ -307,7 +310,7 @@ object SimOps {
     }.mkString(" + ")
     Tables.embeddings(s, d)
       .repartition($"vec_id")
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", $"embedding".cast("array<double>"))
       .filter($"vec_id" =!= 0)
       .select($"vec_id",
         expr(s"cast(floor(($dist) * 1000000D) as bigint)").as("adist_e6"))
@@ -563,7 +566,7 @@ object SimOps {
     graft.engine.functions.VectorOps.register(s)
     val ve = Tables.embeddings(s, d)
       .repartition($"vec_id")
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", $"embedding".cast("array<double>"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       .select($"vec_id", $"label", $"v", $"nrm")
     val qs = ve.filter($"vec_id" < 20)
