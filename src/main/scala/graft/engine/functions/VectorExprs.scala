@@ -143,6 +143,38 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private val Md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HllPrefix = "hll:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** One-pass HLL register extraction — the closed form of the
+    * declarative `md5(concat('hll:', k))` → `conv(substr(hx, 1, 8),
+    * 16, 10) % m` / `conv(substr(hx, 9, 8), 16, 10) % 2^30` → rho
+    * chain (which allocates the concat, a 32-char hex string and two
+    * substring copies per row). Identical register values: the first
+    * 8 hex chars ARE digest bytes 0–3 big-endian unsigned, the next 8
+    * are bytes 4–7, and `31 − length(bin(h))` for h > 0 is
+    * `31 − (64 − nlz(h))`. The DuckDB oracle keeps the md5 spelling;
+    * HllRegSpec fuzzes the equivalence. Returns struct(b, rho). */
+  def hllReg(k: UTF8String, m: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val md = Md5Digest.get()
+    md.update(HllPrefix)
+    md.update(k.getBytes)
+    val dg = md.digest() // digest() resets the instance
+    val u1 = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+      ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+    val u2 = ((dg(4) & 0xffL) << 24) | ((dg(5) & 0xffL) << 16) |
+      ((dg(6) & 0xffL) << 8) | (dg(7) & 0xffL)
+    val h = u2 % 1073741824L
+    val rho =
+      if (h == 0L) 31
+      else 31 - (64 - java.lang.Long.numberOfLeadingZeros(h))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](u1 % m, rho))
+  }
+
   /** Non-overlapping occurrence count of `g` in `s`, scanning left to
     * right — the same match set java.util.regex `replaceAll` (and the
     * oracle's `replace`) removes, so it equals the
@@ -588,7 +620,8 @@ object VectorOps {
       "graft_ivf_encs", "graft_count_sub", "graft_count_in",
       "graft_char_stats", "graft_token_counts", "graft_bigram_stats",
       "graft_line_stats", "graft_gopher_counts", "graft_ttr_stats",
-      "graft_token_count", "graft_shingles", "graft_tok_hashes")
+      "graft_token_count", "graft_shingles", "graft_tok_hashes",
+      "graft_hll_reg")
     if (names.forall(n => registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     registry.createOrReplaceTempFunction("graft_dot",
@@ -631,6 +664,8 @@ object VectorOps {
       exprs => ShingleSet(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_tok_hashes",
       exprs => TokenHashes(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_hll_reg",
+      exprs => HllRegister(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => VectorOps.bloomAgg(exprs), "built-in")
     registry.createOrReplaceTempFunction("graft_might_contain",
@@ -728,6 +763,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_tok_hashes"),
       new ExpressionInfo(classOf[TokenHashes].getName, "graft_tok_hashes"),
       (exprs: Seq[Expression]) => TokenHashes(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_hll_reg"),
+      new ExpressionInfo(classOf[HllRegister].getName, "graft_hll_reg"),
+      (exprs: Seq[Expression]) => HllRegister(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -952,6 +990,30 @@ case class TokenHashes(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): TokenHashes =
     copy(child = newChild)
+}
+
+/** Codegen'd HLL register extraction ([[VectorOps.hllReg]]):
+  * struct(b, rho) from a key string and a literal register count. */
+case class HllRegister(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("b", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rho",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(k: Any, m: Any): Any =
+    VectorOps.hllReg(k.asInstanceOf[UTF8String], m.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, m) =>
+      s"graft.engine.functions.VectorOps.hllReg($k, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllRegister =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd non-overlapping substring occurrence count

@@ -211,13 +211,14 @@ object Relational9 {
     * exceed 256 rows. */
   val aggHll: Q = (s, d) => {
     val ins = Tables.lineitem(s, d).select($"l_orderkey".cast("string").as("k"))
+    graft.engine.functions.VectorOps.register(s)
+    // native register extraction (graft_hll_reg): same (b, rho) as the
+    // md5 → conv(substr) → bin-length chain the oracle keeps, without
+    // the concat + 32-char hex + two substring copies per row
+    // (HllRegSpec fuzzes the equivalence)
     val regs = ins
-      .select(expr("md5(concat('hll:', k))").as("hx"))
-      .select(
-        expr(s"CAST(conv(substr(hx, 1, 8), 16, 10) AS BIGINT) % $HllM").as("b"),
-        expr("CAST(conv(substr(hx, 9, 8), 16, 10) AS BIGINT) % 1073741824")
-          .as("h"))
-      .select($"b", expr("31 - IF(h = 0, 0, length(bin(h)))").as("rho"))
+      .select(expr(s"graft_hll_reg(k, $HllM)").as("br"))
+      .select($"br.b".as("b"), $"br.rho".as("rho"))
       .groupBy($"b").agg(max($"rho").as("r"))
     val universe = ins.sparkSession.range(HllM).select($"id".as("b"))
     val est = universe.join(regs, Seq("b"), "left")

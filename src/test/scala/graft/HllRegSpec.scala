@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz of the native `graft_hll_reg` register extraction
+  * against the declarative md5 → conv(substr) → bin-length chain it
+  * replaced in agg_hll (the DuckDB oracle keeps that spelling, so this
+  * equivalence is the correctness argument): identical (b, rho) on
+  * arbitrary key strings, including the h = 0 register edge and
+  * multi-byte keys.
+  */
+class HllRegSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+
+  test("native HLL register extraction matches the md5/conv spelling") {
+    val s = spark
+    import s.implicits._
+    graft.engine.functions.VectorOps.register(s)
+    val rnd = new scala.util.Random(97)
+    val keys = Seq("", "0", "1", "42", "hll:", "é中🙂",
+      (1 to 500).map(_ => "x").mkString) ++
+      (1 to 2000).map(_ => rnd.nextLong().toString) ++
+      (1 to 200).map { _ =>
+        val alpha = "aZ9 .é中"
+        (1 to rnd.nextInt(20)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+    for (m <- Seq(64, 1024, 4096)) {
+      val rows = keys.toDF("k").repartition(8).selectExpr(
+        s"graft_hll_reg(k, $m) AS br",
+        "md5(concat('hll:', k)) AS hx")
+        .selectExpr("br.b AS fb", "br.rho AS fr",
+          s"CAST(conv(substr(hx, 1, 8), 16, 10) AS BIGINT) % $m AS rb",
+          "CAST(conv(substr(hx, 9, 8), 16, 10) AS BIGINT) % 1073741824 AS h")
+        .selectExpr("fb", "fr", "rb",
+          "31 - IF(h = 0, 0, length(bin(h))) AS rr")
+        .collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(0) == r.getLong(2) && r.getInt(1) == r.getInt(3),
+          s"registers diverge at m=$m on #$i '${keys(i).take(30)}': " +
+            s"fast=(${r.getLong(0)},${r.getInt(1)}) " +
+            s"ref=(${r.getLong(2)},${r.getInt(3)})")
+      }
+    }
+  }
+}
