@@ -50,25 +50,28 @@ class CodegenParitySpec extends AnyFunSuite {
     * themselves execute the queries normally, and the cut subtree is
     * materialized under whichever codegen mode is live at execution. */
   private lazy val nativeUsers: Seq[String] = {
-    import graft.engine.functions._
+    // membership by PACKAGE, not an enumerated class list: every engine
+    // kernel lives in graft.engine.functions, so a newly added
+    // expression joins the sweep the moment a query plans it — an
+    // enumerated list silently excluded the round-13 kernel batch's
+    // queries unless they also happened to plan an older expression
     SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       val plan = SharedPlans.optimized(n)
       plan.collectWithSubqueries {
-        case node if node.expressions.exists(_.exists {
-          case _: DotProduct | _: L2Distance | _: MortonInterleave |
-               _: IntMatVec | _: WindowHash | _: IvfEncs | _: PolyHash |
-               _: Tokenize | _: SimHash32 => true
-          case _ => false
-        }) => ()
+        case node if node.expressions.exists(_.exists(
+          _.getClass.getName.startsWith("graft.engine.functions."))) => ()
       }.nonEmpty
     }
   }
 
   test("the sweep's scope detector finds the native-expression queries") {
     // if plan rewiring ever hides the expressions from the walk, the
-    // sweep would silently shrink to nothing — pin known members
+    // sweep would silently shrink to nothing — pin known members,
+    // including queries whose ONLY native expression is a round-13/14
+    // kernel (the enumerated-list detector missed those)
     assert(nativeUsers.nonEmpty)
-    Seq("data_zorder", "dedup_simhash", "text_tokens").foreach { expected =>
+    Seq("data_zorder", "dedup_simhash", "text_tokens",
+      "agg_hll", "text_langid_ngram", "dedup_near").foreach { expected =>
       assert(nativeUsers.contains(expected),
         s"$expected no longer detected as a native-expression query — " +
           s"detector or query changed; sweep scope: $nativeUsers")
