@@ -104,7 +104,9 @@ object DedupOps {
     * boilerplate at 100 TB. */
   def dedupNearCapped(maxDf: Long): Q = (s, d) => {
     val base = shingled(s, d)
-    val ex = base.select($"doc_id", explode($"sh").as("g"))
+    // n rides along so the length filter can prune INSIDE the self-join
+    // (8 bytes per posting row in the checkpoint — see below)
+    val ex = base.select($"doc_id", $"n", explode($"sh").as("g"))
     // posting-list prefilter: a shingle in exactly ONE document (the
     // vast majority of any corpus) can never produce a pair — the
     // self-equi-join needs both sides to share g and doc_a < doc_b —
@@ -133,8 +135,21 @@ object DedupOps {
     // duplicates the whole explode→df-aggregate→join subtree per side
     // (self-join aliasing defeats exchange reuse under AQE)
     val kept = ex.join(shared, Seq("g")).transform(Checkpoints.cut)
+    // Length filter AT ENUMERATION (the similarity-join literature's
+    // length prune): Jaccard >= 0.5 forces |n_a - n_b| <= min(na, nb),
+    // i.e. 2·least >= greatest — the exact integer spelling of the
+    // post-aggregate `least >= 0.5·greatest` double predicate (both
+    // sides exact: longs ≤ 2^53). The predicate reads only (na, nb),
+    // never `inter`, so pruning a pair's rows here removes precisely
+    // the groups the downstream filter discards — results unchanged
+    // (the differential gate pins it), but mismatched-length pairs
+    // never reach the aggregate. On this length-homogeneous test
+    // corpus that is ~24% of pair rows; on a real mixed-length corpus
+    // the prune is the difference between Σ C(df,2) and a fraction of
+    // it, at the cost of one BIGINT per posting row in the checkpoint.
     val inter = kept.as("x").join(kept.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * 2 >= greatest(col("x.n"), col("y.n")))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
