@@ -126,6 +126,55 @@ class SkewStressSpec extends AnyFunSuite {
       s"cap must cut the shuffle >10x: capped=$capped uncapped=$uncapped")
   }
 
+  test("dedup_near length prune: on a mixed-length corpus the enumeration " +
+    "skips cross-length pairs — results match brute force, shuffle stays " +
+    "below the sharing-pair quadratic") {
+    import spark.implicits._
+    val dir = tmpDir("graft-lenprune-docs")
+    // Three length classes (3 / 9 / 27 shingles per doc), 200 docs each,
+    // ALL sharing one boilerplate shingle (df = 600, under the cap) —
+    // so every one of the C(600,2) = 179,700 doc pairs shares a shingle
+    // and, WITHOUT the enumeration-time length prune, every one of them
+    // reaches the pair aggregate (the length filter used to run only
+    // after it). Cross-class pairs all fail 2·least >= greatest
+    // (2·3 < 9, 2·9 < 27), so the pruned run enumerates only the
+    // 3·C(200,2) = 59,700 same-class pairs. One designed dup pair per
+    // class keeps the result non-empty (AQE EmptyRelation would
+    // collapse the exchanges and their metrics).
+    def doc(id: Long, extraToks: Int): (Long, String) =
+      (id, "common header boilerplate " +
+        (1 to extraToks).map(j => s"u${id}x$j").mkString(" "))
+    val docs = (0L until 200L).map(i => doc(i, 2)) ++
+      (200L until 400L).map(i => doc(i, 8)) ++
+      (400L until 600L).map(i => doc(i, 26)) ++
+      Seq(0, 1, 2).flatMap { k =>
+        val text = s"lp${k}a lp${k}b lp${k}c lp${k}d lp${k}e"
+        Seq((9000L + 2 * k, text), (9001L + 2 * k, text))
+      }
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("gen"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .repartition(4).write.parquet(s"$dir/documents.parquet")
+
+    val got = DedupOps.queries("dedup_near")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = bruteNear(docs, DedupOps.NearMaxShingleDf)
+    assert(expect.size == 3, s"corpus design: ${expect.size} expected pairs")
+    assert(got == expect, s"engine=${got.size} pairs, oracle=${expect.size}")
+
+    val s = Metrics.shuffleStats(DedupOps.queries("dedup_near")(spark, dir))
+    assert(s.recordsWritten > 0,
+      "stats must come from a live plan, not an AQE-collapsed empty one")
+    // un-pruned, the pair aggregate alone shuffles >= 179,700 records
+    // (every sharing pair is a distinct group — nothing combines);
+    // pruned, same-class pairs + the posting/df exchanges stay well
+    // under that. The bound leaves ~2x headroom over the measured
+    // pruned total so it fails ONLY if cross-length pairs come back.
+    assert(s.recordsWritten < 150000,
+      s"enumeration shuffled ${s.recordsWritten} records — the length " +
+        "prune is not engaging (un-pruned sharing-pair quadratic is 179,700+)")
+  }
+
   test("graph_jaccard: a part supplied by 6,000 suppliers is df-capped — " +
     "top-20 matches brute force and the join stays sub-quadratic") {
     import spark.implicits._
