@@ -52,8 +52,11 @@ object Relational10 {
         $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
         $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, d)
-          .select($"s_suppkey", $"s_nationkey")),
+      // supplier unhinted: SF-proportional (see Relational8's part
+      // note) — estimation/AQE broadcast it while it fits, and only
+      // while it fits
+      .join(Tables.supplier(s, d)
+          .select($"s_suppkey", $"s_nationkey"),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(Tables.nation(s, d)
           .select($"n_nationkey", $"n_name", $"n_regionkey")),
@@ -82,8 +85,8 @@ object Relational10 {
   val joinTpchQ16: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select($"l_partkey", $"l_suppkey")
-      .join(broadcast(Tables.supplier(s, d)
-          .filter($"s_acctbal" < 0).select($"s_suppkey")),
+      .join(Tables.supplier(s, d)
+          .filter($"s_acctbal" < 0).select($"s_suppkey"),
         $"l_suppkey" === $"s_suppkey", "left_anti")
       .join(Tables.part(s, d)
           .filter($"p_brand" =!= "Brand#1")

@@ -96,7 +96,9 @@ object Relational11 {
       .filter($"n_name".isin(Q7NationA, Q7NationB))
     Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate", rev.as("rev"))
-      .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")),
+      // supplier unhinted — SF-proportional (Relational8's part note);
+      // the nation frames below keep their hints (≤ 25 rows, bounded)
+      .join(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey"),
         $"l_suppkey" === $"s_suppkey")
       .join(broadcast(nat2.select($"n_nationkey".as("sn_key"),
         $"n_name".as("supp_nation"))), $"s_nationkey" === $"sn_key")

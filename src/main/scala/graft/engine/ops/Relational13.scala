@@ -66,10 +66,11 @@ object Relational13 {
     Tables.lineitem(s, d)
       .filter($"l_quantity" >= 1 && $"l_quantity" <= 30)
       .select($"l_partkey", $"l_quantity", rev.as("rev"))
-      .join(broadcast(Tables.part(s, d)
+      // part unhinted — SF-proportional (Relational8's part note)
+      .join(Tables.part(s, d)
           .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3")
             && $"p_size".between(1, 15))
-          .select($"p_partkey", $"p_brand", $"p_size")),
+          .select($"p_partkey", $"p_brand", $"p_size"),
         $"l_partkey" === $"p_partkey")
       .filter(cond)
       .agg(sum($"rev").cast("double").as("revenue"),

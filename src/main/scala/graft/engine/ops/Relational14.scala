@@ -52,7 +52,8 @@ object Relational14 {
         $"o_custkey" === $"c_custkey")
       .join(broadcast(natReg.withColumnRenamed("n_nationkey", "cn_key")),
         $"c_nationkey" === $"cn_key", "left_semi")
-      .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")),
+      // supplier unhinted — SF-proportional (Relational8's part note)
+      .join(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey"),
         $"l_suppkey" === $"s_suppkey")
       .join(broadcast(nat.select($"n_nationkey".as("sn_key"),
         $"n_name".as("supp_nation"))), $"s_nationkey" === $"sn_key")
@@ -87,7 +88,9 @@ object Relational14 {
     val top = revenue.agg(max($"total_rev").as("max_rev"))
     revenue.crossJoin(broadcast(top))
       .filter($"total_rev" === $"max_rev")
-      .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_name")),
+      // supplier unhinted: the max-revenue side is ≤ ties-at-max rows,
+      // so AQE broadcasts THAT side from runtime sizes at any scale
+      .join(Tables.supplier(s, d).select($"s_suppkey", $"s_name"),
         $"l_suppkey" === $"s_suppkey")
       .select($"l_suppkey".as("s_suppkey"), $"s_name",
         $"total_rev".cast("double").as("total_revenue"))

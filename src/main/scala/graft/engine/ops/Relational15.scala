@@ -92,10 +92,13 @@ object Relational15 {
         .select($"r_regionkey")), $"n_regionkey" === $"r_regionkey", "left_semi")
       .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
     val es = supply(s, d)
-      .join(broadcast(Tables.part(s, d)
+      // part and euro (supplier-derived) unhinted — both SF-
+      // proportional (Relational8's note); AQE broadcasts them from
+      // runtime sizes exactly while they fit
+      .join(Tables.part(s, d)
         .filter($"p_type" === Q2Type && $"p_size" < Q2MaxSize)
-        .select($"p_partkey")), $"ps_partkey" === $"p_partkey", "left_semi")
-      .join(broadcast(euro), $"ps_suppkey" === $"s_suppkey")
+        .select($"p_partkey"), $"ps_partkey" === $"p_partkey", "left_semi")
+      .join(euro, $"ps_suppkey" === $"s_suppkey")
       .transform(Checkpoints.cut) // feeds both the min and the join-back
     val minCost = es.groupBy($"ps_partkey".as("mc_key"))
       .agg(min($"ps_cost").as("min_cost"))
@@ -124,8 +127,9 @@ object Relational15 {
   val joinTpchQ9: Q = (s, d) => {
     val sp = supply(s, d)
       .select($"ps_partkey", $"ps_suppkey", $"ps_cost")
-      .join(broadcast(Tables.part(s, d)
-        .filter($"p_name".contains(Q9NamePattern)).select($"p_partkey")),
+      // part/supplier unhinted — SF-proportional (Relational8's note)
+      .join(Tables.part(s, d)
+        .filter($"p_name".contains(Q9NamePattern)).select($"p_partkey"),
         $"ps_partkey" === $"p_partkey", "left_semi")
     Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity",
@@ -134,7 +138,7 @@ object Relational15 {
         $"l_suppkey" === $"ps_suppkey")
       .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")),
+      .join(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey"),
         $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name")),
         $"s_nationkey" === $"n_nationkey")
@@ -172,7 +176,9 @@ object Relational15 {
     * broadcasts back. */
   val joinTpchQ11: Q = (s, d) => {
     val vals = supply(s, d)
-      .join(broadcast(regionSuppliers(s, d, Q11Region)),
+      // regionSuppliers unhinted — supplier-derived, SF-proportional
+      // (Relational8's note)
+      .join(regionSuppliers(s, d, Q11Region),
         $"ps_suppkey" === $"s_suppkey", "left_semi")
       .select($"ps_partkey", ($"ps_cost" * $"ps_availqty".cast(DecQty)).as("v"))
       .groupBy($"ps_partkey").agg(sum($"v").as("value_dec"))
@@ -203,15 +209,17 @@ object Relational15 {
   val joinTpchQ20: Q = (s, d) => {
     val cand = supply(s, d)
       .filter($"ps_qty97" * 2 > $"ps_availqty")
-      .join(broadcast(Tables.part(s, d)
-        .filter($"p_name".startsWith(Q20NamePrefix)).select($"p_partkey")),
+      // part unhinted — SF-proportional (Relational8's note)
+      .join(Tables.part(s, d)
+        .filter($"p_name".startsWith(Q20NamePrefix)).select($"p_partkey"),
         $"ps_partkey" === $"p_partkey", "left_semi")
       .select($"ps_suppkey").distinct()
     Tables.supplier(s, d)
       .select($"s_suppkey", $"s_name", $"s_acctbal", $"s_nationkey")
       .join(broadcast(Tables.nation(s, d).filter($"n_name" === Q20Nation)
         .select($"n_nationkey")), $"s_nationkey" === $"n_nationkey", "left_semi")
-      .join(broadcast(cand), $"s_suppkey" === $"ps_suppkey", "left_semi")
+      // cand unhinted — distinct supplier keys, SF-proportional
+      .join(cand, $"s_suppkey" === $"ps_suppkey", "left_semi")
       .select($"s_suppkey", $"s_name", $"s_acctbal".cast("double").as("acctbal"))
       .orderBy($"s_name", $"s_suppkey")
   }

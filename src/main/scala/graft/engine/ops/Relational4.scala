@@ -180,16 +180,22 @@ object Relational4 {
     // holds at ANY id width (a `dg * base + id` BIGINT pack would
     // silently corrupt the orientation the day ids outgrow the base —
     // a 100 TB id space does). Ties are impossible: id is unique.
-    // The degree table is |V|-sized — broadcast it so the 2 rank
-    // joins stay map-side over the edge list (at graphs where |V|
-    // itself outgrows broadcast, these become shuffle equi-joins and
-    // the algorithm is unchanged).
-    val deg = edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
+    // The degree table is |V|-sized — broadcast it (so the 2 rank
+    // joins stay map-side over the edge list) only under the SAME
+    // size gate as the closure side: |V| <= 2·|E| and |E| is known
+    // for free from the cutCounted materialization, so the flip to
+    // shuffle equi-joins at broadcast-hostile scale is executable
+    // logic, not a comment asking a future operator to edit the query
+    // (the algorithm is unchanged either way).
+    val maxBroadcastEdges = s.conf.get(
+      "spark.graft.triangles.broadcastMaxEdges", "10000000").toLong
+    val deg0 = edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("dg"))
       .select($"n", struct($"dg", $"n").as("rank"))
+    val deg = if (nEdges <= maxBroadcastEdges) broadcast(deg0) else deg0
     val oriented = Checkpoints.cut(edges
-      .join(broadcast(deg).withColumnRenamed("n", "u").withColumnRenamed("rank", "ru"), Seq("u"))
-      .join(broadcast(deg).withColumnRenamed("n", "v").withColumnRenamed("rank", "rv"), Seq("v"))
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("rank", "ru"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("rank", "rv"), Seq("v"))
       .select(
         when($"ru" < $"rv", $"u").otherwise($"v").as("src"),
         when($"ru" < $"rv", $"v").otherwise($"u").as("dst"),
@@ -207,8 +213,6 @@ object Relational4 {
     // formulation; same result, one more shuffle. |E| is known exactly
     // and for free: cutCounted surfaced it from the checkpoint's own
     // materialization job.
-    val maxBroadcastEdges = s.conf.get(
-      "spark.graft.triangles.broadcastMaxEdges", "10000000").toLong
     val wedges = oriented.as("o1")
       .join(oriented.as("o2"),
         $"o1.src" === $"o2.src" && $"o1.rdst" < $"o2.rdst")

@@ -92,7 +92,10 @@ object Relational7 {
     val deg = edges.groupBy($"sk").agg(count(lit(1)).as("n"))
     val hot = edges.groupBy($"p").agg(count(lit(1)).as("df"))
       .filter($"df" > JaccardMaxPartDf).select($"p")
-    val kept = edges.join(broadcast(hot), Seq("p"), "left_anti")
+    // hot list unhinted: its cardinality is |edges|/cap — small by
+    // construction but still data-proportional, so AQE decides (the
+    // same doctrine as dedupNearCapped's shared-shingle join)
+    val kept = edges.join(hot, Seq("p"), "left_anti")
     kept.as("a").join(kept.as("b"),
         col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("sa"), col("b.sk").as("sb"))

@@ -47,7 +47,12 @@ object Relational8 {
       .filter($"l_shipdate" >= lit("1997-01-01")
         && $"l_shipdate" < lit("1997-04-01"))
       .select($"l_partkey", revE4.as("rev_e4"))
-      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_type")),
+      // no broadcast hint on part: it grows with SF (2·10⁸ rows/TB —
+      // a forced broadcast is a driver OOM at corpus scale), while at
+      // any size where it IS small, file-size estimation + AQE
+      // broadcast it unhinted. Hints stay reserved for frames whose
+      // cardinality is BOUNDED (region/nation, top-k, 1-row totals).
+      .join(Tables.part(s, d).select($"p_partkey", $"p_type"),
         $"l_partkey" === $"p_partkey")
       .agg(
         sum(when($"p_type" === "PROMO", $"rev_e4").otherwise(0L))
