@@ -231,23 +231,35 @@ object DedupOps {
       "stack(4, " + (0 until 4).map(b =>
         s"$b, concat_ws('_', mh${b * 4}, mh${b * 4 + 1}, mh${b * 4 + 2}, mh${b * 4 + 3})")
         .mkString(", ") + ") as (band, band_key)")
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val (cands, nCands) = Checkpoints.cutCounted(
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct())
     // Verify joins BROADCAST the candidate-proportional side so the
     // corpus shingle arrays never re-shuffle: candidates are ≪ corpus
     // by LSH design, while a plain equi-join here was measured moving
     // every (doc_id, sh) row through two exchanges — 6× the bytes of
     // every other stage combined (MetricsSpec pins the corrected
-    // ratio). Beyond broadcastable candidate volume, flip doc_b to a
-    // shuffle join: it then moves only candidate rows + one corpus
-    // pass, still never twice.
+    // ratio). Beyond broadcastable candidate volume the verify flips
+    // to shuffle equi-joins on the doc keys — the shingle arrays then
+    // pay one hash-partition pass per side (plus riding the matched
+    // candidate rows between the two joins), the honest relational
+    // cost once candidates outgrow executor memory — and the flip is
+    // a SIZE GATE on the candidate count, which cutCounted surfaces
+    // for free from the candidate materialization job, not a comment
+    // asking a future operator to edit the query. Both paths are
+    // result-identical (MinhashVerifyPathSpec pins it by forcing the
+    // knob to 0).
+    val maxBroadcastCands = s.conf.get(
+      "spark.graft.minhash.broadcastMaxCandidates", "10000000").toLong
+    val hint: DataFrame => DataFrame =
+      if (nCands <= maxBroadcastCands) broadcast else identity
     val withA = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
-      .join(broadcast(cands), "doc_a")
+      .join(hint(cands), "doc_a")
     docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
-      .join(broadcast(withA), "doc_b")
+      .join(hint(withA), "doc_b")
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard", round($"inter".cast("double")
         / (size($"sh_a") + size($"sh_b") - $"inter"), 4))
