@@ -125,10 +125,10 @@ object Bench {
       val passes = scala.collection.mutable.ArrayBuffer
         .empty[(Double, Boolean, Option[org.apache.spark.sql.DataFrame])]
       passes ++= Seq.fill(3)(timeOnce(spark, sfDir, fn))
+      def warm = passes.head match { case (t, false, _) => t; case _ => 0.0 }
       def steady = passes.drop(1).collect { case (t, false, _) => t }
       var extras = 0
-      while (extras < 2 && steady.nonEmpty &&
-             steady.max / steady.min > 1.5) {
+      while (extras < 2 && steady.nonEmpty && needsRerun(warm, steady.toSeq)) {
         passes += timeOnce(spark, sfDir, fn)
         extras += 1
       }
@@ -164,6 +164,26 @@ object Bench {
     }.toMap
     (ok, failed, runs, spread, shuffles)
   }
+
+  /** Re-run triggers (up to 2 extra steady passes). Two anomaly
+    * shapes, both "no plan property can produce this":
+    *  - intra-steady disagreement (max/min > 1.5 across CONSECUTIVE
+    *    same-JVM passes) — the original rev-5 trigger;
+    *  - COLD-ANOMALY: every steady pass is > 1.5× the warm-up. The
+    *    warm-up pass includes codegen compilation and one-time builds,
+    *    so steady passes far above it measure bench-JVM/host state,
+    *    not the plan (observed: graph_triangles runs [2.05, 14.6,
+    *    10.6] — steady spread only 1.38, so the original trigger
+    *    never fired and the reported 10.6 s overstated a query that
+    *    runs 2 s standalone). One recovered extra pass rescues the
+    *    number through the existing clean-set filter: it becomes the
+    *    new steady min and the inflated passes drop as outliers. If
+    *    the state PERSISTS, the reported number honestly reflects
+    *    bench conditions and the runs/spread fields carry the
+    *    provenance. */
+  private[graft] def needsRerun(warm: Double, steady: Seq[Double]): Boolean =
+    steady.max / steady.min > 1.5 ||
+      (warm > 0.0 && steady.min > warm * 1.5)
 
   /** The rev-5 per-query statistic: drop steady passes more than 1.5×
     * above the steady minimum (host contention, not plan cost), then

@@ -44,4 +44,24 @@ class BenchStatSpec extends AnyFunSuite {
     assert(stat(1.0, 1.1, 1.2) == 1.1)
     assert(stat(1.2, 1.0, 9.9, 1.1) == 1.1)
   }
+
+  test("re-run triggers: steady disagreement OR every steady pass far " +
+    "above the warm-up") {
+    // original rev-5 trigger: intra-steady spread
+    assert(Bench.needsRerun(warm = 5.0, steady = Seq(1.0, 2.0)))
+    assert(!Bench.needsRerun(warm = 5.0, steady = Seq(1.0, 1.4)))
+    // cold-anomaly (the graph_triangles [2.05, 14.6, 10.6] shape:
+    // spread 1.38 never fired, yet both steady passes measured JVM
+    // state, not the plan — the warm-up pass bounds the plan's cost
+    // from above, compile time included)
+    assert(Bench.needsRerun(warm = 2.05, steady = Seq(14.6, 10.6)))
+    // normal shape: warm-up slower than steady (one-time builds) — and
+    // a failed warm-up (recorded 0.0) must never divide the trigger
+    assert(!Bench.needsRerun(warm = 6.0, steady = Seq(2.0, 2.2)))
+    assert(!Bench.needsRerun(warm = 0.0, steady = Seq(2.0, 2.2)))
+    // a recovered extra pass rescues the reported number through the
+    // existing clean-set filter: the fresh 2.2 becomes the steady min
+    // and both inflated passes drop as outliers
+    assert(stat(14.6, 10.6, 2.2) == 2.2)
+  }
 }
