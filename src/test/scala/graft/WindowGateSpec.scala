@@ -188,6 +188,89 @@ class WindowGateSpec extends AnyFunSuite {
         s"${unbounded.mkString("; ")}")
   }
 
+  // ------------------------------------------------ broadcast-hint gate
+
+  /** Logical twin of [[boundedBuild]] for the broadcast-HINT gate:
+    * somewhere in a hinted subtree there must be a node that caps its
+    * cardinality. Estimation/AQE-chosen broadcasts are scale-safe by
+    * construction (they only broadcast what the statistics or the
+    * runtime sizes say fits); an EXPLICIT hint overrides both forever,
+    * so it is only legitimate on a frame whose cardinality is bounded
+    * in the plan itself. */
+  private def logicalBounded(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def nodes(q: LogicalPlan): Seq[LogicalPlan] =
+      Seq(q) ++ q.children.flatMap(nodes)
+    nodes(p).exists {
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: Aggregate | _: Distinct => true
+      case f: Filter => literalKeyFilter(f.condition)
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val ps = h.location.rootPaths
+            ps.nonEmpty && ps.forall(pp =>
+              Set("region.parquet", "nation.parquet").contains(pp.getName))
+          case _ => false
+        }
+      case r: Range => r.numElements <= 1000
+      case l: LocalRelation => l.data.size <= 1000
+      case _ => false
+    }
+  }
+
+  /** (query, hinted-side plans) for every declared query whose
+    * optimized plan carries an explicit BROADCAST join hint (the
+    * optimizer's EliminateResolvedHint moves `broadcast(df)` into the
+    * Join node's JoinHint, so this sees exactly the hand-placed
+    * hints, not AQE/estimation decisions; noCut plans include hints
+    * below checkpoints). */
+  private def hintedSides(name: String)
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+    SharedPlans.optimized(name).collectWithSubqueries {
+      case j: LJoin =>
+        j.hint.leftHint.filter(_.strategy.contains(BROADCAST)).map(_ => j.left).toSeq ++
+          j.hint.rightHint.filter(_.strategy.contains(BROADCAST)).map(_ => j.right).toSeq
+    }.flatten
+  }
+
+  test("every explicit broadcast hint sits on a cardinality-bounded " +
+    "subtree (cut subtrees included)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val bad = hintedSides(name).filterNot(logicalBounded)
+      if (bad.isEmpty) None
+      else Some(s"$name (${bad.size} hinted side(s))")
+    }
+    assert(offenders.isEmpty,
+      "an explicit broadcast() hint forces the broadcast at EVERY " +
+        "scale — it is only legitimate on a frame the plan itself " +
+        "bounds (limit/aggregate/literal-key filter/region-nation " +
+        "dim/literal table). Unhint these and let estimation+AQE " +
+        s"decide, or bound them: ${offenders.mkString(", ")}")
+  }
+
+  test("broadcast-hint canary: the detector trips on a hinted " +
+    "unbounded scan") {
+    import org.apache.spark.sql.functions.broadcast
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val bad = docs.as("a").join(
+      broadcast(graft.engine.Tables.documents(spark, sf).as("b")),
+      org.apache.spark.sql.functions.col("a.doc_id") ===
+        org.apache.spark.sql.functions.col("b.doc_id"))
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+    val sides = bad.queryExecution.optimizedPlan.collectWithSubqueries {
+      case j: LJoin =>
+        j.hint.leftHint.filter(_.strategy.contains(BROADCAST)).map(_ => j.left).toSeq ++
+          j.hint.rightHint.filter(_.strategy.contains(BROADCAST)).map(_ => j.right).toSeq
+    }.flatten
+    assert(sides.nonEmpty, "canary must surface the hinted side")
+    assert(sides.exists(!logicalBounded(_)),
+      "a full-corpus hinted scan must be detected as UNBOUNDED — " +
+        "detector can no longer fire")
+  }
+
   /** Canary: the gate's detector must actually FIRE on a violating
     * plan (a gate that cannot fail proves nothing — the round-11
     * vacuous-baseline lesson). Build the exact shapes the two gates
