@@ -30,10 +30,38 @@ object Bench {
     * disagree by >1.5×, up to 2 extra steady passes are taken; the
     * reported time is the LOWER MEDIAN of the "clean set" (steady
     * passes within 1.5× of the steady minimum) and the artifact
-    * stamps each query's raw steady spread. Bump the rev on ANY
-    * change to what a per-query number means. */
+    * stamps each query's raw steady spread;
+    * rev 6 = pinned CONTROL query (round 15): one fixed-work,
+    * data-independent control pass runs immediately before each
+    * query's passes and its time lands in the artifact under
+    * "control" — the per-query timing STATISTIC is unchanged from
+    * rev 5 (rev 5↔6 artifacts compare directly), the control series
+    * is pure provenance that lets tools/drift.py normalize
+    * cross-round deltas by measured host speed. Rev 5's spread and
+    * cold-anomaly triggers catch disagreement and cold starts but
+    * not MONOTONE degradation: round 14 published graph_jaccard at
+    * 4.71 s from runs [3.41, 4.71, 6.20] (spread 1.32 — no trigger)
+    * for a query whose steady state on that host was 2.9 s; the
+    * round-14 judge adjudicated it by hand-timing a control query.
+    * Bump the rev on ANY change to what a per-query number means. */
   private val Methodology =
-    """"timing":"materialize","bench_rev":5"""
+    """"timing":"materialize","bench_rev":6"""
+
+  /** Fixed work for the rev-6 control: 512M-row range → xxhash64 →
+    * bit_xor, 32 even partitions. Data-independent (no I/O, no SF),
+    * one whole-stage-codegen span, ~0.35 s on a quiet dev host —
+    * long enough to dwarf task-scheduling jitter, short enough that
+    * one pass per query adds ~1.5% to a full bench. bit_xor, not
+    * sum: xxhash64 is full-range and an ANSI sum overflows. */
+  private val ControlRows = 512000000L
+
+  private def controlOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, ControlRows, 1L, 32)
+      .selectExpr("bit_xor(xxhash64(id)) AS x")
+      .queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** One timed pass of one query. Materializes EVERY output row via
     * the query's own physical plan (toRdd), not count(): under count()
@@ -120,8 +148,16 @@ object Bench {
     * its value. */
   private def bench(spark: org.apache.spark.sql.SparkSession, sfDir: String)
       : (Map[String, Double], List[String], Map[String, Seq[Double]],
-         Map[String, Double], Map[String, (Long, Long)]) = {
+         Map[String, Double], Map[String, (Long, Long)],
+         Map[String, Double]) = {
+    val control = scala.collection.mutable.Map.empty[String, Double]
     val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // rev 6: one fixed-work control pass immediately before the
+      // query's passes — a per-query sample of what THIS host does
+      // with constant work at this moment, so cross-round per-query
+      // deltas can be normalized by measured host speed instead of
+      // adjudicated by hand
+      control(name) = controlOnce(spark)
       val passes = scala.collection.mutable.ArrayBuffer
         .empty[(Double, Boolean, Option[org.apache.spark.sql.DataFrame])]
       passes ++= Seq.fill(3)(timeOnce(spark, sfDir, fn))
@@ -162,7 +198,7 @@ object Bench {
     val shuffles = all.collect {
       case (k, _, Some(s)) => k -> s
     }.toMap
-    (ok, failed, runs, spread, shuffles)
+    (ok, failed, runs, spread, shuffles, control.toMap)
   }
 
   /** Re-run triggers (up to 2 extra steady passes). Two anomaly
@@ -199,7 +235,8 @@ object Bench {
                    sfDir: String, extra: String,
                    runs: Map[String, Seq[Double]] = Map.empty,
                    spread: Map[String, Double] = Map.empty,
-                   shuffles: Map[String, (Long, Long)] = Map.empty): String = {
+                   shuffles: Map[String, (Long, Long)] = Map.empty,
+                   control: Map[String, Double] = Map.empty): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // comma decimals on e.g. de_DE JVMs — invalid JSON
     def fmt(v: Double) =
@@ -241,8 +278,16 @@ object Bench {
         ",\"shuffle_bytes\":" + shuffles.toSeq.sortBy(_._1)
           .map { case (k, (_, b)) => "\"" + k + "\":" + b }
           .mkString("{", ",", "}")
+    // rev-6 control series: the fixed-work pass timed right before
+    // each query — host-speed provenance, keyed by query name so
+    // drift.py can align it with the run it contextualizes
+    val ct =
+      if (control.isEmpty) ""
+      else ",\"control\":" + control.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -250,12 +295,23 @@ object Bench {
     * the budget is spent; the remainder is a count under `"elided"`.
     */
   private def stdoutJson(results: Map[String, Double], failed: List[String],
-                         sfDir: String, budget: Int = 1400): String = {
+                         sfDir: String, control: Map[String, Double] = Map.empty,
+                         budget: Int = 1400): String = {
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$Methodology,"sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
+    // compact control summary for the budgeted stdout line (the full
+    // per-query series is in the file artifact): median/min/max of the
+    // fixed-work control across the whole pass — a reviewer reads host
+    // speed and its in-run drift from three numbers
+    val cs =
+      if (control.isEmpty) ""
+      else {
+        val vs = control.values.toSeq.sorted
+        s""","ctl_med":${fmt(vs(vs.size / 2))},"ctl_min":${fmt(vs.head)},"ctl_max":${fmt(vs.last)}"""
+      }
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$Methodology$cs,"sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
     val tailFixed = "},\"elided\":NNN}".length
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     var used = head.length + tailFixed
@@ -289,12 +345,16 @@ object Bench {
     // reader) so the first timed query doesn't absorb startup cost
     try SparkEntry.entry(spark).count()
     catch { case scala.util.control.NonFatal(_) => () }
+    // warm the control plan too: its first run pays codegen compile,
+    // every per-query run after must measure only host speed
+    controlOnce(spark); controlOnce(spark)
 
-    val (results, failed, runs, spread, shuffles) = bench(spark, sfDir)
+    val (results, failed, runs, spread, shuffles, control) = bench(spark, sfDir)
     // persist the primary result IMMEDIATELY: the optional secondary pass
     // doubles the runtime, and an external timeout mid-secondary must not
     // cost the round its primary perf artifact
-    writeArtifact(json(results, failed, sfDir, "", runs, spread, shuffles))
+    writeArtifact(json(results, failed, sfDir, "", runs, spread, shuffles,
+      control))
 
     // secondary scale factor: the largest sibling STRICTLY SMALLER than
     // the primary, so round-over-round comparisons can see scaling — and
@@ -311,12 +371,14 @@ object Bench {
       .lastOption
     val extra = secondary match {
       case Some(dir) =>
-        val (r2, f2, runs2, sp2, sh2) = bench(spark, dir.toString)
-        "," + "\"secondary\":" + json(r2, f2, dir.toString, "", runs2, sp2, sh2)
+        val (r2, f2, runs2, sp2, sh2, ct2) = bench(spark, dir.toString)
+        "," + "\"secondary\":" + json(r2, f2, dir.toString, "", runs2, sp2,
+          sh2, ct2)
       case None => ""
     }
 
-    writeArtifact(json(results, failed, sfDir, extra, runs, spread, shuffles)) // file: primary + secondary
+    writeArtifact(json(results, failed, sfDir, extra, runs, spread, shuffles,
+      control)) // file: primary + secondary
     // stdout gets a BUDGETED line: the driver captures a bounded tail of
     // stdout, and even the primary-only line overflowed it in r03 once the
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the
@@ -335,7 +397,7 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
     spark.stop()
-    println(stdoutJson(results, failed, sfDir))
+    println(stdoutJson(results, failed, sfDir, control))
     System.out.flush()
   }
 }

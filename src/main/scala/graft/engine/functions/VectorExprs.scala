@@ -1,10 +1,10 @@
 package graft.engine.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's hot numeric loops.
@@ -110,7 +110,12 @@ object VectorOps {
     * boxed element_at calls plus a separate array_distinct pass; this
     * is one scan with a LinkedHashSet (UTF8String equality is byte
     * equality — exactly Spark's default-collation string equality).
-    * Fewer than 3 tokens → empty set, matching the guarded CASE. */
+    * Fewer than 3 tokens → empty set, matching the guarded CASE.
+    * A window containing a NULL token folds to a null element —
+    * exactly what the replaced spelling's `concat` does (null-in →
+    * null-out, then array_distinct keeps one null); the session
+    * registers this as SQL, so user arrays with null elements must not
+    * NPE (they did until round 15). */
   def shingles(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     if (n < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -118,7 +123,9 @@ object VectorOps {
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= n - 3) {
-      seen.add(UTF8String.concatWs(ShingleSep,
+      if (toks.isNullAt(i) || toks.isNullAt(i + 1) || toks.isNullAt(i + 2))
+        seen.add(null)
+      else seen.add(UTF8String.concatWs(ShingleSep,
         toks.getUTF8String(i), toks.getUTF8String(i + 1),
         toks.getUTF8String(i + 2)))
       i += 1
@@ -131,13 +138,16 @@ object VectorOps {
     * `transform(toks, t -> graft_polyhash(t))`, whose outer lambda runs
     * interpreted per token even though the hash itself is native
     * (the simhash fingerprint queries' hottest map stage after
-    * tokenization). ShinglesSpec fuzzes the equivalence. */
+    * tokenization). ShinglesSpec fuzzes the equivalence. NULL tokens
+    * propagate to null elements — what the replaced lambda does
+    * (graft_polyhash is null-intolerant per element), and the NPE
+    * guard for user SQL arrays (see [[shingles]]). */
   def tokHashes(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = polyHash(toks.getUTF8String(i))
+      out(i) = if (toks.isNullAt(i)) null else polyHash(toks.getUTF8String(i))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -953,11 +963,22 @@ case class Tokenize(child: Expression)
 /** Codegen'd distinct 3-token shingle set ([[VectorOps.shingles]]) —
   * the shingle feature pass shared by the n-gram dedup family. */
 case class ShingleSet(child: Expression)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
 
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  // element nullability rides the input's: a null token folds its
+  // windows to null shingles (matching the replaced concat spelling),
+  // so engine pipelines — whose tokenizer emits containsNull=false —
+  // keep a non-null schema while user SQL over nullable arrays is typed
+  // honestly instead of NPE-ing
+  override def dataType: DataType = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) =>
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = cn)
+    case _ =>
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  }
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(toks: Any): Any =
@@ -975,10 +996,18 @@ case class ShingleSet(child: Expression)
   * ([[VectorOps.tokHashes]]) — the simhash pipelines' token-hash stage
   * without an interpreted outer lambda. */
 case class TokenHashes(child: Expression)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
 
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  // element nullability rides the input's (see [[ShingleSet.dataType]])
+  override def dataType: DataType = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) =>
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = cn)
+    case _ =>
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  }
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(toks: Any): Any =
@@ -995,7 +1024,14 @@ case class TokenHashes(child: Expression)
 /** Codegen'd HLL register extraction ([[VectorOps.hllReg]]):
   * struct(b, rho) from a key string and a literal register count. */
 case class HllRegister(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
+
+  // analysis-time type check: nullSafeEval casts straight to
+  // (UTF8String, Int), and the function is session-registered SQL —
+  // without declared inputTypes a `graft_hll_reg(k, 64L)` call fails
+  // deep in codegen (ClassCastException / janino error) instead of a
+  // clean AnalysisException naming the argument
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
 
   override def dataType: DataType = org.apache.spark.sql.types.StructType(
     Seq(

@@ -254,12 +254,27 @@ object DedupOps {
     // knob to 0).
     val maxBroadcastCands = s.conf.get(
       "spark.graft.minhash.broadcastMaxCandidates", "10000000").toLong
-    val hint: DataFrame => DataFrame =
+    // The SECOND broadcast (withA) gets its own, much lower gate: a
+    // cands row is two BIGINTs, but a withA row drags doc_a's full
+    // shingle array along (KBs per row — a few-KB web doc is ~700
+    // shingles ≈ 17 KB serialized), so a candidate count that
+    // broadcasts fine as bare id pairs can still blow past driver
+    // memory / Spark's 8 GB broadcast hard limit once the arrays ride
+    // the rows. |withA| == nCands exactly (each candidate matches one
+    // doc_a), so the same surfaced count gates both, at different
+    // thresholds: 100k rows × ~17 KB ≈ 1.7 GB worst-case.
+    // MinhashVerifyPathSpec pins all three paths (both broadcasts /
+    // cands-only / neither) result-identical on the real corpus.
+    val maxBroadcastVerify = s.conf.get(
+      "spark.graft.minhash.broadcastMaxVerifyRows", "100000").toLong
+    val hintCands: DataFrame => DataFrame =
       if (nCands <= maxBroadcastCands) broadcast else identity
+    val hintWithA: DataFrame => DataFrame =
+      if (nCands <= maxBroadcastVerify) broadcast else identity
     val withA = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
-      .join(hint(cands), "doc_a")
+      .join(hintCands(cands), "doc_a")
     docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
-      .join(hint(withA), "doc_b")
+      .join(hintWithA(withA), "doc_b")
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard", round($"inter".cast("double")
         / (size($"sh_a") + size($"sh_b") - $"inter"), 4))

@@ -115,14 +115,19 @@ object ControlStream {
       controlTopic: String,
       init: Initializer,
       checkpoint: String,
-      trigger: Trigger): StreamingQuery =
-    submissions(store, controlTopic)
+      trigger: Trigger): StreamingQuery = {
+    val stream = submissions(store, controlTopic)
+    // honor spark.graft.stateStore before start (provider is captured
+    // per query at start time — see StateStores)
+    StateStores.configure(stream.sparkSession)
+    stream
       .writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) => processBatch(init)(batch) }
       .start()
+  }
 
   /** Live deployment form of [[runSubmissions]]: continuous
     * micro-batches on a processing-time cadence (the reference's

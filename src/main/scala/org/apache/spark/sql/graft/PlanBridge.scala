@@ -17,8 +17,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `Dataset.checkpoint(eager = true)` with the internal forcing
   * count() returned instead of discarded. */
 object PlanBridge {
-  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+  /** Spark lines this bridge's `private[sql]` contract was validated
+    * against (the full oracle suite ran on them). `Dataset.ofRows` /
+    * `LogicalRDD.fromDataset` are internal API — a jar bump can move
+    * them without any deprecation cycle, and the failure mode would be
+    * a `NoSuchMethodError` deep inside query planning with no hint
+    * that the bridge is the cause. */
+  private[graft] val TestedSparkLines = Seq("4.1.")
+
+  /** None when the running Spark is accepted; Some(named error)
+    * otherwise. Outside the tested lines, a reflective probe of the
+    * exact internal surface this file links against
+    * ([[contractProbeOk]]) gets one chance to vouch for the new
+    * version — same shape, proceed; moved API, fail loudly HERE with
+    * the re-validation instruction instead of mid-plan. Parameterized
+    * (version, probe result) so PlanBridgeContractSpec can pin the
+    * rejection without faking a jar swap. */
+  private[graft] def contractViolation(
+      version: String, probeOk: Boolean): Option[String] =
+    if (TestedSparkLines.exists(version.startsWith)) None
+    else if (probeOk) None
+    else Some(
+      s"PlanBridge: Spark $version is outside the tested lines " +
+        s"(${TestedSparkLines.mkString(", ")}) and the internal " +
+        "Dataset.ofRows / LogicalRDD.fromDataset surface this bridge " +
+        "links against could not be verified on it; re-validate " +
+        "PlanBridge (and rerun the oracle suite) against this Spark " +
+        "version before use")
+
+  /** The runtime jars expose the two internal entry points this file
+    * compiles against. Reflection, because with unmanaged jars the
+    * compile-time and runtime classpaths can genuinely diverge — a
+    * linkage break would otherwise surface as NoSuchMethodError at
+    * first query. */
+  private[graft] def contractProbeOk: Boolean = scala.util.Try {
+    val ds = Class.forName("org.apache.spark.sql.classic.Dataset$")
+    val lr = Class.forName("org.apache.spark.sql.execution.LogicalRDD$")
+    ds.getMethods.exists(_.getName == "ofRows") &&
+      lr.getMethods.exists(_.getName == "fromDataset")
+  }.getOrElse(false)
+
+  // checked once, on the first bridge call of the JVM (every engine
+  // query path crosses the bridge, so this IS a startup assertion)
+  private lazy val ensureContract: Unit =
+    contractViolation(org.apache.spark.SPARK_VERSION, contractProbeOk)
+      .foreach(m => throw new IllegalStateException(m))
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame = {
+    ensureContract
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+  }
 
   /** Eager checkpoint that SURFACES the materialization count. This is
     * a faithful transcript of `Dataset.checkpoint(eager = true)`
@@ -32,6 +80,7 @@ object PlanBridge {
     * a glance on local[32] cached blocks, a full O(|E|) storage scan
     * per round on a reliable-checkpoint 100 TB run. */
   def checkpointCounted(df: DataFrame, reliable: Boolean): (DataFrame, Long) = {
+    ensureContract
     val ds = df.asInstanceOf[Dataset[_]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
@@ -56,6 +105,7 @@ object PlanBridge {
     * 2× on the spec frame). */
   def checkpointFlagCounted(df: DataFrame, reliable: Boolean,
       flagCol: String): (DataFrame, Long) = {
+    ensureContract
     val ds = df.asInstanceOf[Dataset[_]]
     val idx = ds.schema.fieldIndex(flagCol)
     val rdd = ds.queryExecution.toRdd.map(_.copy())

@@ -12,6 +12,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class HllRegSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.session
 
+  /** graft_hll_reg declares (STRING, INT) input types, so a BIGINT or
+    * non-integer second argument is rejected at ANALYSIS time with a
+    * named error — until round 15 it surfaced as a runtime
+    * ClassCastException / janino compile failure deep in codegen. */
+  private def checkMismatchedTypesRejected(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    for (bad <- Seq("CAST(64 AS BIGINT)", "'64'", "6.4")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql(s"SELECT graft_hll_reg('k', $bad)").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("graft_hll_reg") ||
+        e.getMessage.toLowerCase.contains("int"),
+        s"expected a type error naming the mismatch, got: ${e.getMessage}")
+    }
+
   test("native HLL register extraction matches the md5/conv spelling") {
     val s = spark
     import s.implicits._
@@ -24,6 +39,7 @@ class HllRegSpec extends AnyFunSuite {
         val alpha = "aZ9 .é中"
         (1 to rnd.nextInt(20)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
       }
+    checkMismatchedTypesRejected(s)
     for (m <- Seq(64, 1024, 4096)) {
       val rows = keys.toDF("k").repartition(8).selectExpr(
         s"graft_hll_reg(k, $m) AS br",

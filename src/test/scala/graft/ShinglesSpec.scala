@@ -60,6 +60,36 @@ class ShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("null token elements propagate like the replaced spellings " +
+    "(no NPE on user SQL arrays)") {
+    // both kernels are session-registered SQL functions, so user arrays
+    // with null elements can reach them; until round 15 they NPE'd where
+    // the declarative twins (concat → null-out; per-element polyhash →
+    // null element) propagate
+    val s = spark
+    graft.engine.functions.VectorOps.register(s)
+    val rows = s.sql(
+      """SELECT toks FROM VALUES
+         (array('a', CAST(NULL AS STRING), 'b', 'c', 'd')),
+         (array(CAST(NULL AS STRING))),
+         (array('a', 'b', CAST(NULL AS STRING))),
+         (array(CAST(NULL AS STRING), NULL, NULL, 'x', 'y', 'z', NULL)),
+         (array('a', 'b', 'c', 'a', CAST(NULL AS STRING), 'b', 'c')),
+         (array('a', 'b', 'c', 'd')) AS t(toks)""")
+      .selectExpr(
+        "graft_shingles(toks) AS fast_s",
+        graft.engine.ops.TextFeatures.shingleSetSql("toks") + " AS ref_s",
+        "graft_tok_hashes(toks) AS fast_h",
+        "transform(toks, t -> graft_polyhash(t)) AS ref_h")
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingle sets diverge on null-bearing array #$i")
+      assert(r.getSeq[java.lang.Long](2) == r.getSeq[java.lang.Long](3),
+        s"token hashes diverge on null-bearing array #$i")
+    }
+  }
+
   test("native shingle set matches the declarative spelling on the " +
     "document corpus") {
     val s = spark

@@ -1,5 +1,6 @@
 // Scratch dev probe: same-JVM A/B of expression spellings over the
 // sf0.1 documents corpus. Not part of the engine; delete freely.
+// Test tree on purpose (no dev main ships); run via sbt "Test/runMain ProbeAB".
 object ProbeAB {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()

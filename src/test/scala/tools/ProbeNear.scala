@@ -2,6 +2,7 @@ package graft
 
 // Scratch dev probe: stage-by-stage timing of dedup_near's pipeline.
 // Not part of the engine; delete freely.
+// Test tree on purpose (no dev main ships); run via sbt "Test/runMain graft.ProbeNear".
 object ProbeNear {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()

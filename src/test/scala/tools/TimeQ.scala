@@ -1,7 +1,9 @@
 // Dev tool: time selected SparkEntry queries at a scale factor, with
 // warm passes, plus optional formatted plans — for iterating on a
 // single operator without paying a full Bench run.
-//   sbt "runMain TimeQ /root/testdata/sf0.1 dedup_embed,dedup_near [explain]"
+// Lives in the TEST tree so shipped LoC = engine LoC and no dev main
+// rides the artifact (round-15 verdict item); run via:
+//   sbt "Test/runMain TimeQ /root/testdata/sf0.1 dedup_embed,dedup_near [explain]"
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
 """Local differential check mirroring the driver's DuckDB oracle gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [jsonOut]
 
 Reads each <outDir>/<name> parquet (Spark output of SparkEntry.queries),
 runs the matching SQL from <outDir>/oracle_sql.json in DuckDB against the
 sfDir parquet tables, and compares schema (sorted column names), row
 count, and values (columns sorted by name, exact compare; floats also
 reported with max-abs-diff so near-misses are visible).
+
+With a 3rd arg, additionally writes a CORRECTNESS-style JSON artifact
+(per-query {rows, pass/no_oracle/fail, msg}) — used for the scaled-SF
+verification passes (round 15+), whose results are committed.
 
 NOT part of the shipped library — dev tool only (driver-side python).
 """
@@ -19,7 +23,7 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -29,26 +33,36 @@ def main(sf_dir, out_dir):
     names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                     if os.path.isdir(p)])
     n_pass = n_fail = n_noracle = 0
+    report = {}
     for name in names:
         got = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle:
             print(f"NO-ORACLE {name}: rows={len(got)}")
+            report[name] = {"rows": len(got), "status": "no_oracle"}
             n_noracle += 1
             continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            report[name] = {"rows": len(got), "status": "fail",
+                            "msg": f"oracle SQL error: {e}"}
             n_fail += 1
             continue
         ok, msg = compare(got, exp)
         if ok:
             print(f"PASS {name}: rows={len(got)}")
+            report[name] = {"rows": len(got), "status": "pass"}
             n_pass += 1
         else:
             print(f"FAIL {name}: {msg}")
+            report[name] = {"rows": len(got), "status": "fail", "msg": msg}
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    if json_out:
+        json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "n_no_oracle": n_noracle, "queries": report},
+                  open(json_out, "w"), indent=1)
     return 1 if n_fail else 0
 
 def compare(got, exp):
@@ -95,4 +109,5 @@ def compare(got, exp):
     return True, ""
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Deterministic scale-up of the driver testdata — dev tool (driver-side
+python, like check.py; NOT part of the shipped library).
+
+Builds an sf1-shaped dataset from /root/testdata/sf0.1 by unioning R
+(default 10) key-shifted replicas of every scaling table, so the
+heaviest queries can be verified and benched at 10x the largest
+driver-provided SF (round-15 verdict item 2). The driver's generator is
+not available in this sandbox and /root/testdata is read-only, so the
+scaled data lives under the repo's target/ (never committed, rebuilt on
+demand). Correctness at the scaled SF is still EXTERNALLY checked: the
+DuckDB oracle (tools/check.py) runs the same oracle SQL over the same
+scaled parquet, so a hash match means exactly what it means at sf0.01.
+
+Replica construction (i = 0..R-1; replica 0 is the original rows):
+  - region/nation: fixed dimensions, copied once (TPC-H semantics).
+  - keyed tables: every primary/foreign key shifts by i * OFF[key],
+    where OFF is the smallest power of 10 above the sf0.1 max key —
+    replicas occupy disjoint key ranges and joins stay replica-local,
+    so join/agg cardinalities scale linearly like a real 10x dataset.
+  - documents: replica text is vowel/consonant-rotated (translate, a
+    1:1 char map — n_chars stays truthful) so replicas are NOT
+    near-duplicates of each other: exact-replica text would square the
+    near-dup pair space (every doc gains 9 clones sharing ALL
+    shingles), an artificially adversarial corpus no real 10x crawl
+    looks like. Within-replica near-dup structure is preserved.
+  - embeddings: replicas > 0 get deterministic hash-derived vectors
+    (disjoint from the originals) — copying vectors verbatim would
+    make every distance tie exactly at 0 across clones and turn top-k
+    selection into a tie-ordering lottery no engine pair can win.
+
+Usage: gen_scale.py [SRC] [DST] [R]
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "target/testdata/sf1"
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+# smallest power of 10 above each key's sf0.1 max (see module doc)
+O_CUST, O_SUPP, O_PART = 100_000, 1_000, 100_000
+O_ORDER, O_EVENT, O_USER = 1_000_000, 100_000, 10_000
+O_DOC, O_VEC = 10_000, 10_000
+
+VOW, CON = "aeiou", "bcdfg"
+
+
+def rot(s, k):
+    k %= len(s)
+    return s[k:] + s[:k]
+
+
+def translate_args(i):
+    """1:1 char map for replica i: vowels rotate by i%5, the five most
+    common consonants by i//5 — 10 distinct maps, i=0 the identity."""
+    src = VOW + CON + VOW.upper() + CON.upper()
+    dv, dc = rot(VOW, i % 5), rot(CON, i // 5)
+    dst = dv + dc + dv.upper() + dc.upper()
+    return src, dst
+
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    n_threads = os.cpu_count() or 8
+    con.execute(f"SET threads={n_threads}")
+
+    def emit(name, select_for):
+        parts = [select_for(i) for i in range(R)]
+        sql = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({sql}) TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM '{DST}/{name}.parquet'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    def copy(name):
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{name}.parquet') "
+                    f"TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
+        print(f"{name}: copied")
+
+    copy("region")
+    copy("nation")
+
+    emit("customer", lambda i: f"""
+      SELECT c_custkey + {i * O_CUST} AS c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM '{SRC}/customer.parquet'""")
+
+    emit("supplier", lambda i: f"""
+      SELECT s_suppkey + {i * O_SUPP} AS s_suppkey, s_name, s_nationkey,
+             s_acctbal
+      FROM '{SRC}/supplier.parquet'""")
+
+    emit("part", lambda i: f"""
+      SELECT p_partkey + {i * O_PART} AS p_partkey, p_name, p_brand,
+             p_type, p_size, p_retailprice
+      FROM '{SRC}/part.parquet'""")
+
+    emit("orders", lambda i: f"""
+      SELECT o_orderkey + {i * O_ORDER} AS o_orderkey,
+             o_custkey + {i * O_CUST} AS o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM '{SRC}/orders.parquet'""")
+
+    emit("lineitem", lambda i: f"""
+      SELECT l_orderkey + {i * O_ORDER} AS l_orderkey,
+             l_partkey + {i * O_PART} AS l_partkey,
+             l_suppkey + {i * O_SUPP} AS l_suppkey,
+             l_linenumber, l_quantity, l_extendedprice, l_discount,
+             l_tax, l_returnflag, l_linestatus, l_shipdate
+      FROM '{SRC}/lineitem.parquet'""")
+
+    emit("events", lambda i: f"""
+      SELECT event_id + {i * O_EVENT} AS event_id, ts,
+             user_id + {i * O_USER} AS user_id, event_type, value, props
+      FROM '{SRC}/events.parquet'""")
+
+    def docs(i):
+        src, dst = translate_args(i)
+        return f"""
+      SELECT doc_id + {i * O_DOC} AS doc_id,
+             translate(text, '{src}', '{dst}') AS text,
+             lang, source, n_chars
+      FROM '{SRC}/documents.parquet'"""
+    emit("documents", docs)
+
+    def embs(i):
+        if i == 0:
+            return f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'"
+        # deterministic pseudo-random unit-range floats, keyed by
+        # (vec_id, replica, dim) so every replica vector is distinct
+        return f"""
+      SELECT vec_id + {i * O_VEC} AS vec_id,
+             CAST(list_transform(range(0, len(embedding)), j ->
+               (CAST(hash(vec_id * 641 + {i} * 64 + j) % 2000001 AS BIGINT)
+                - 1000000) / 1000000.0) AS FLOAT[]) AS embedding,
+             label
+      FROM '{SRC}/embeddings.parquet'"""
+    emit("embeddings", embs)
+
+
+if __name__ == "__main__":
+    main()
