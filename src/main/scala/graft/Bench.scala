@@ -146,12 +146,21 @@ object Bench {
     * cleaning) lands in the artifact under "spread", so a noisy
     * environment is visible in the number's provenance, not just in
     * its value. */
+  /** Optional query-name filter (comma-separated, env
+    * SPARK_GRAFT_BENCH_ONLY) for scaled-SF subset benches — the driver
+    * never sets it, so round artifacts always cover the full
+    * inventory; a subset artifact is distinguishable by its "n". */
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+
   private def bench(spark: org.apache.spark.sql.SparkSession, sfDir: String)
       : (Map[String, Double], List[String], Map[String, Seq[Double]],
          Map[String, Double], Map[String, (Long, Long)],
          Map[String, Double]) = {
     val control = scala.collection.mutable.Map.empty[String, Double]
-    val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // rev 6: one fixed-work control pass immediately before the
       // query's passes — a per-query sample of what THIS host does
       // with constant work at this moment, so cross-round per-query

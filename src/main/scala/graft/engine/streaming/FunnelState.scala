@@ -87,6 +87,7 @@ object FunnelState {
     * depth. */
   def funnel(events: Dataset[Ev]): Dataset[Funnel] = {
     import events.sparkSession.implicits._
+    StateStores.configure(events.sparkSession)
     events.groupByKey(_.user_id)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
   }

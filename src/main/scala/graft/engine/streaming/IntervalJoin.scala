@@ -33,6 +33,7 @@ object IntervalJoin {
     * is provably closed. */
   def join(clicks: Dataset[Click], buys: Dataset[Buy],
            interval: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    StateStores.configure(clicks.sparkSession)
     val c = clicks.withWatermark("click_ts", lateness)
     val b = buys.withWatermark("purchase_ts", lateness)
     c.join(b,

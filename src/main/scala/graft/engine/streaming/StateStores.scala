@@ -22,8 +22,11 @@ import org.apache.spark.sql.SparkSession
   * loudly at configure time, not as a ClassNotFoundException at the
   * first micro-batch.
   *
-  * Call [[configure]] before `.start()`: the provider conf is captured
-  * per STREAMING QUERY at start, so this composes with any number of
+  * Every stateful twin BUILDER calls [[configure]] itself (so a
+  * caller-started query honors the knob with no extra step —
+  * RocksDbStateStoreSpec asserts this), as does the engine's own
+  * stream start (ControlStream). The provider conf is captured per
+  * STREAMING QUERY at start, so this composes with any number of
   * concurrent queries but cannot re-point a running one.
   */
 object StateStores {

@@ -47,6 +47,7 @@ object StatefulStreaks {
     * it touched. */
   def longest(events: Dataset[StreakEvent]): Dataset[UserStreak] = {
     import events.sparkSession.implicits._
+    StateStores.configure(events.sparkSession)
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }

@@ -38,12 +38,16 @@ object StreamingDedup {
 
   /** Exact global dedup: first arrival per (user, type), state never
     * evicted. */
-  def firstArrivals(events: Dataset[Ev]): Dataset[Ev] =
+  def firstArrivals(events: Dataset[Ev]): Dataset[Ev] = {
+    StateStores.configure(events.sparkSession)
     events.dropDuplicates("user_id", "event_type")
+  }
 
   /** Watermark-bounded dedup: duplicates suppressed only within
     * `lateness` of the first arrival's event time. */
-  def firstArrivalsBounded(events: Dataset[Ev], lateness: String): Dataset[Ev] =
+  def firstArrivalsBounded(events: Dataset[Ev], lateness: String): Dataset[Ev] = {
+    StateStores.configure(events.sparkSession)
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+  }
 }

@@ -67,6 +67,7 @@ object StreamingEwma {
     * EWMA emits on every event, state is a pure sliding frame. */
   def smooth(events: Dataset[EwmaEvent]): Dataset[Smoothed] = {
     import events.sparkSession.implicits._
+    StateStores.configure(events.sparkSession)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)

@@ -52,6 +52,7 @@ object StreamingMedian {
     * every event, state is a pure sliding frame. */
   def median(events: Dataset[MedEvent]): Dataset[Med] = {
     import events.sparkSession.implicits._
+    StateStores.configure(events.sparkSession)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)

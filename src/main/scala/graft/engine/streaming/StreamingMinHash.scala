@@ -79,6 +79,7 @@ object StreamingMinHash {
     * downstream (the spec does; a production sink upserts). */
   def candidates(docs: Dataset[DocSig]): Dataset[CandPair] = {
     import docs.sparkSession.implicits._
+    StateStores.configure(docs.sparkSession)
     docs.flatMap(d => bandKeys(d.sig).map(k => BandMsg(k, d.doc_id, d.sig)))
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)

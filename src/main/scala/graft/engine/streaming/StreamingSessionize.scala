@@ -96,6 +96,7 @@ object StreamingSessionize {
     * have a watermark on `ts` — EventTimeTimeout requires one. */
   def sessions(events: Dataset[SessEvent]): Dataset[Session] = {
     import events.sparkSession.implicits._
+    StateStores.configure(events.sparkSession)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)

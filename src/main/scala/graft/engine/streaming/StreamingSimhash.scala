@@ -66,6 +66,7 @@ object StreamingSimhash {
     * distinct downstream (the spec does; a production sink upserts). */
   def duplicates(docs: Dataset[DocFp]): Dataset[DupPair] = {
     import docs.sparkSession.implicits._
+    StateStores.configure(docs.sparkSession)
     docs.flatMap(d => bandKeys(d.simhash).map(k => BandMsg(k, d.doc_id, d.simhash)))
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)

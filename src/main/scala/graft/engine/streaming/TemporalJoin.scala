@@ -58,6 +58,7 @@ object TemporalJoin {
     * enriched at its arrival batch. */
   def enrich(msgs: Dataset[Msg]): Dataset[Enriched] = {
     import msgs.sparkSession.implicits._
+    StateStores.configure(msgs.sparkSession)
     msgs.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout)(update)

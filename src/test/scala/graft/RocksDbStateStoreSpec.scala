@@ -57,11 +57,11 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
       val priorProvider = spark.conf.getOption(StateStores.ProviderKey)
       spark.conf.set(StateStores.Knob, "rocksdb")
       try {
-        StateStores.configure(spark)
-        assert(spark.conf.get(StateStores.ProviderKey) ==
-          StateStores.RocksDbProvider)
         implicit val sqlCtx = spark.sqlContext
         val input = MemoryStream[SessEvent]
+        // NOTE: no explicit StateStores.configure here — the twin's
+        // BUILDER applies the knob (round-15 wiring), which is what
+        // this asserts
         val q = StreamingSessionize.sessions(
             input.toDS().withWatermark("ts", "0 seconds"))
           .writeStream
@@ -69,6 +69,9 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
           .format("memory")
           .queryName("rocksdb_sessions")
           .start()
+        assert(spark.conf.get(StateStores.ProviderKey) ==
+          StateStores.RocksDbProvider,
+          "the sessions() builder must apply the knob itself")
         try {
           // two data batches (state must survive a RocksDB commit
           // boundary), then the watermark sentinel + one batch for the
