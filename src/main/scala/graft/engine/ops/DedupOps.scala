@@ -254,23 +254,34 @@ object DedupOps {
     // knob to 0).
     val maxBroadcastCands = s.conf.get(
       "spark.graft.minhash.broadcastMaxCandidates", "10000000").toLong
-    // The SECOND broadcast (withA) gets its own, much lower gate: a
+    // The SECOND broadcast (withA) gets its own, BYTE-TRUE gate: a
     // cands row is two BIGINTs, but a withA row drags doc_a's full
     // shingle array along (KBs per row — a few-KB web doc is ~700
     // shingles ≈ 17 KB serialized), so a candidate count that
     // broadcasts fine as bare id pairs can still blow past driver
     // memory / Spark's 8 GB broadcast hard limit once the arrays ride
     // the rows. |withA| == nCands exactly (each candidate matches one
-    // doc_a), so the same surfaced count gates both, at different
-    // thresholds: 100k rows × ~17 KB ≈ 1.7 GB worst-case.
+    // doc_a), and the per-row bytes are ESTIMATED from a 1024-doc
+    // sample of the already-checkpointed frame (limit() reads one
+    // partition — O(sample), not O(corpus), at any scale): UTF-8
+    // chars + ~16 B/element array overhead + row header. A row-count
+    // gate alone would mis-size corpora whose documents are much
+    // larger than this one's (the round-15 ADVICE low).
     // MinhashVerifyPathSpec pins all three paths (both broadcasts /
     // cands-only / neither) result-identical on the real corpus.
-    val maxBroadcastVerify = s.conf.get(
-      "spark.graft.minhash.broadcastMaxVerifyRows", "100000").toLong
+    val maxVerifyBytes = s.conf.get(
+      "spark.graft.minhash.broadcastMaxVerifyBytes",
+      (1L << 30).toString).toLong
+    val est = docs.limit(1024)
+      .selectExpr("size(sh) AS n",
+        "aggregate(sh, 0, (a, x) -> a + length(x)) AS chars")
+      .agg(avg(col("n")), avg(col("chars"))).head()
+    def estCol(i: Int): Double = if (est.isNullAt(i)) 0.0 else est.getDouble(i)
+    val estRowBytes = (estCol(1) + 16.0 * estCol(0) + 64.0).toLong.max(64L)
     val hintCands: DataFrame => DataFrame =
       if (nCands <= maxBroadcastCands) broadcast else identity
     val hintWithA: DataFrame => DataFrame =
-      if (nCands <= maxBroadcastVerify) broadcast else identity
+      if (nCands * estRowBytes <= maxVerifyBytes) broadcast else identity
     val withA = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
       .join(hintCands(cands), "doc_a")
     docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))

@@ -5,9 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** dedup_minhash's exact-Jaccard verify has three plan shapes behind
   * two size gates: both joins broadcast below the knobs (the
   * LSH-design case — candidates ≪ corpus), cands-broadcast-only when
-  * the count exceeds `spark.graft.minhash.broadcastMaxVerifyRows`
+  * count × sampled-bytes-per-row exceeds
+  * `spark.graft.minhash.broadcastMaxVerifyBytes`
   * (the withA rows drag full shingle arrays, so their broadcast gate
-  * is much lower than the bare-id-pair one), and shuffle equi-joins
+  * is byte-true, not a row count), and shuffle equi-joins
   * for both above `spark.graft.minhash.broadcastMaxCandidates`
   * (candidates outgrow executor memory). The gates read the candidate
   * count from the cutCounted materialization job, so the flips are
@@ -19,7 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class MinhashVerifyPathSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.session
   private val KnobCands = "spark.graft.minhash.broadcastMaxCandidates"
-  private val KnobVerify = "spark.graft.minhash.broadcastMaxVerifyRows"
+  private val KnobVerify = "spark.graft.minhash.broadcastMaxVerifyBytes"
   private val Dir = "/root/testdata/sf0.001"
 
   private def rows(): Set[(Long, Long, Double)] =
