@@ -295,16 +295,32 @@ object Multimodal {
       .toDF("media_id", "phash_lo", "phash_hi")
   }
 
+  /** Df cap for [[mmPhashDup]] band buckets — the image twin of
+    * [[graft.engine.ops.DedupOps.SimhashMaxBand]], added in round 15
+    * after the sf1 scale pass caught the missing cap red-handed: a
+    * band value shared by B media contributes C(B,2) join rows, and
+    * the 10× corpus moved 16.3M shuffle records where sf0.1 moved
+    * 163k — 100× for 10× data, the exact boilerplate-band quadratic
+    * the simhash cap documents (synthesized images of templated text
+    * cluster their pHash bands; real corpora have letterboxes / solid
+    * frames). Same recall contract: a degenerate >cap bucket is
+    * dropped from CANDIDATE GENERATION, pairs that also agree on a
+    * sane band are still found, and the oracle mirrors the cap. */
+  val PhashMaxBand = 500L
+
   /** Perceptual near-dup pairs: Hamming(phash) ≤ 3 via LSH BANDING —
     * the 64-bit hash splits into 4 × 16-bit bands, candidates come
-    * from a band-key equi-join (never all-pairs), then the exact
-    * Hamming distance verifies. With 4 bands a pair within distance 3
-    * has, by pigeonhole, at least one IDENTICAL band — so banding is
-    * EXACT (zero recall loss) at this threshold, and the oracle's
-    * all-pairs formulation provably agrees at any scale. The shape is
-    * dedup_simhash's (bucketed candidates + cheap verify), riding real
-    * codec output: only (band, id, lo, hi) rows shuffle, bytes never
-    * move. */
+    * from a band-key equi-join (never all-pairs) with hot bands over
+    * [[PhashMaxBand]] excluded (see there), then the exact Hamming
+    * distance verifies. With 4 bands a pair within distance 3 has, by
+    * pigeonhole, at least one IDENTICAL band — banding loses nothing
+    * at the threshold except pairs whose ONLY agreement is a
+    * degenerate boilerplate band; the oracle mirrors both the bands
+    * and the cap. The shape is dedup_simhash_dup's (bucketed
+    * candidates + cheap verify), riding real codec output: only
+    * (band, id, lo, hi) rows shuffle, bytes never move. The
+    * broadcast(hot) is domain-bounded (≤ 4 × 2¹⁶ band-value groups —
+    * an Aggregate, per the broadcast-hint gate's taxonomy). */
   val mmPhashDup: Q = (s, d) => {
     val ph = phashFrame(s, d).transform(Checkpoints.cut) // one decode pass, two join sides
     val bands = ph.select(col("media_id"), col("phash_lo"), col("phash_hi"),
@@ -312,7 +328,12 @@ object Multimodal {
         expr("phash_lo % 65536L"), expr("(phash_lo DIV 65536L) % 65536L"),
         expr("phash_hi % 65536L"), expr("(phash_hi DIV 65536L) % 65536L")))
         .as(Seq("band", "bv")))
-    bands.as("x").join(bands.as("y"),
+    val hot = bands.groupBy(col("band"), col("bv")).count()
+      .filter(col("count") > PhashMaxBand).select(col("band"), col("bv"))
+    val kept = bands.join(
+      org.apache.spark.sql.functions.broadcast(hot),
+      Seq("band", "bv"), "left_anti")
+    kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
@@ -612,21 +633,37 @@ object Multimodal {
          |  ${duckPhashHalf(32)} AS phash_hi
          |FROM img ORDER BY media_id""".stripMargin,
 
-    // all-pairs here is EXACTLY the banded result: hamming <= 3 over 4
-    // bands forces one identical band (pigeonhole), so the Spark side's
-    // candidate generation provably loses nothing at any scale
+    // mirrors the banded candidate generation INCLUDING the
+    // PhashMaxBand hot-band cap (round 15): hamming <= 3 over 4 bands
+    // forces one identical band (pigeonhole), and both sides drop
+    // candidates whose only agreement is a >cap boilerplate band
     "mm_phash_dup" ->
       s"""WITH $duckImg,
          | ph AS (
          |  SELECT media_id,
          |    ${duckPhashHalf(0)} AS lo,
          |    ${duckPhashHalf(32)} AS hi
-         |  FROM img)
-         |SELECT a.media_id AS media_a, b.media_id AS media_b,
-         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+         |  FROM img),
+         | bands AS (
+         |  SELECT media_id, lo, hi, b,
+         |    CASE b WHEN 0 THEN lo % 65536
+         |           WHEN 1 THEN (lo // 65536) % 65536
+         |           WHEN 2 THEN hi % 65536
+         |           ELSE (hi // 65536) % 65536 END AS bv
+         |  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+         | hot AS (
+         |  SELECT b, bv FROM bands GROUP BY b, bv
+         |  HAVING count(*) > $PhashMaxBand),
+         | kept AS (
+         |  SELECT * FROM bands
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                    WHERE h.b = bands.b AND h.bv = bands.bv))
+         |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+         |  CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
          |       AS BIGINT) AS hamming
-         |FROM ph a JOIN ph b ON a.media_id < b.media_id
-         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         |FROM kept x JOIN kept y
+         |  ON x.b = y.b AND x.bv = y.bv AND x.media_id < y.media_id
+         |WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
          |ORDER BY media_a, media_b""".stripMargin,
 
     "mm_frames" ->
