@@ -42,10 +42,23 @@ object Bench {
     * not MONOTONE degradation: round 14 published graph_jaccard at
     * 4.71 s from runs [3.41, 4.71, 6.20] (spread 1.32 — no trigger)
     * for a query whose steady state on that host was 2.9 s; the
-    * round-14 judge adjudicated it by hand-timing a control query.
+    * round-14 judge adjudicated it by hand-timing a control query;
+    * rev 7 = the control acts IN-RUN, not just in provenance
+    * (round 16): a query whose pre-pass control exceeds 2× the
+    * running session median is DEFERRED to the end of the sweep and
+    * re-attempted (bounded retries with a short backoff); a query
+    * that still publishes from a degraded window is listed under
+    * "host_degraded" in the artifact. Rev 6 published stream_sliding
+    * at 8.60 s and stream_state at 4.00 s from a window where the
+    * control read 6.6×/11.8× the session median — numbers anyone
+    * reading the artifact alone misreads; the judge had to adjudicate
+    * them from the control series by hand. The per-query timing
+    * STATISTIC is unchanged from rev 5 (rev 5/6/7 artifacts compare
+    * directly); only WHEN a degraded query runs changes, plus two new
+    * provenance fields ("deferred", "host_degraded").
     * Bump the rev on ANY change to what a per-query number means. */
   private val Methodology =
-    """"timing":"materialize","bench_rev":6"""
+    """"timing":"materialize","bench_rev":7"""
 
   /** Fixed work for the rev-6 control: 512M-row range → xxhash64 →
     * bit_xor, 32 even partitions. Data-independent (no I/O, no SF),
@@ -153,20 +166,51 @@ object Bench {
   private val only: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
 
+  /** Everything one bench sweep produces (rev 7 adds the two deferral
+    * provenance lists). */
+  private[graft] case class BenchResult(
+      results: Map[String, Double], failed: List[String],
+      runs: Map[String, Seq[Double]], spread: Map[String, Double],
+      shuffles: Map[String, (Long, Long)], control: Map[String, Double],
+      deferred: List[String], hostDegraded: List[String])
+
+  /** Rev-7 in-run deferral gate: with ≥ 5 PRIOR control samples this
+    * session, a control reading above 2× their median means the host
+    * is in a degraded window right now — rev 6's data showed windows
+    * where the control read 6.6–11.8× the session median, and every
+    * query timed inside one published garbage. Fewer than 5 priors →
+    * never defer (no stable median to gate against). Relative gating
+    * by construction: a UNIFORMLY slow host shifts the median and is
+    * reported as-is (that is host speed, not a window). */
+  private[graft] def shouldDefer(ctl: Double, prior: Seq[Double]): Boolean =
+    prior.size >= 5 && {
+      val s = prior.sorted
+      ctl > 2.0 * s((s.size - 1) / 2)
+    }
+
+  /** Retry attempts (control measurements) granted to a deferred query
+    * at the end of the sweep, and the backoff between them. */
+  private val DeferRetries = 3
+  private val DeferBackoffMs = 5000L
+
   private def bench(spark: org.apache.spark.sql.SparkSession, sfDir: String)
-      : (Map[String, Double], List[String], Map[String, Seq[Double]],
-         Map[String, Double], Map[String, (Long, Long)],
-         Map[String, Double]) = {
+      : BenchResult = {
     val control = scala.collection.mutable.Map.empty[String, Double]
-    val all = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // rev 6: one fixed-work control pass immediately before the
-      // query's passes — a per-query sample of what THIS host does
-      // with constant work at this moment, so cross-round per-query
-      // deltas can be normalized by measured host speed instead of
-      // adjudicated by hand
-      control(name) = controlOnce(spark)
+    // every control measurement taken this sweep, in execution order —
+    // the session-median baseline for the deferral gate
+    val ctlSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val deferredNames = scala.collection.mutable.ListBuffer.empty[String]
+    val degradedNames = scala.collection.mutable.ListBuffer.empty[String]
+
+    // rev 6: one fixed-work control pass immediately before the
+    // query's passes — a per-query sample of what THIS host does
+    // with constant work at this moment, so cross-round per-query
+    // deltas can be normalized by measured host speed instead of
+    // adjudicated by hand
+    def runQuery(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame)
+        : (String, Seq[(Double, Boolean)], Option[(Long, Long)]) = {
       val passes = scala.collection.mutable.ArrayBuffer
         .empty[(Double, Boolean, Option[org.apache.spark.sql.DataFrame])]
       passes ++= Seq.fill(3)(timeOnce(spark, sfDir, fn))
@@ -191,6 +235,99 @@ object Bench {
       }
       (name, passes.toSeq.map(p => (p._1, p._2)), shuffle)
     }
+
+    val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val firstPass = inventory.flatMap { case (name, fn) =>
+      val ctl = controlOnce(spark)
+      val degradedNow = shouldDefer(ctl, ctlSamples.toSeq)
+      ctlSamples += ctl
+      if (degradedNow) {
+        // rev 7: the host is in a degraded window RIGHT NOW — timing
+        // this query here would publish a number that is mostly the
+        // window (rev 6 published stream_state at 11.8× from exactly
+        // this situation). Defer to the end of the sweep.
+        deferredNames += name
+        None
+      } else {
+        control(name) = ctl
+        Some(runQuery(name, fn))
+      }
+    }
+    val deferredSet = deferredNames.toSet
+    val secondPass = inventory.filter(q => deferredSet(q._1))
+      .map { case (name, fn) =>
+        var ctl = controlOnce(spark)
+        ctlSamples += ctl
+        var attempts = 1
+        while (attempts < DeferRetries && shouldDefer(ctl,
+            ctlSamples.dropRight(1).toSeq)) {
+          Thread.sleep(DeferBackoffMs)
+          ctl = controlOnce(spark)
+          ctlSamples += ctl
+          attempts += 1
+        }
+        if (shouldDefer(ctl, ctlSamples.dropRight(1).toSeq))
+          degradedNames += name // publishing anyway — flag it
+        control(name) = ctl
+        runQuery(name, fn)
+      }
+    // mutable by name so the audit wave below can REPLACE a row's
+    // published passes instead of appending a duplicate
+    val byResult = scala.collection.mutable.LinkedHashMap.empty[String,
+      (Seq[(Double, Boolean)], Option[(Long, Long)])]
+    (firstPass ++ secondPass).foreach { case (n, ps, sh) =>
+      byResult(n) = (ps, sh)
+    }
+
+    // FINAL AUDIT WAVE: the in-run gate can't protect the first rows
+    // (no stable median yet) and the session median drifts over the
+    // sweep, so the published-artifact invariant — every row not
+    // listed under host_degraded has control ≤ 2× the session median
+    // of published controls (tools/bench_validate.py re-checks it) —
+    // is enforced here by construction: re-run each violating row
+    // once; a row violating again is flagged, never silently trusted.
+    val fnByName = inventory.toMap
+    def publishedMedian: Double = {
+      val s = control.values.toSeq.sorted
+      s((s.size - 1) / 2)
+    }
+    val rerunOnce = scala.collection.mutable.Set.empty[String]
+    var audits = 0
+    var clean = false
+    while (audits < 3 && !clean) {
+      val med = publishedMedian
+      val suspects = control.collect {
+        case (n, c) if c > 2.0 * med && !degradedNames.contains(n) => n
+      }.toList.sorted
+      if (suspects.isEmpty) clean = true
+      else suspects.foreach { name =>
+        if (rerunOnce(name)) degradedNames += name // second strike
+        else {
+          rerunOnce += name
+          if (!deferredNames.contains(name)) deferredNames += name
+          val ctl = controlOnce(spark)
+          ctlSamples += ctl
+          control(name) = ctl
+          val (_, ps, sh) = runQuery(name, fnByName(name))
+          byResult(name) = (ps, sh)
+        }
+      }
+      audits += 1
+    }
+    if (!clean) { // flag whatever is still above the line
+      val med = publishedMedian
+      control.foreach { case (n, c) =>
+        if (c > 2.0 * med && !degradedNames.contains(n)) {
+          degradedNames += n
+          // invariant: host_degraded ⊆ deferred (a flagged row always
+          // had — or here, forfeits — its late re-run)
+          if (!deferredNames.contains(n)) deferredNames += n
+        }
+      }
+    }
+    val all = byResult.toSeq.map { case (n, (ps, sh)) => (n, ps, sh) }
+
     val failed = all.collect {
       case (k, ps, _) if ps.exists(_._2) => k
     }.toList.sorted
@@ -207,7 +344,8 @@ object Bench {
     val shuffles = all.collect {
       case (k, _, Some(s)) => k -> s
     }.toMap
-    (ok, failed, runs, spread, shuffles, control.toMap)
+    BenchResult(ok, failed, runs, spread, shuffles, control.toMap,
+      deferredNames.toList.sorted, degradedNames.toList.sorted)
   }
 
   /** Re-run triggers (up to 2 extra steady passes). Two anomaly
@@ -245,7 +383,9 @@ object Bench {
                    runs: Map[String, Seq[Double]] = Map.empty,
                    spread: Map[String, Double] = Map.empty,
                    shuffles: Map[String, (Long, Long)] = Map.empty,
-                   control: Map[String, Double] = Map.empty): String = {
+                   control: Map[String, Double] = Map.empty,
+                   deferred: List[String] = Nil,
+                   hostDegraded: List[String] = Nil): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // comma decimals on e.g. de_DE JVMs — invalid JSON
     def fmt(v: Double) =
@@ -295,8 +435,21 @@ object Bench {
       else ",\"control\":" + control.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+    // rev-7 deferral provenance: "deferred" = queries whose first
+    // control hit a degraded window and ran at the end of the sweep
+    // instead (their control is the RE-measured one, and name-order
+    // neighbors did NOT run adjacent in time — drift.py skips window
+    // smoothing for them); "host_degraded" = queries that exhausted
+    // retries and published from a still-degraded window — their
+    // numbers are flagged, not silently trusted
+    def names(l: List[String]) = l.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val df =
+      if (deferred.isEmpty && hostDegraded.isEmpty) ""
+      else ",\"deferred\":" + names(deferred) +
+        ",\"host_degraded\":" + names(hostDegraded)
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$df$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -305,6 +458,8 @@ object Bench {
     */
   private def stdoutJson(results: Map[String, Double], failed: List[String],
                          sfDir: String, control: Map[String, Double] = Map.empty,
+                         deferred: List[String] = Nil,
+                         hostDegraded: List[String] = Nil,
                          budget: Int = 1400): String = {
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -313,14 +468,25 @@ object Bench {
     // compact control summary for the budgeted stdout line (the full
     // per-query series is in the file artifact): median/min/max of the
     // fixed-work control across the whole pass — a reviewer reads host
-    // speed and its in-run drift from three numbers
+    // speed and its in-run drift from three numbers. Median = mean of
+    // the two middle samples on even counts (rev 7) — the upper-median
+    // shortcut biased the headline high by one sample there, diverging
+    // from the lower-median convention of the query statistic.
     val cs =
       if (control.isEmpty) ""
       else {
         val vs = control.values.toSeq.sorted
-        s""","ctl_med":${fmt(vs(vs.size / 2))},"ctl_min":${fmt(vs.head)},"ctl_max":${fmt(vs.last)}"""
+        val med =
+          if (vs.size % 2 == 1) vs(vs.size / 2)
+          else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0
+        s""","ctl_med":${fmt(med)},"ctl_min":${fmt(vs.head)},"ctl_max":${fmt(vs.last)}"""
       }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$Methodology$cs,"sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
+    // rev-7 deferral summary: counts on the budgeted line, names in
+    // the artifact
+    val dd =
+      if (deferred.isEmpty && hostDegraded.isEmpty) ""
+      else s""","n_deferred":${deferred.size},"n_host_degraded":${hostDegraded.size}"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$Methodology$cs$dd,"sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
     val tailFixed = "},\"elided\":NNN}".length
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     var used = head.length + tailFixed
@@ -358,12 +524,13 @@ object Bench {
     // every per-query run after must measure only host speed
     controlOnce(spark); controlOnce(spark)
 
-    val (results, failed, runs, spread, shuffles, control) = bench(spark, sfDir)
+    val BenchResult(results, failed, runs, spread, shuffles, control,
+      deferred, degraded) = bench(spark, sfDir)
     // persist the primary result IMMEDIATELY: the optional secondary pass
     // doubles the runtime, and an external timeout mid-secondary must not
     // cost the round its primary perf artifact
     writeArtifact(json(results, failed, sfDir, "", runs, spread, shuffles,
-      control))
+      control, deferred, degraded))
 
     // secondary scale factor: the largest sibling STRICTLY SMALLER than
     // the primary, so round-over-round comparisons can see scaling — and
@@ -380,14 +547,15 @@ object Bench {
       .lastOption
     val extra = secondary match {
       case Some(dir) =>
-        val (r2, f2, runs2, sp2, sh2, ct2) = bench(spark, dir.toString)
-        "," + "\"secondary\":" + json(r2, f2, dir.toString, "", runs2, sp2,
-          sh2, ct2)
+        val r2 = bench(spark, dir.toString)
+        "," + "\"secondary\":" + json(r2.results, r2.failed, dir.toString,
+          "", r2.runs, r2.spread, r2.shuffles, r2.control, r2.deferred,
+          r2.hostDegraded)
       case None => ""
     }
 
     writeArtifact(json(results, failed, sfDir, extra, runs, spread, shuffles,
-      control)) // file: primary + secondary
+      control, deferred, degraded)) // file: primary + secondary
     // stdout gets a BUDGETED line: the driver captures a bounded tail of
     // stdout, and even the primary-only line overflowed it in r03 once the
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the
@@ -406,7 +574,7 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
     spark.stop()
-    println(stdoutJson(results, failed, sfDir, control))
+    println(stdoutJson(results, failed, sfDir, control, deferred, degraded))
     System.out.flush()
   }
 }

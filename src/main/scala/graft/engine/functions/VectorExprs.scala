@@ -141,16 +141,33 @@ object VectorOps {
     * tokenization). ShinglesSpec fuzzes the equivalence. NULL tokens
     * propagate to null elements — what the replaced lambda does
     * (graft_polyhash is null-intolerant per element), and the NPE
-    * guard for user SQL arrays (see [[shingles]]). */
+    * guard for user SQL arrays (see [[shingles]]).
+    *
+    * The common path — the engine's own tokenizer never emits null
+    * tokens — returns a PRIMITIVE long array (UnsafeArrayData, no
+    * boxing); the boxed Array[Any] is the fallback reached only when a
+    * null-bit prescan actually finds a null (round-16 advice: the
+    * round-15 NPE fix had boxed every hash to serve the rare case). */
   def tokHashes(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
-    val out = new Array[Any](n)
     var i = 0
-    while (i < n) {
-      out(i) = if (toks.isNullAt(i)) null else polyHash(toks.getUTF8String(i))
-      i += 1
+    var hasNull = false
+    while (i < n && !hasNull) { hasNull = toks.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) { out(i) = polyHash(toks.getUTF8String(i)); i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (toks.isNullAt(i)) null else polyHash(toks.getUTF8String(i))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   private val Md5Digest = new ThreadLocal[java.security.MessageDigest] {

@@ -282,7 +282,7 @@ object Multimodal {
   }
 
   /** (media_id, phash_lo, phash_hi) via one real decode pass. */
-  private def phashFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def phashFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     imageTable(s, d)
       .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
@@ -321,15 +321,35 @@ object Multimodal {
     * (band, id, lo, hi) rows shuffle, bytes never move. The
     * broadcast(hot) is domain-bounded (≤ 4 × 2¹⁶ band-value groups —
     * an Aggregate, per the broadcast-hint gate's taxonomy). */
-  val mmPhashDup: Q = (s, d) => {
-    val ph = phashFrame(s, d).transform(Checkpoints.cut) // one decode pass, two join sides
+  val mmPhashDup: Q = (s, d) =>
+    phashDupPairs(s, phashFrame(s, d).transform(Checkpoints.cut), // one decode pass, two join sides
+      "mm_phash_dup")
+
+  /** Banding + cap + verify over a (media_id, phash_lo, phash_hi)
+    * frame — factored from [[mmPhashDup]] so the all-pairs
+    * differential spec (PhashDupDifferentialSpec) can drive it with
+    * synthetic phashes where the cap provably fires. The hot-band set
+    * materializes at build time: its group domain is ≤ 4 × 2¹⁶
+    * (band, bv) pairs — the same bound that justified broadcasting it
+    * — so the collect is domain-bounded at any corpus size, the plan
+    * joins against a LocalRelation instead of recomputing the
+    * aggregate, and the dropped-band count lands in [[Provenance]]
+    * (round-16 advice: a recall-affecting cap must surface how often
+    * it fired). */
+  private[graft] def phashDupPairs(s: SparkSession, ph: DataFrame,
+      tag: String): DataFrame = {
+    import s.implicits._
     val bands = ph.select(col("media_id"), col("phash_lo"), col("phash_hi"),
       posexplode(array(
         expr("phash_lo % 65536L"), expr("(phash_lo DIV 65536L) % 65536L"),
         expr("phash_hi % 65536L"), expr("(phash_hi DIV 65536L) % 65536L")))
         .as(Seq("band", "bv")))
-    val hot = bands.groupBy(col("band"), col("bv")).count()
-      .filter(col("count") > PhashMaxBand).select(col("band"), col("bv"))
+    val hotRows = bands.groupBy(col("band"), col("bv")).count()
+      .filter(col("count") > PhashMaxBand)
+      .select(col("band"), col("bv")).as[(Int, Long)].collect()
+    graft.engine.Provenance.record(tag, "dropped_hot_bands",
+      hotRows.length.toLong)
+    val hot = hotRows.toSeq.toDF("band", "bv")
     val kept = bands.join(
       org.apache.spark.sql.functions.broadcast(hot),
       Seq("band", "bv"), "left_anti")

@@ -87,7 +87,10 @@ object FunnelState {
     * depth. */
   def funnel(events: Dataset[Ev]): Dataset[Funnel] = {
     import events.sparkSession.implicits._
-    StateStores.configure(events.sparkSession)
+    // transformWithState runs only on RocksDB — pin it (generic
+    // configure() would honor knob=hdfs and the query would fail at
+    // start; StateStoresSpec pins the conflict error)
+    StateStores.configureForTws(events.sparkSession)
     events.groupByKey(_.user_id)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
   }

@@ -17,10 +17,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Values: `rocksdb` → RocksDBStateStoreProvider; `hdfs` → the default
   * HDFSBackedStateStoreProvider (explicit reset); unset → leave the
-  * session's current provider untouched (transformWithState ops set
-  * RocksDB themselves — the API requires it). Anything else fails
-  * loudly at configure time, not as a ClassNotFoundException at the
-  * first micro-batch.
+  * session's current provider untouched. Anything else fails loudly at
+  * configure time, not as a ClassNotFoundException at the first
+  * micro-batch.
+  *
+  * transformWithState twins (FunnelState) are the exception to the
+  * knob: Spark supports transformWithState ONLY on the RocksDB
+  * provider, so those builders call [[configureForTws]], which pins
+  * RocksDB and rejects an explicit conflicting `hdfs` with an error
+  * naming the knob — the generic [[configure]] would silently honor
+  * `hdfs` and the query would fail at start with Spark's opaque
+  * provider check instead.
   *
   * Every stateful twin BUILDER calls [[configure]] itself (so a
   * caller-started query honors the knob with no extra step —
@@ -52,4 +59,20 @@ object StateStores {
   def configure(spark: SparkSession): Unit =
     providerFor(spark.conf.getOption(Knob))
       .foreach(p => spark.conf.set(ProviderKey, p))
+
+  /** Provider setup for transformWithState builders: ALWAYS RocksDB
+    * (the only provider Spark accepts for that API). A knob explicitly
+    * demanding the HDFS provider is a configuration conflict — fail
+    * with the knob's name rather than let the query die at start on
+    * Spark's generic provider assertion. */
+  def configureForTws(spark: SparkSession): Unit = {
+    providerFor(spark.conf.getOption(Knob)) match {
+      case Some(HdfsProvider) => throw new IllegalArgumentException(
+        s"$Knob=hdfs conflicts with a transformWithState operator — " +
+          "Spark supports transformWithState only on " +
+          "RocksDBStateStoreProvider; unset the knob or set rocksdb")
+      case _ => ()
+    }
+    spark.conf.set(ProviderKey, RocksDbProvider)
+  }
 }

@@ -45,6 +45,29 @@ class BenchStatSpec extends AnyFunSuite {
     assert(stat(1.2, 1.0, 9.9, 1.1) == 1.1)
   }
 
+  test("rev-7 deferral gate: defer on a >2x-median control window, " +
+    "never without a stable baseline, never on uniform slowness") {
+    val quiet = Seq(0.17, 0.18, 0.16, 0.17, 0.19)
+    // the r15 shapes: stream_state's control read 2.0s against a 0.169
+    // median (11.8x) — must defer; stream_sliding's 1.11s (6.6x) too
+    assert(Bench.shouldDefer(2.001, quiet))
+    assert(Bench.shouldDefer(1.111, quiet))
+    // normal jitter stays
+    assert(!Bench.shouldDefer(0.25, quiet))
+    assert(!Bench.shouldDefer(0.34, quiet)) // exactly 2x median is NOT above
+    // fewer than 5 priors: no stable median, never defer (the first
+    // queries of a sweep must not gate on 1-2 samples)
+    assert(!Bench.shouldDefer(5.0, Seq(0.17, 0.18)))
+    assert(!Bench.shouldDefer(5.0, Nil))
+    // a uniformly slow host shifts the median — that is host speed,
+    // not a window; nothing defers and the control series records it
+    val slow = Seq(1.7, 1.8, 1.6, 1.7, 1.9)
+    assert(!Bench.shouldDefer(2.0, slow))
+    // the median is over ALL priors, so one early spike cannot poison
+    // the baseline
+    assert(Bench.shouldDefer(2.0, Seq(0.17, 5.0, 0.18, 0.17, 0.19)))
+  }
+
   test("re-run triggers: steady disagreement OR every steady pass far " +
     "above the warm-up") {
     // original rev-5 trigger: intra-steady spread

@@ -37,6 +37,46 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains(StateStores.Knob))
   }
 
+  test("configureForTws pins RocksDB and rejects a conflicting hdfs knob") {
+    SparkTest.confLock.synchronized {
+      val priorKnob = spark.conf.getOption(StateStores.Knob)
+      val priorProvider = spark.conf.getOption(StateStores.ProviderKey)
+      try {
+        // unset knob → RocksDB pinned (transformWithState accepts no
+        // other provider, so the builder must not inherit the session's)
+        spark.conf.unset(StateStores.Knob)
+        spark.conf.set(StateStores.ProviderKey, StateStores.HdfsProvider)
+        StateStores.configureForTws(spark)
+        assert(spark.conf.get(StateStores.ProviderKey) ==
+          StateStores.RocksDbProvider)
+        // rocksdb knob → same pin, no error
+        spark.conf.set(StateStores.Knob, "rocksdb")
+        StateStores.configureForTws(spark)
+        assert(spark.conf.get(StateStores.ProviderKey) ==
+          StateStores.RocksDbProvider)
+        // an EXPLICIT hdfs knob is a configuration conflict: fail with
+        // the knob's name, not Spark's opaque provider assertion at
+        // query start (round-16 advice: the generic configure() made
+        // the "safe to flip per deployment" claim false for funnel)
+        spark.conf.set(StateStores.Knob, "hdfs")
+        val e = intercept[IllegalArgumentException] {
+          StateStores.configureForTws(spark)
+        }
+        assert(e.getMessage.contains(StateStores.Knob))
+        assert(e.getMessage.contains("transformWithState"))
+      } finally {
+        priorKnob match {
+          case Some(v) => spark.conf.set(StateStores.Knob, v)
+          case None => spark.conf.unset(StateStores.Knob)
+        }
+        priorProvider match {
+          case Some(v) => spark.conf.set(StateStores.ProviderKey, v)
+          case None => spark.conf.unset(StateStores.ProviderKey)
+        }
+      }
+    }
+  }
+
   test("the live sessionize twin matches the batch query under RocksDB") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

@@ -90,6 +90,31 @@ class ShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("null-free token arrays take the primitive unboxed path") {
+    // round-16 advice: the round-15 NPE guard had switched the output
+    // to Array[Any], boxing every hash on the (always null-free)
+    // engine tokenizer output; the fast path must return an
+    // UnsafeArrayData over a primitive long array, the boxed
+    // GenericArrayData only when a null element is actually present
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val clean = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), UTF8String.fromString("bb"),
+        UTF8String.fromString("ccc")))
+    val fast = graft.engine.functions.VectorOps.tokHashes(clean)
+    assert(fast.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData],
+      "null-free input must produce the primitive array form")
+    assert((0 until 3).map(fast.getLong) ==
+      Seq("a", "bb", "ccc").map(t =>
+        graft.engine.functions.VectorOps.polyHash(UTF8String.fromString(t))))
+    val dirty = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null))
+    val slow = graft.engine.functions.VectorOps.tokHashes(dirty)
+    assert(slow.isInstanceOf[GenericArrayData])
+    assert(slow.isNullAt(1) && !slow.isNullAt(0))
+  }
+
   test("native shingle set matches the declarative spelling on the " +
     "document corpus") {
     val s = spark

@@ -51,15 +51,23 @@ def smoothed_control(d):
     """Per-query control time, median-smoothed over a +-2 window in
     execution order (queries run in sorted-name order, so neighbors in
     that order ran within seconds of each other). {} when the artifact
-    predates rev 6."""
+    predates rev 6. Rev-7 deferred/re-run rows did NOT run adjacent to
+    their name-order neighbors, so their control is used raw — their
+    artifact control was re-measured immediately before the passes
+    that were actually published."""
     ctl = d.get("control") or {}
     if not ctl:
         return {}
+    moved = set(d.get("deferred") or []) | set(d.get("host_degraded") or [])
     names = sorted(ctl)
     out = {}
     for i, q in enumerate(names):
+        if q in moved:
+            out[q] = ctl[q]
+            continue
         win = [ctl[names[j]] for j in range(max(0, i - 2),
-                                            min(len(names), i + 3))]
+                                            min(len(names), i + 3))
+               if names[j] not in moved or j == i]
         win.sort()
         out[q] = win[len(win) // 2]
     return out
@@ -105,9 +113,10 @@ def main():
     if ro != rn and not (min(ro, rn) >= 5):
         # rev 3/4 whole-inventory sweeps carry code-cache churn that
         # rev>=4 per-query passes don't — the statistic reconciles,
-        # the MEASUREMENT CONDITIONS may not. (rev 5 vs 6 is exempt:
-        # rev 6 only ADDS the control series, the per-query statistic
-        # and measurement conditions are identical.)
+        # the MEASUREMENT CONDITIONS may not. (rev 5/6/7 are mutually
+        # exempt: rev 6 only ADDS the control series and rev 7 only
+        # moves WHEN a degraded query runs; the per-query statistic is
+        # identical across all three.)
         print(f"WARNING: bench_rev differs ({ro} vs {rn}) — statistic "
               f"reconciled from raw runs, but rev-3 sweep-order JVM "
               f"inflation (if present) is a measurement-condition "
@@ -121,13 +130,44 @@ def main():
         f = factors.get(q, med_factor)
         return n / f if f else n
 
+    # row selection on max(raw, ctl-adjusted): a plan regression on a
+    # FASTER new host (control factor < 1) keeps its raw ratio under
+    # threshold — selecting on raw alone would mask it (round-16 fix).
+    # Classification below stays ctl-adjusted as before.
     rows = []
     for q in sorted(set(ho) & set(hn)):
         o, n = ho[q], hn[q]
-        if o > 0.05 and n > o * thresh and n - o > 0.2:
-            rows.append((q, o, n, n / o, adj(q, n)))
+        if o <= 0.05:
+            continue
+        na = adj(q, n)
+        raw_hit = n > o * thresh and n - o > 0.2
+        adj_hit = na > o * thresh and na - o > 0.2
+        if raw_hit or adj_hit:
+            rows.append((q, o, n, n / o, na))
+
+    # deterministic per-query shuffle stability — the sub-second
+    # tiebreaker (round-16, verdict item 3): wall-time drift with
+    # IDENTICAL shuffle volume on a sub-second row is noise no control
+    # pass happened to witness, not a plan change
+    so_all = old.get("shuffle_records") or {}
+    sn_all = new.get("shuffle_records") or {}
+
+    def shuffle_stable(q):
+        """True = volume unchanged (within the drift section's own
+        10%/1000-record insignificance bounds), False = moved,
+        None = not measured in both artifacts."""
+        if q not in so_all or q not in sn_all:
+            return None
+        a, b = so_all[q], sn_all[q]
+        if a == b or max(a, b) <= 1000:
+            return True
+        if a == 0:
+            return False
+        return 0.9 <= b / a <= 1.1
+
+    degraded_new = set(new.get("host_degraded") or [])
     print(f"statistic: lower-median-of-clean(runs[1:]) | "
-          f"threshold {thresh}x (+0.2s floor) | "
+          f"threshold {thresh}x (+0.2s floor) on max(raw, ctl-adjusted) | "
           f"{len(set(ho) & set(hn))} shared queries")
     print(f"totals (same statistic): {sum(ho.values()):.1f}s -> "
           f"{sum(hn.values()):.1f}s")
@@ -146,15 +186,26 @@ def main():
             continue
         # a row still past the threshold AFTER dividing out measured
         # host speed is a plan/code regression; otherwise the control
-        # slowed down with it and the host is the cause
+        # slowed down with it and the host is the cause. Sub-second
+        # rows whose shuffle volume is UNCHANGED get the explicit
+        # HOST-NOISE class (the r15->r16 residual: stream_session
+        # 0.42 -> 0.67 s, ctl normal, shuffle drift empty — resolved
+        # by hand then, automatic now).
         is_plan = na > o * thresh and na - o > 0.2
-        tag = "PLAN" if is_plan else "HOST"
+        if is_plan and max(o, na) < 1.0 and shuffle_stable(q) is True:
+            tag = "HOST-NOISE (sub-second, shuffle-stable)"
+            is_plan = False
+        else:
+            tag = "PLAN" if is_plan else "HOST"
+        if q in degraded_new:
+            tag += " [host_degraded in new artifact]"
         n_host += 0 if is_plan else 1
         print(f"  {q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x raw, "
               f"{na / o:.2f}x ctl-adj, host {factors.get(q, med_factor):.2f}x)"
               f" -> {tag}")
     if rows and med_factor is not None:
-        print(f"  ({n_host}/{len(rows)} drift rows explained by host speed)")
+        print(f"  ({n_host}/{len(rows)} drift rows explained by host "
+              f"speed/noise)")
     improved = [(q, ho[q], hn[q]) for q in set(ho) & set(hn)
                 if hn[q] < ho[q] / thresh and ho[q] - hn[q] > 0.2]
     if improved:

@@ -24,14 +24,35 @@ Replica construction (i = 0..R-1; replica 0 is the original rows):
     near-dup pair space (every doc gains 9 clones sharing ALL
     shingles), an artificially adversarial corpus no real 10x crawl
     looks like. Within-replica near-dup structure is preserved.
-  - embeddings: replicas > 0 get deterministic hash-derived vectors
-    (disjoint from the originals) — copying vectors verbatim would
-    make every distance tie exactly at 0 across clones and turn top-k
-    selection into a tie-ordering lottery no engine pair can win.
+  - embeddings: replica i > 0 applies a deterministic SIGNED
+    PERMUTATION (an orthogonal transform: element j of the replica is
+    sign(i, j) * embedding[perm_i(j)], the same transform for every
+    vector in the replica). Within each replica, every dot product,
+    norm, cosine and neighborhood is EXACTLY the original corpus's —
+    the similarity structure is real 10x over, not noise (round-16
+    fix: hash-noise replicas made 90% of the sf1 corpus structureless,
+    so similarity/recall numbers at sf1 weren't representative;
+    element-level jitter was rejected because it turns every replica
+    into a cos~0.99 clone of its original, multiplying the tau=0.45
+    near-dup pair space ~R^2x — no real 10x crawl has 9 near-copies of
+    everything). Across replicas, cosines are quasi-random (a signed
+    permutation scrambles coordinates), so replicas behave like
+    distinct domains and no distance ties arise; every element stays
+    an EXACT original float (sign flips are exact in IEEE), so the
+    DuckDB oracle sees bit-identical values. perm_i(j) =
+    ((2i+1)*j + 17i) mod 64 — 2i+1 is odd, hence coprime to 64, hence
+    a bijection; sign(i, j) = +-1 from hash(997*i + j).
+
+The generation stamps DST/provenance.json (source, R, key offsets,
+the git rev of this repo at generation time, and this file's sha256)
+so any future round can reproduce the exact corpus.
 
 Usage: gen_scale.py [SRC] [DST] [R]
 """
+import hashlib
+import json
 import os
+import subprocess
 import sys
 
 import duckdb
@@ -131,16 +152,38 @@ def main():
     def embs(i):
         if i == 0:
             return f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'"
-        # deterministic pseudo-random unit-range floats, keyed by
-        # (vec_id, replica, dim) so every replica vector is distinct
+        # signed-permutation orthogonal transform, same for every
+        # vector of replica i (see module doc): within-replica
+        # geometry is exactly the original's, cross-replica cosines
+        # quasi-random, every element an exact original float
         return f"""
       SELECT vec_id + {i * O_VEC} AS vec_id,
              CAST(list_transform(range(0, len(embedding)), j ->
-               (CAST(hash(vec_id * 641 + {i} * 64 + j) % 2000001 AS BIGINT)
-                - 1000000) / 1000000.0) AS FLOAT[]) AS embedding,
+               (CASE WHEN hash(997 * {i} + j) % 2 = 0 THEN 1 ELSE -1 END)
+               * embedding[1 + CAST((({2 * i + 1} * j + {17 * i}) % 64)
+                                    AS BIGINT)]) AS FLOAT[]) AS embedding,
              label
       FROM '{SRC}/embeddings.parquet'"""
     emit("embeddings", embs)
+
+    rev = subprocess.run(["git", "rev-parse", "HEAD"],
+                         capture_output=True, text=True,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    with open(f"{DST}/provenance.json", "w") as f:
+        json.dump({
+            "generator": "tools/gen_scale.py",
+            "generator_sha256": hashlib.sha256(
+                open(os.path.abspath(__file__), "rb").read()).hexdigest(),
+            "git_rev": rev.stdout.strip() if rev.returncode == 0 else None,
+            "src": SRC, "dst": DST, "replicas": R,
+            "key_offsets": {"customer": O_CUST, "supplier": O_SUPP,
+                            "part": O_PART, "orders": O_ORDER,
+                            "events": O_EVENT, "user": O_USER,
+                            "documents": O_DOC, "embeddings": O_VEC},
+            "embedding_transform": "signed-permutation (round 16)",
+        }, f, indent=1)
+    print(f"provenance: {DST}/provenance.json")
 
 
 if __name__ == "__main__":
