@@ -192,13 +192,17 @@ def main():
         # 0.42 -> 0.67 s, ctl normal, shuffle drift empty — resolved
         # by hand then, automatic now).
         is_plan = na > o * thresh and na - o > 0.2
-        if is_plan and max(o, na) < 1.0 and shuffle_stable(q) is True:
+        if q in degraded_new:
+            # the NEW artifact itself says this row published from a
+            # degraded window after exhausting its deferral retries —
+            # believe it over the smoothed factor (rev 7)
+            tag = "HOST (flagged host_degraded in new artifact)"
+            is_plan = False
+        elif is_plan and max(o, na) < 1.0 and shuffle_stable(q) is True:
             tag = "HOST-NOISE (sub-second, shuffle-stable)"
             is_plan = False
         else:
             tag = "PLAN" if is_plan else "HOST"
-        if q in degraded_new:
-            tag += " [host_degraded in new artifact]"
         n_host += 0 if is_plan else 1
         print(f"  {q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x raw, "
               f"{na / o:.2f}x ctl-adj, host {factors.get(q, med_factor):.2f}x)"
