@@ -15,7 +15,7 @@ verification passes (round 15+), whose results are committed.
 
 NOT part of the shipped library — dev tool only (driver-side python).
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 import pandas as pd
 import numpy as np
@@ -34,6 +34,7 @@ def main(sf_dir, out_dir, json_out=None):
                     if os.path.isdir(p)])
     n_pass = n_fail = n_noracle = 0
     report = {}
+    timings = {}
     for name in names:
         got = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle:
@@ -41,8 +42,10 @@ def main(sf_dir, out_dir, json_out=None):
             report[name] = {"rows": len(got), "status": "no_oracle"}
             n_noracle += 1
             continue
+        t0 = time.time()
         try:
             exp = con.execute(oracle[name]).fetchdf()
+            timings[name] = round(time.time() - t0, 1)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             report[name] = {"rows": len(got), "status": "fail",
@@ -61,7 +64,9 @@ def main(sf_dir, out_dir, json_out=None):
     print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
     if json_out:
         json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-                   "n_no_oracle": n_noracle, "queries": report},
+                   "n_no_oracle": n_noracle,
+                   "oracle_sec": dict(sorted(timings.items())),
+                   "queries": report},
                   open(json_out, "w"), indent=1)
     return 1 if n_fail else 0
 
