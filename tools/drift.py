@@ -77,13 +77,21 @@ def host_factors(old, new):
     """(per-query new/old host-speed factor, global median factor), or
     ({}, None) when either artifact lacks a control series. Clipped to
     [0.25, 4]: a factor outside that is not host speed, it is a broken
-    control measurement."""
+    control measurement. A per-query factor more than 2x away from the
+    session-median factor is REPLACED by the median (round 16): true
+    cross-round host speed is a session property, so a wild per-query
+    factor means one side's control sat in a degraded window — and
+    dividing by it fabricates drift (r15's sf1 artifact carried a
+    degraded graph_* control window; the raw-improved pagerank row
+    ctl-adjusted to a phantom 2x PLAN regression until this fix)."""
     co, cn = smoothed_control(old), smoothed_control(new)
     shared = set(co) & set(cn)
     if not shared:
         return {}, None
     f = {q: min(4.0, max(0.25, cn[q] / co[q])) for q in shared if co[q] > 0}
     med = sorted(f.values())[len(f) // 2] if f else None
+    if med:
+        f = {q: v if med / 2 <= v <= med * 2 else med for q, v in f.items()}
     return f, med
 
 
