@@ -167,12 +167,16 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
 
   /** Everything one bench sweep produces (rev 7 adds the two deferral
-    * provenance lists). */
+    * provenance lists; runsPrior keeps the ORIGINAL pass set of any
+    * row the final audit wave re-ran, so triage can still see the
+    * first attempt — the replacement's runs[0] is not a cold warm-up,
+    * the query already ran this session). */
   private[graft] case class BenchResult(
       results: Map[String, Double], failed: List[String],
       runs: Map[String, Seq[Double]], spread: Map[String, Double],
       shuffles: Map[String, (Long, Long)], control: Map[String, Double],
-      deferred: List[String], hostDegraded: List[String])
+      deferred: List[String], hostDegraded: List[String],
+      runsPrior: Map[String, Seq[Double]])
 
   /** Rev-7 in-run deferral gate: with ≥ 5 PRIOR control samples this
     * session, a control reading above 2× their median means the host
@@ -293,6 +297,7 @@ object Bench {
       s((s.size - 1) / 2)
     }
     val rerunOnce = scala.collection.mutable.Set.empty[String]
+    val runsPrior = scala.collection.mutable.Map.empty[String, Seq[Double]]
     var audits = 0
     var clean = false
     while (audits < 3 && !clean) {
@@ -306,6 +311,10 @@ object Bench {
         else {
           rerunOnce += name
           if (!deferredNames.contains(name)) deferredNames += name
+          // keep the replaced attempt's raw passes: the re-run's
+          // runs[0] is not a cold warm-up (the query already ran),
+          // so triage needs the original series too
+          runsPrior(name) = byResult(name)._1.map(_._1)
           val ctl = controlOnce(spark)
           ctlSamples += ctl
           control(name) = ctl
@@ -345,7 +354,8 @@ object Bench {
       case (k, _, Some(s)) => k -> s
     }.toMap
     BenchResult(ok, failed, runs, spread, shuffles, control.toMap,
-      deferredNames.toList.sorted, degradedNames.toList.sorted)
+      deferredNames.toList.sorted, degradedNames.toList.sorted,
+      runsPrior.toMap)
   }
 
   /** Re-run triggers (up to 2 extra steady passes). Two anomaly
@@ -385,7 +395,8 @@ object Bench {
                    shuffles: Map[String, (Long, Long)] = Map.empty,
                    control: Map[String, Double] = Map.empty,
                    deferred: List[String] = Nil,
-                   hostDegraded: List[String] = Nil): String = {
+                   hostDegraded: List[String] = Nil,
+                   runsPrior: Map[String, Seq[Double]] = Map.empty): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // comma decimals on e.g. de_DE JVMs — invalid JSON
     def fmt(v: Double) =
@@ -448,8 +459,16 @@ object Bench {
       if (deferred.isEmpty && hostDegraded.isEmpty) ""
       else ",\"deferred\":" + names(deferred) +
         ",\"host_degraded\":" + names(hostDegraded)
+    // original pass series of audit-wave re-runs (see BenchResult doc)
+    val rp =
+      if (runsPrior.isEmpty) ""
+      else ",\"runs_prior\":" + runsPrior.toSeq.sortBy(_._1)
+        .map { case (k, vs) =>
+          "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
+        }
+        .mkString("{", ",", "}")
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$df$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$df$rp$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -525,12 +544,12 @@ object Bench {
     controlOnce(spark); controlOnce(spark)
 
     val BenchResult(results, failed, runs, spread, shuffles, control,
-      deferred, degraded) = bench(spark, sfDir)
+      deferred, degraded, runsPrior) = bench(spark, sfDir)
     // persist the primary result IMMEDIATELY: the optional secondary pass
     // doubles the runtime, and an external timeout mid-secondary must not
     // cost the round its primary perf artifact
     writeArtifact(json(results, failed, sfDir, "", runs, spread, shuffles,
-      control, deferred, degraded))
+      control, deferred, degraded, runsPrior))
 
     // secondary scale factor: the largest sibling STRICTLY SMALLER than
     // the primary, so round-over-round comparisons can see scaling — and
@@ -550,12 +569,12 @@ object Bench {
         val r2 = bench(spark, dir.toString)
         "," + "\"secondary\":" + json(r2.results, r2.failed, dir.toString,
           "", r2.runs, r2.spread, r2.shuffles, r2.control, r2.deferred,
-          r2.hostDegraded)
+          r2.hostDegraded, r2.runsPrior)
       case None => ""
     }
 
     writeArtifact(json(results, failed, sfDir, extra, runs, spread, shuffles,
-      control, deferred, degraded)) // file: primary + secondary
+      control, deferred, degraded, runsPrior)) // file: primary + secondary
     // stdout gets a BUDGETED line: the driver captures a bounded tail of
     // stdout, and even the primary-only line overflowed it in r03 once the
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the
