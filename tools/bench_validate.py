@@ -100,6 +100,10 @@ def validate(d, label):
     for name in degraded - deferred:
         errs.append(f"provenance: {name} host_degraded without being "
                     f"deferred first")
+    for name in d.get("runs_prior") or {}:
+        if name not in deferred:
+            errs.append(f"provenance: {name} has runs_prior but was "
+                        f"never deferred/re-run")
 
     if errs:
         print(f"{label}: {len(errs)} violation(s)")
