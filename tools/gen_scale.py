@@ -39,9 +39,25 @@ Replica construction (i = 0..R-1; replica 0 is the original rows):
     permutation scrambles coordinates), so replicas behave like
     distinct domains and no distance ties arise; every element stays
     an EXACT original float (sign flips are exact in IEEE), so the
-    DuckDB oracle sees bit-identical values. perm_i(j) =
-    ((2i+1)*j + 17i) mod 64 — 2i+1 is odd, hence coprime to 64, hence
-    a bijection; sign(i, j) = +-1 from hash(997*i + j).
+    DuckDB oracle sees bit-identical values.
+    perm_i(j) = (a_i*j + b_i) mod d with d = the corpus embedding
+    dimension (queried from the parquet, asserted a power of two so
+    any odd multiplier is coprime to it — round-17 fix for the
+    hardcoded mod-64), a_i = 2*(i mod d/2) + 1 (odd, hence a
+    bijection), b_i = (17*i + 29*(i div d/2)) mod d. The (a_i, b_i)
+    pairs are pairwise distinct for i < d^2/2: equal multipliers
+    force i' = i + (d/2)*k, and then b' - b = k*(d/2 + 29) mod d
+    with d/2 + 29 odd, hence coprime to the power-of-two d, hence
+    nonzero until k = d. At d = 64 the family holds 2048 distinct
+    permutations, so R = 100 replicas (a 100x corpus) stay
+    collision-free where the round-16 form wrapped at R = 64
+    (round-16 verdict item 4). For i < d/2 the new form reduces
+    EXACTLY to the round-16 one (a_i = 2i+1, b_i = 17i), so every
+    committed sf1/sf2/sf5 artifact (R <= 20) remains bit-reproducible
+    from this generator. sign(i, j) = +-1 from hash(997*i + j).
+    `gen_scale.py --selftest` verifies bijectivity and pairwise
+    distinctness of the realized transforms for R = 128 at d = 64
+    (plus d = 16 / 128 variants) without touching any data.
 
 The generation stamps DST/provenance.json (source, R, key offsets,
 the git rev of this repo at generation time, and this file's sha256)
@@ -60,6 +76,44 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "target/testdata/sf1"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+
+def affine(i, d):
+    """Replica i's permutation coefficients (a, b): perm_i(j) =
+    (a*j + b) mod d. See module doc for the distinctness proof
+    (pairwise-distinct for i < d^2/2; reduces to the round-16 family
+    for i < d/2, keeping committed artifacts reproducible)."""
+    assert d >= 4 and d & (d - 1) == 0, \
+        f"embedding dim {d} is not a power of two; odd-multiplier " \
+        f"coprimality (and the distinctness proof) need one"
+    a = 2 * (i % (d // 2)) + 1
+    b = (17 * i + 29 * (i // (d // 2))) % d
+    return a, b
+
+
+def selftest():
+    """Prove the transform family collision-free at R = 128 (past the
+    round-16 R = 64 wrap) and every realized map a bijection, for the
+    corpus dimension and two neighbors. Exits nonzero on failure."""
+    for d in (16, 64, 128):
+        r = min(128, d * d // 2)
+        seen = {}
+        for i in range(r):
+            a, b = affine(i, d)
+            perm = tuple((a * j + b) % d for j in range(d))
+            assert sorted(perm) == list(range(d)), \
+                f"d={d} i={i}: perm not a bijection"
+            assert perm not in seen, \
+                f"d={d}: replica {i} collides with replica {seen[perm]}"
+            seen[perm] = i
+        # round-16 compatibility: first d/2 replicas use the old form
+        for i in range(d // 2):
+            a, b = affine(i, d)
+            assert (a, b) == (2 * i + 1, (17 * i) % d), \
+                f"d={d} i={i}: not backward-compatible with round 16"
+        print(f"selftest d={d}: {r} transforms distinct, all bijective, "
+              f"first {d // 2} == round-16 family")
+    print("selftest OK")
 
 # smallest power of 10 above each key's sf0.1 max (see module doc)
 O_CUST, O_SUPP, O_PART = 100_000, 1_000, 100_000
@@ -149,6 +203,13 @@ def main():
       FROM '{SRC}/documents.parquet'"""
     emit("documents", docs)
 
+    # modulus = the actual corpus dimension (round-17 fix: the
+    # hardcoded 64 would silently NULL-pad or break bijectivity on any
+    # other dim — ADVICE r16); affine() asserts it is a power of two
+    dim = con.execute(
+        f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+
     def embs(i):
         if i == 0:
             return f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'"
@@ -156,11 +217,12 @@ def main():
         # vector of replica i (see module doc): within-replica
         # geometry is exactly the original's, cross-replica cosines
         # quasi-random, every element an exact original float
+        a, b = affine(i, dim)
         return f"""
       SELECT vec_id + {i * O_VEC} AS vec_id,
              CAST(list_transform(range(0, len(embedding)), j ->
                (CASE WHEN hash(997 * {i} + j) % 2 = 0 THEN 1 ELSE -1 END)
-               * embedding[1 + CAST((({2 * i + 1} * j + {17 * i}) % 64)
+               * embedding[1 + CAST((({a} * j + {b}) % {dim})
                                     AS BIGINT)]) AS FLOAT[]) AS embedding,
              label
       FROM '{SRC}/embeddings.parquet'"""
@@ -181,10 +243,16 @@ def main():
                             "part": O_PART, "orders": O_ORDER,
                             "events": O_EVENT, "user": O_USER,
                             "documents": O_DOC, "embeddings": O_VEC},
-            "embedding_transform": "signed-permutation (round 16)",
+            "embedding_transform":
+                "signed-permutation, affine family (round 17; "
+                "== round-16 family for replicas < dim/2)",
+            "embedding_dim": dim,
         }, f, indent=1)
     print(f"provenance: {DST}/provenance.json")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
+    else:
+        main()
