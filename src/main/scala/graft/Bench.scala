@@ -55,10 +55,25 @@ object Bench {
     * them from the control series by hand. The per-query timing
     * STATISTIC is unchanged from rev 5 (rev 5/6/7 artifacts compare
     * directly); only WHEN a degraded query runs changes, plus two new
-    * provenance fields ("deferred", "host_degraded").
+    * provenance fields ("deferred", "host_degraded");
+    * rev 8 = provenance-only refinements (round 17), per-query
+    * statistic still identical to rev 5/6/7: (a) "deferred" again
+    * means strictly "ran at end of sweep against a re-measured
+    * control" — rows the final audit wave flags WITHOUT a late re-run
+    * land under the new "flagged_unreran" list instead (rev 7
+    * overloaded "deferred" for them, which broke the window-smoothing
+    * exemption drift.py derives from it); (b) the session control
+    * median is published as "ctl_med" in the full artifact, and when
+    * a prior round's committed artifact is readable the session also
+    * publishes "ctl_prev_med"/"ctl_prev_src"/"host_slow_vs_prev" —
+    * the ABSOLUTE host-speed reference the rev-7 relative gate cannot
+    * provide (a session degraded from its first sample shifts its own
+    * median and flags nothing; r16 verdict: a uniformly-degraded
+    * session must be flagged in-data, not just inferable by diffing
+    * ctl_med across rounds by hand).
     * Bump the rev on ANY change to what a per-query number means. */
   private val Methodology =
-    """"timing":"materialize","bench_rev":7"""
+    """"timing":"materialize","bench_rev":8"""
 
   /** Fixed work for the rev-6 control: 512M-row range → xxhash64 →
     * bit_xor, 32 even partitions. Data-independent (no I/O, no SF),
@@ -176,7 +191,8 @@ object Bench {
       runs: Map[String, Seq[Double]], spread: Map[String, Double],
       shuffles: Map[String, (Long, Long)], control: Map[String, Double],
       deferred: List[String], hostDegraded: List[String],
-      runsPrior: Map[String, Seq[Double]])
+      runsPrior: Map[String, Seq[Double]],
+      flaggedUnreran: List[String])
 
   /** Rev-7 in-run deferral gate: with ≥ 5 PRIOR control samples this
     * session, a control reading above 2× their median means the host
@@ -298,8 +314,12 @@ object Bench {
     }
     val rerunOnce = scala.collection.mutable.Set.empty[String]
     val runsPrior = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    val flaggedUnreran = scala.collection.mutable.ListBuffer.empty[String]
     var audits = 0
-    var clean = false
+    // empty inventory (e.g. SPARK_GRAFT_BENCH_ONLY naming no existing
+    // query) → nothing published, no control series, publishedMedian
+    // would throw on the empty sort — the audit wave is vacuously clean
+    var clean = control.isEmpty
     while (audits < 3 && !clean) {
       val med = publishedMedian
       val suspects = control.collect {
@@ -329,9 +349,13 @@ object Bench {
       control.foreach { case (n, c) =>
         if (c > 2.0 * med && !degradedNames.contains(n)) {
           degradedNames += n
-          // invariant: host_degraded ⊆ deferred (a flagged row always
-          // had — or here, forfeits — its late re-run)
-          if (!deferredNames.contains(n)) deferredNames += n
+          // rev 8: a row flagged here that never ran late goes under
+          // "flagged_unreran", NOT "deferred" — its passes ran in the
+          // normal name-order slot, so drift.py's window smoothing
+          // still applies to its control; rev 7 overloaded "deferred"
+          // for these rows, breaking that semantics. Invariant:
+          // host_degraded ⊆ deferred ∪ flagged_unreran.
+          if (!deferredNames.contains(n)) flaggedUnreran += n
         }
       }
     }
@@ -355,7 +379,7 @@ object Bench {
     }.toMap
     BenchResult(ok, failed, runs, spread, shuffles, control.toMap,
       deferredNames.toList.sorted, degradedNames.toList.sorted,
-      runsPrior.toMap)
+      runsPrior.toMap, flaggedUnreran.toList.sorted)
   }
 
   /** Re-run triggers (up to 2 extra steady passes). Two anomaly
@@ -388,6 +412,61 @@ object Bench {
     clean((clean.size - 1) / 2)
   }
 
+  /** Median under the stdout-line convention: mean of the two middle
+    * samples on even counts (vs the audit gate's lower median — the
+    * gate needs an actual sample, a summary field wants the unbiased
+    * middle). Used for "ctl_med" in both the stdout line and (rev 8)
+    * the full artifact, so the two fields can never disagree. */
+  private def medianOf(vs: Seq[Double]): Double = {
+    val s = vs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Rev-8 absolute host reference: the previous round's committed
+    * bench artifact's session control median. The rev-7 deferral gate
+    * is RELATIVE (2× the running session median), so a session that is
+    * degraded from its very first control sample shifts its own
+    * baseline and flags nothing; publishing this session's ctl_med
+    * against the prior round's puts the uniform-degradation factor in
+    * the artifact itself. Source: $SPARK_GRAFT_PREV_BENCH if set, else
+    * the highest-numbered BENCH_r*.json in the working directory
+    * (driver wrappers are unwrapped; trimmed artifacts carry ctl_med
+    * directly, full ones a control series). Absent or unreadable →
+    * no fields emitted (first round, or bench run outside the repo). */
+  private[graft] def prevCtlMed(): Option[(String, Double)] = {
+    val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH")
+      .map(Paths.get(_)).filter(Files.isReadable(_))
+    val candidate = explicit.orElse {
+      import scala.jdk.CollectionConverters._
+      val re = "^BENCH_r(\\d+)\\.json$".r
+      scala.util.Try(Files.list(Paths.get(".")).iterator.asScala
+        .flatMap { p =>
+          re.findFirstMatchIn(p.getFileName.toString)
+            .map(m => (m.group(1).toInt, p))
+        }
+        .toSeq.sortBy(_._1).lastOption.map(_._2)).toOption.flatten
+    }
+    candidate.flatMap { p =>
+      scala.util.Try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper
+        var root = om.readTree(Files.readAllBytes(p))
+        // the driver's BENCH_r{N}.json wraps the builder line under
+        // "parsed" — same unwrap as tools/drift.py
+        if (!root.has("queries") && root.has("parsed") &&
+            root.get("parsed").isObject) root = root.get("parsed")
+        val med =
+          if (root.has("control") && root.get("control").isObject &&
+              root.get("control").size > 0) {
+            import scala.jdk.CollectionConverters._
+            medianOf(root.get("control").elements.asScala
+              .map(_.asDouble).toSeq)
+          } else root.get("ctl_med").asDouble // trimmed stdout shape
+        (p.getFileName.toString, med)
+      }.toOption.filter(_._2 > 0.0)
+    }
+  }
+
   private def json(results: Map[String, Double], failed: List[String],
                    sfDir: String, extra: String,
                    runs: Map[String, Seq[Double]] = Map.empty,
@@ -396,7 +475,9 @@ object Bench {
                    control: Map[String, Double] = Map.empty,
                    deferred: List[String] = Nil,
                    hostDegraded: List[String] = Nil,
-                   runsPrior: Map[String, Seq[Double]] = Map.empty): String = {
+                   runsPrior: Map[String, Seq[Double]] = Map.empty,
+                   flaggedUnreran: List[String] = Nil,
+                   prevBaseline: Option[(String, Double)] = None): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // comma decimals on e.g. de_DE JVMs — invalid JSON
     def fmt(v: Double) =
@@ -445,7 +526,20 @@ object Bench {
       if (control.isEmpty) ""
       else ",\"control\":" + control.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
+        .mkString("{", ",", "}") +
+        // rev 8: session control median in the FULL artifact (was
+        // stdout-only), plus — when a prior round's artifact is
+        // readable — the absolute cross-round host factor (see
+        // prevCtlMed; a uniformly-degraded session is flagged here,
+        // in-data, where the relative gate is structurally blind)
+        ",\"ctl_med\":" + fmt(medianOf(control.values.toSeq)) +
+        prevBaseline.map { case (src, prev) =>
+          ",\"ctl_prev_med\":" + fmt(prev) +
+            ",\"ctl_prev_src\":\"" + src + "\"" +
+            ",\"host_slow_vs_prev\":" + String.format(
+              java.util.Locale.ROOT, "%.3f",
+              Double.box(medianOf(control.values.toSeq) / prev))
+        }.getOrElse("")
     // rev-7 deferral provenance: "deferred" = queries whose first
     // control hit a degraded window and ran at the end of the sweep
     // instead (their control is the RE-measured one, and name-order
@@ -458,7 +552,12 @@ object Bench {
     val df =
       if (deferred.isEmpty && hostDegraded.isEmpty) ""
       else ",\"deferred\":" + names(deferred) +
-        ",\"host_degraded\":" + names(hostDegraded)
+        ",\"host_degraded\":" + names(hostDegraded) +
+        // rev 8: rows the final audit flagged WITHOUT a late re-run —
+        // their passes ran in the normal name-order slot (always ⊆
+        // host_degraded; disjoint from deferred by construction)
+        (if (flaggedUnreran.isEmpty) ""
+         else ",\"flagged_unreran\":" + names(flaggedUnreran))
     // original pass series of audit-wave re-runs (see BenchResult doc)
     val rp =
       if (runsPrior.isEmpty) ""
@@ -479,7 +578,8 @@ object Bench {
                          sfDir: String, control: Map[String, Double] = Map.empty,
                          deferred: List[String] = Nil,
                          hostDegraded: List[String] = Nil,
-                         budget: Int = 1400): String = {
+                         budget: Int = 1400,
+                         prevBaseline: Option[(String, Double)] = None): String = {
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -495,10 +595,15 @@ object Bench {
       if (control.isEmpty) ""
       else {
         val vs = control.values.toSeq.sorted
-        val med =
-          if (vs.size % 2 == 1) vs(vs.size / 2)
-          else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0
-        s""","ctl_med":${fmt(med)},"ctl_min":${fmt(vs.head)},"ctl_max":${fmt(vs.last)}"""
+        val med = medianOf(vs)
+        // rev 8: the absolute cross-round factor rides the budgeted
+        // line too — the one number that says "this whole session ran
+        // on a slow host" without opening the artifact
+        val prev = prevBaseline.map { case (_, p) =>
+          s""","host_slow_vs_prev":${String.format(
+            java.util.Locale.ROOT, "%.3f", Double.box(med / p))}"""
+        }.getOrElse("")
+        s""","ctl_med":${fmt(med)},"ctl_min":${fmt(vs.head)},"ctl_max":${fmt(vs.last)}$prev"""
       }
     // rev-7 deferral summary: counts on the budgeted line, names in
     // the artifact
@@ -544,12 +649,15 @@ object Bench {
     controlOnce(spark); controlOnce(spark)
 
     val BenchResult(results, failed, runs, spread, shuffles, control,
-      deferred, degraded, runsPrior) = bench(spark, sfDir)
+      deferred, degraded, runsPrior, flaggedUnreran) = bench(spark, sfDir)
+    // rev-8 absolute host reference — resolved BEFORE any artifact
+    // write so bench_out.json can never be picked up as its own prior
+    val prevBaseline = prevCtlMed()
     // persist the primary result IMMEDIATELY: the optional secondary pass
     // doubles the runtime, and an external timeout mid-secondary must not
     // cost the round its primary perf artifact
     writeArtifact(json(results, failed, sfDir, "", runs, spread, shuffles,
-      control, deferred, degraded, runsPrior))
+      control, deferred, degraded, runsPrior, flaggedUnreran, prevBaseline))
 
     // secondary scale factor: the largest sibling STRICTLY SMALLER than
     // the primary, so round-over-round comparisons can see scaling — and
@@ -569,12 +677,13 @@ object Bench {
         val r2 = bench(spark, dir.toString)
         "," + "\"secondary\":" + json(r2.results, r2.failed, dir.toString,
           "", r2.runs, r2.spread, r2.shuffles, r2.control, r2.deferred,
-          r2.hostDegraded, r2.runsPrior)
+          r2.hostDegraded, r2.runsPrior, r2.flaggedUnreran, prevBaseline)
       case None => ""
     }
 
     writeArtifact(json(results, failed, sfDir, extra, runs, spread, shuffles,
-      control, deferred, degraded, runsPrior)) // file: primary + secondary
+      control, deferred, degraded, runsPrior, flaggedUnreran,
+      prevBaseline)) // file: primary + secondary
     // stdout gets a BUDGETED line: the driver captures a bounded tail of
     // stdout, and even the primary-only line overflowed it in r03 once the
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the
@@ -593,7 +702,8 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
     spark.stop()
-    println(stdoutJson(results, failed, sfDir, control, deferred, degraded))
+    println(stdoutJson(results, failed, sfDir, control, deferred, degraded,
+      prevBaseline = prevBaseline))
     System.out.flush()
   }
 }

@@ -68,6 +68,27 @@ class BenchStatSpec extends AnyFunSuite {
     assert(Bench.shouldDefer(2.0, Seq(0.17, 5.0, 0.18, 0.17, 0.19)))
   }
 
+  test("rev-8 absolute baseline resolves the prior round's ctl_med " +
+    "from the committed artifacts") {
+    // tests run from the repo root, where the driver's BENCH_r{N}.json
+    // artifacts live; the resolver must find the highest-numbered one
+    // and read a positive control median out of either shape (trimmed
+    // stdout line: "ctl_med" field; full artifact: "control" series)
+    val got = Bench.prevCtlMed()
+    assert(got.isDefined, "no BENCH_r*.json resolved from the repo root")
+    val (src, med) = got.get
+    assert(src.matches("BENCH_r\\d+\\.json"), s"unexpected source $src")
+    assert(med > 0.0 && med < 60.0, s"implausible control median $med")
+    // highest round wins: every committed artifact BENCH_r{M}.json has
+    // M <= the resolved round
+    val n = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(src).get.group(1).toInt
+    val all = new java.io.File(".").listFiles.map(_.getName)
+      .flatMap("^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt)
+    assert(all.nonEmpty && all.max == n,
+      s"resolved round $n but artifacts go up to ${all.max}")
+  }
+
   test("re-run triggers: steady disagreement OR every steady pass far " +
     "above the warm-up") {
     // original rev-5 trigger: intra-steady spread

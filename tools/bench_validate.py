@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
-"""Spec-style validation of a rev-7 bench artifact (round-16 verdict
-item 1). Asserts the invariants the rev-7 in-run control gate is
-supposed to enforce, so a violated artifact fails loudly instead of
-being misread:
+"""Spec-style validation of a rev-7/8 bench artifact (round-16 verdict
+item 1; round-17 rev-8 fields). Asserts the invariants the in-run
+control gate is supposed to enforce, so a violated artifact fails
+loudly instead of being misread:
 
  1. PUBLISHED-CONTROL invariant: every query NOT listed under
     "host_degraded" has control <= 2x the session median of published
@@ -13,10 +13,23 @@ being misread:
     failed is disjoint from queries; value == sum(queries) (1e-6);
     every published time is a real member of its clean steady set
     (the rev-5 statistic, recomputed).
- 3. deferred/host_degraded name the published inventory only, and
-    host_degraded is a subset of deferred (a row can only publish
-    degraded after deferral retries) — except rows flagged by the
-    final audit wave, which are deferred too by construction.
+ 3. deferred/host_degraded name the published inventory only.
+    Rev 7: host_degraded ⊆ deferred. Rev 8: host_degraded ⊆
+    deferred ∪ flagged_unreran, flagged_unreran ⊆ host_degraded, and
+    flagged_unreran ∩ deferred = ∅ (a flagged-without-late-re-run row
+    is by definition not a deferred one).
+ 4. Rev-8 self-consistency: "ctl_med" equals the recomputed median of
+    the control series (mean-of-middles convention), and
+    "host_slow_vs_prev" equals ctl_med / ctl_prev_med when present.
+
+TRIMMED artifacts (the driver's budgeted stdout line: an "elided"
+count, slowest-N queries only, ctl_med/min/max summaries instead of
+the per-query control series) are detected by the "elided" key and get
+the checks that remain meaningful: value >= sum(shown queries),
+n == len(shown) + elided, failed disjoint, rev-8 ratio consistency.
+A trimmed artifact can no longer fail the validator merely for being
+trimmed (round-16 verdict item 3) — it is validated AS a trimmed
+artifact, with the weaker contract that shape can support printed.
 
 Usage: bench_validate.py ARTIFACT.json   (bench_out.json or a
 committed BENCH_r{N}.json — driver wrappers are unwrapped)
@@ -40,7 +53,65 @@ def lower_median_of_clean(steady):
     return clean[(len(clean) - 1) // 2]
 
 
+def mid_median(vs):
+    """Mean-of-middles median — the ctl_med convention (stdout line
+    since rev 7, full artifact since rev 8)."""
+    s = sorted(vs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def validate_trimmed(d, label):
+    """The budgeted driver-stdout shape: slowest-N queries + 'elided'
+    count + ctl summaries. Check what that shape can support."""
+    errs = []
+    q = d.get("queries") or {}
+    failed = d.get("failed") or []
+    n, elided = d.get("n"), d.get("elided", 0)
+    if n is not None and n != len(q) + elided and not failed:
+        # failed rows are excluded from queries but counted nowhere
+        # else in the trimmed line, so only the failed-free case is an
+        # exact identity
+        errs.append(f"trimmed shape: n={n} != shown {len(q)} + "
+                    f"elided {elided}")
+    total = sum(q.values())
+    if total > d.get("value", total) + 5e-3 * max(1, len(q)):
+        errs.append(f"trimmed shape: shown queries sum {total:.3f} "
+                    f"exceeds value {d.get('value')}")
+    for name in failed:
+        if name in q:
+            errs.append(f"trimmed shape: {name} both failed and published")
+    errs += check_prev_ratio(d)
+    if errs:
+        print(f"{label}: {len(errs)} violation(s) [trimmed artifact]")
+        for e in errs:
+            print(f"  FAIL {e}")
+    else:
+        print(f"{label}: OK [trimmed artifact — {len(q)} shown + "
+              f"{elided} elided; control-gate invariant needs the full "
+              f"artifact (bench_out.json / BENCH_local_r{{N}}.json)]")
+    return errs
+
+
+def check_prev_ratio(d):
+    """Rev-8 absolute-baseline self-consistency (full AND trimmed)."""
+    errs = []
+    hsp = d.get("host_slow_vs_prev")
+    med, prev = d.get("ctl_med"), d.get("ctl_prev_med")
+    if hsp is not None and med is not None and prev:
+        if abs(hsp - med / prev) > 5e-3:
+            errs.append(f"rev8: host_slow_vs_prev {hsp} != ctl_med "
+                        f"{med} / ctl_prev_med {prev} = {med / prev:.3f}")
+    if hsp is not None and hsp > 1.5:
+        print(f"  NOTE host_slow_vs_prev = {hsp}: this whole session "
+              f"ran >=1.5x slower than the prior round's host — treat "
+              f"every raw time accordingly")
+    return errs
+
+
 def validate(d, label):
+    if "elided" in d:
+        return validate_trimmed(d, label)
     errs = []
     q = d.get("queries") or {}
     ctl = d.get("control") or {}
@@ -49,6 +120,7 @@ def validate(d, label):
     failed = d.get("failed") or []
     deferred = set(d.get("deferred") or [])
     degraded = set(d.get("host_degraded") or [])
+    flagged = set(d.get("flagged_unreran") or [])
     rev = d.get("bench_rev", 0)
 
     if rev < 7:
@@ -92,18 +164,37 @@ def validate(d, label):
                     f"statistic: {name} published {t} but "
                     f"lower-median-of-clean(runs[1:]) = {want}")
 
-    # 3. deferral provenance
-    for name in deferred | degraded:
+    # 3. deferral provenance. Rev 8 splits "flagged without a late
+    # re-run" out of deferred (the rev-7 overload broke drift.py's
+    # window-smoothing exemption semantics): host_degraded ⊆
+    # deferred ∪ flagged_unreran, flagged ⊆ degraded, flagged ∩
+    # deferred = ∅. Rev-7 artifacts have no flagged list, so the
+    # check degenerates to the old host_degraded ⊆ deferred there.
+    for name in deferred | degraded | flagged:
         if name not in q and name not in failed:
-            errs.append(f"provenance: {name} deferred/degraded but not "
-                        f"in the published inventory")
-    for name in degraded - deferred:
+            errs.append(f"provenance: {name} deferred/degraded/flagged "
+                        f"but not in the published inventory")
+    for name in degraded - deferred - flagged:
         errs.append(f"provenance: {name} host_degraded without being "
-                    f"deferred first")
+                    f"deferred or flagged_unreran first")
+    for name in flagged - degraded:
+        errs.append(f"provenance: {name} flagged_unreran but not "
+                    f"host_degraded")
+    for name in flagged & deferred:
+        errs.append(f"provenance: {name} both flagged_unreran and "
+                    f"deferred — the buckets are disjoint by definition")
     for name in d.get("runs_prior") or {}:
         if name not in deferred:
             errs.append(f"provenance: {name} has runs_prior but was "
                         f"never deferred/re-run")
+
+    # 4. rev-8 self-consistency
+    if ctl and d.get("ctl_med") is not None:
+        want = mid_median(ctl.values())
+        if abs(d["ctl_med"] - want) > 5e-4:
+            errs.append(f"rev8: ctl_med {d['ctl_med']} != recomputed "
+                        f"median of control series {want:.4f}")
+    errs += check_prev_ratio(d)
 
     if errs:
         print(f"{label}: {len(errs)} violation(s)")

@@ -185,6 +185,19 @@ def main():
     else:
         print("no shared control series (pre-rev-6 artifact?) - drift "
               "rows are raw, host vs plan not classified")
+    # rev-8 absolute baseline: the NEW artifact self-reports its
+    # session ctl_med against the prior committed round's — the
+    # in-data flag for a UNIFORMLY degraded session, which the
+    # relative in-run gate cannot see (its own median shifts with the
+    # degradation) and which the factor above only catches when OLD is
+    # the same artifact the session compared itself against.
+    hsp = new.get("host_slow_vs_prev")
+    if hsp is not None:
+        src = new.get("ctl_prev_src", "?")
+        print(f"new artifact self-reports host_slow_vs_prev {hsp:.2f}x "
+              f"(vs {src})" +
+              (" — UNIFORMLY DEGRADED SESSION, treat raw times "
+               "accordingly" if hsp > 1.5 else ""))
     if not rows:
         print("drift table EMPTY - zero queries grew")
     n_host = 0
