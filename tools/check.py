@@ -2,6 +2,7 @@
 """Local differential check mirroring the driver's DuckDB oracle gate.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [jsonOut]
+           [--timeout=SECS] [--only=name1,name2]
 
 Reads each <outDir>/<name> parquet (Spark output of SparkEntry.queries),
 runs the matching SQL from <outDir>/oracle_sql.json in DuckDB against the
@@ -9,13 +10,24 @@ sfDir parquet tables, and compares schema (sorted column names), row
 count, and values (columns sorted by name, exact compare; floats also
 reported with max-abs-diff so near-misses are visible).
 
-With a 3rd arg, additionally writes a CORRECTNESS-style JSON artifact
-(per-query {rows, pass/no_oracle/fail, msg}) — used for the scaled-SF
-verification passes (round 15+), whose results are committed.
+With a 3rd positional arg, additionally writes a CORRECTNESS-style JSON
+artifact (per-query {rows, pass/no_oracle/fail, msg}) — used for the
+scaled-SF verification passes (round 15+), whose results are committed.
+
+--timeout=SECS (round 17): per-oracle DuckDB budget for large-SF
+passes, enforced with con.interrupt() from a timer thread. A query
+whose ORACLE exceeds the budget reports status "oracle_timeout" (its
+own bucket + "oracle_timeout_sec" in the artifact, NOT a fail and NOT
+a pass): the r16 verdict's sf2 instruction is "time every oracle,
+check every one that completes, document the remainder" — the timeout
+IS the per-oracle timing record for the infeasible remainder. Engine
+results are unaffected (Spark already wrote its parquet; only the
+DuckDB side is budgeted). --only=... restricts to named queries (e.g.
+a long-budget second pass over the first pass's timeouts).
 
 NOT part of the shipped library — dev tool only (driver-side python).
 """
-import sys, json, glob, os, time
+import sys, json, glob, os, time, threading
 import duckdb
 import pandas as pd
 import numpy as np
@@ -23,7 +35,7 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, timeout=None, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -32,9 +44,12 @@ def main(sf_dir, out_dir, json_out=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                     if os.path.isdir(p)])
-    n_pass = n_fail = n_noracle = 0
+    if only:
+        names = [n for n in names if n in only]
+    n_pass = n_fail = n_noracle = n_timeout = 0
     report = {}
     timings = {}
+    timeouts = {}
     for name in names:
         got = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle:
@@ -43,31 +58,53 @@ def main(sf_dir, out_dir, json_out=None):
             n_noracle += 1
             continue
         t0 = time.time()
+        timer = None
+        if timeout:
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
         try:
             exp = con.execute(oracle[name]).fetchdf()
             timings[name] = round(time.time() - t0, 1)
+        except duckdb.InterruptException:
+            el = round(time.time() - t0, 1)
+            print(f"ORACLE-TIMEOUT {name}: oracle exceeded {timeout}s "
+                  f"budget (engine rows={len(got)})", flush=True)
+            report[name] = {"rows": len(got), "status": "oracle_timeout",
+                            "msg": f"oracle exceeded {timeout}s budget"}
+            timeouts[name] = el
+            n_timeout += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             report[name] = {"rows": len(got), "status": "fail",
                             "msg": f"oracle SQL error: {e}"}
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         ok, msg = compare(got, exp)
         if ok:
-            print(f"PASS {name}: rows={len(got)}")
+            print(f"PASS {name}: rows={len(got)}", flush=True)
             report[name] = {"rows": len(got), "status": "pass"}
             n_pass += 1
         else:
             print(f"FAIL {name}: {msg}")
             report[name] = {"rows": len(got), "status": "fail", "msg": msg}
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} no-oracle"
+          + (f", {n_timeout} oracle-timeout (budget {timeout}s)"
+             if n_timeout else ""))
     if json_out:
-        json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-                   "n_no_oracle": n_noracle,
-                   "oracle_sec": dict(sorted(timings.items())),
-                   "queries": report},
-                  open(json_out, "w"), indent=1)
+        out = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+               "n_no_oracle": n_noracle,
+               "oracle_sec": dict(sorted(timings.items())),
+               "queries": report}
+        if timeout:
+            out["oracle_timeout_budget_sec"] = timeout
+            out["n_oracle_timeout"] = n_timeout
+            out["oracle_timeout_sec"] = dict(sorted(timeouts.items()))
+        json.dump(out, open(json_out, "w"), indent=1)
     return 1 if n_fail else 0
 
 def compare(got, exp):
@@ -114,5 +151,10 @@ def compare(got, exp):
     return True, ""
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    t_o = next((float(a.split("=", 1)[1]) for a in sys.argv[1:]
+                if a.startswith("--timeout=")), None)
+    only = next((set(a.split("=", 1)[1].split(",")) for a in sys.argv[1:]
+                 if a.startswith("--only=")), None)
+    sys.exit(main(pos[0], pos[1], pos[2] if len(pos) > 2 else None,
+                  timeout=t_o, only=only))
