@@ -335,7 +335,17 @@ object Multimodal {
     * joins against a LocalRelation instead of recomputing the
     * aggregate, and the dropped-band count lands in [[Provenance]]
     * (round-16 advice: a recall-affecting cap must surface how often
-    * it fired). */
+    * it fired). Two documented consequences of the build-time
+    * materialization (round-17 note, closing the r16 ADVICE low):
+    * (a) the hot-band aggregation runs as its own job OUTSIDE the
+    * timed final plan, so mm_phash_dup's recorded shuffle_records/
+    * shuffle_bytes dropped discontinuously at the r15→r16 artifact
+    * boundary — shuffle-drift comparisons across that boundary must
+    * exempt this row (r16+ artifacts compare directly); (b) building
+    * the query without running it (plan-only inspection, explain)
+    * triggers the aggregation scan — acceptable here because every
+    * consumer in this repo (Verify, Bench, specs) materializes the
+    * query it builds, and the collect stays domain-bounded. */
   private[graft] def phashDupPairs(s: SparkSession, ph: DataFrame,
       tag: String): DataFrame = {
     import s.implicits._
