@@ -113,6 +113,21 @@ def selftest():
                 f"d={d} i={i}: not backward-compatible with round 16"
         print(f"selftest d={d}: {r} transforms distinct, all bijective, "
               f"first {d // 2} == round-16 family")
+    # document translate maps: 100 pairwise-distinct 1:1 char maps,
+    # first 25 byte-identical to the round-16 two-factor family
+    maps = [translate_args(i) for i in range(100)]
+    assert len(set(maps)) == 100, "translate maps collide below R=100"
+    for src, dst in maps:
+        assert sorted(src) == sorted(dst), "translate map not 1:1"
+    for i in range(25):
+        s_old = VOW + CON + VOW.upper() + CON.upper()
+        dv, dc = rot(VOW, i % 5), rot(CON, i // 5)
+        d_old = dict(zip(s_old, dv + dc + dv.upper() + dc.upper()))
+        d_new = dict(zip(*maps[i]))
+        assert all(d_new.get(c, c) == d_old.get(c, c)
+                   for c in set(d_old) | set(d_new)), \
+            f"replica {i} text map diverges from the round-16 family"
+    print("selftest: 100 translate maps distinct, first 25 == round-16")
     print("selftest OK")
 
 # smallest power of 10 above each key's sf0.1 max (see module doc)
@@ -120,7 +135,7 @@ O_CUST, O_SUPP, O_PART = 100_000, 1_000, 100_000
 O_ORDER, O_EVENT, O_USER = 1_000_000, 100_000, 10_000
 O_DOC, O_VEC = 10_000, 10_000
 
-VOW, CON = "aeiou", "bcdfg"
+VOW, CON, CON2 = "aeiou", "bcdfg", "hjkl"
 
 
 def rot(s, k):
@@ -130,11 +145,21 @@ def rot(s, k):
 
 def translate_args(i):
     """1:1 char map for replica i: vowels rotate by i%5, the five most
-    common consonants by i//5 — 10 distinct maps, i=0 the identity."""
-    src = VOW + CON + VOW.upper() + CON.upper()
-    dv, dc = rot(VOW, i % 5), rot(CON, i // 5)
-    dst = dv + dc + dv.upper() + dc.upper()
-    return src, dst
+    common consonants by (i//5)%5, and (round 17) a second consonant
+    group by i//25 — 5*5*4 = 100 pairwise-distinct maps, i=0 the
+    identity. The old 2-factor family held only 25 distinct maps, so a
+    100x corpus (R=100) would have made replicas 0/25/50/75 EXACT text
+    clones of each other — precisely the artificially-adversarial
+    near-dup corpus the module doc rejects (every doc gains 3 clones
+    sharing ALL shingles, squaring the candidate space). For i < 25
+    the i//25 rotation is the identity, so every committed artifact
+    (R <= 20) keeps byte-identical document text. R > 100 wraps and
+    needs a further factor first — mirrored by selftest()."""
+    src = VOW + CON + CON2 + (VOW + CON + CON2).upper()
+    dv, dc = rot(VOW, i % 5), rot(CON, (i // 5) % 5)
+    dc2 = rot(CON2, i // 25)
+    d = dv + dc + dc2
+    return src, d + d.upper()
 
 
 def main():
