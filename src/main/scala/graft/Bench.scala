@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 /** Benchmark harness: times every `SparkEntry.queries` entry at the scale
   * factor pointed to by SPARK_GRAFT_SF_DIR (plus a secondary SF when one
@@ -433,21 +433,44 @@ object Bench {
     * the highest-numbered BENCH_r*.json in the working directory
     * (driver wrappers are unwrapped; trimmed artifacts carry ctl_med
     * directly, full ones a control series). Absent or unreadable →
-    * no fields emitted (first round, or bench run outside the repo). */
+    * no fields emitted (first round, or bench run outside the repo).
+    *
+    * Two r17-advice hardenings: (a) only GIT-COMMITTED artifacts are
+    * eligible as the implicit baseline — the current round's
+    * BENCH_r{N}.json is written untracked by the driver mid-round, so
+    * a same-round re-run that scanned the bare directory would use
+    * its own round as the "prior" and report host_slow_vs_prev ≈ 1.0,
+    * masking exactly the uniform degradation the field exists to
+    * flag; (b) candidates are tried in DESCENDING round order until
+    * one parses to a positive median, instead of silently dropping
+    * the baseline when only the newest file is unreadable/truncated. */
   private[graft] def prevCtlMed(): Option[(String, Double)] = {
     val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH")
-      .map(Paths.get(_)).filter(Files.isReadable(_))
-    val candidate = explicit.orElse {
-      import scala.jdk.CollectionConverters._
-      val re = "^BENCH_r(\\d+)\\.json$".r
-      scala.util.Try(Files.list(Paths.get(".")).iterator.asScala
-        .flatMap { p =>
-          re.findFirstMatchIn(p.getFileName.toString)
-            .map(m => (m.group(1).toInt, p))
-        }
-        .toSeq.sortBy(_._1).lastOption.map(_._2)).toOption.flatten
-    }
-    candidate.flatMap { p =>
+      .map(Paths.get(_)).filter(Files.isReadable(_)).toSeq
+    val re = "^BENCH_r(\\d+)\\.json$".r
+    val candidates: Seq[Path] =
+      if (explicit.nonEmpty) explicit
+      else scala.util.Try {
+        val proc = new ProcessBuilder("git", "ls-files", "BENCH_r*.json")
+          .redirectErrorStream(false).start()
+        val names = scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines().toList
+        proc.waitFor()
+        names.flatMap { n =>
+          re.findFirstMatchIn(n).map(m => (m.group(1).toInt, Paths.get(n)))
+        }.sortBy(-_._1).map(_._2).filter(Files.isReadable(_))
+      }.getOrElse {
+        // no git (bench run outside the repo): fall back to the bare
+        // directory scan — still descending-order with parse fallback
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(Files.list(Paths.get(".")).iterator.asScala
+          .flatMap { p =>
+            re.findFirstMatchIn(p.getFileName.toString)
+              .map(m => (m.group(1).toInt, p))
+          }
+          .toSeq.sortBy(-_._1).map(_._2)).getOrElse(Nil)
+      }
+    candidates.iterator.flatMap { p =>
       scala.util.Try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper
         var root = om.readTree(Files.readAllBytes(p))
@@ -464,7 +487,7 @@ object Bench {
           } else root.get("ctl_med").asDouble // trimmed stdout shape
         (p.getFileName.toString, med)
       }.toOption.filter(_._2 > 0.0)
-    }
+    }.nextOption()
   }
 
   private def json(results: Map[String, Double], failed: List[String],
@@ -534,8 +557,16 @@ object Bench {
         // in-data, where the relative gate is structurally blind)
         ",\"ctl_med\":" + fmt(medianOf(control.values.toSeq)) +
         prevBaseline.map { case (src, prev) =>
+          // src can come from SPARK_GRAFT_PREV_BENCH verbatim — escape
+          // it so a quote/backslash in the path can't break the JSON
+          val srcEsc = src.flatMap {
+            case '"'  => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c    => c.toString
+          }
           ",\"ctl_prev_med\":" + fmt(prev) +
-            ",\"ctl_prev_src\":\"" + src + "\"" +
+            ",\"ctl_prev_src\":\"" + srcEsc + "\"" +
             ",\"host_slow_vs_prev\":" + String.format(
               java.util.Locale.ROOT, "%.3f",
               Double.box(medianOf(control.values.toSeq) / prev))

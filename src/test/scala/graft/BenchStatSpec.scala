@@ -79,14 +79,24 @@ class BenchStatSpec extends AnyFunSuite {
     val (src, med) = got.get
     assert(src.matches("BENCH_r\\d+\\.json"), s"unexpected source $src")
     assert(med > 0.0 && med < 60.0, s"implausible control median $med")
-    // highest round wins: every committed artifact BENCH_r{M}.json has
-    // M <= the resolved round
+    // highest GIT-COMMITTED round wins (r18): the current round's
+    // artifact sits untracked in the working tree while the bench
+    // runs, and using it as its own baseline would pin
+    // host_slow_vs_prev at ~1.0 — exactly the masking the field
+    // exists to prevent. So the resolver must match the max over
+    // `git ls-files`, never the bare directory max (which may be one
+    // round ahead mid-round).
     val n = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(src).get.group(1).toInt
-    val all = new java.io.File(".").listFiles.map(_.getName)
+    import scala.sys.process._
+    val committed = Seq("git", "ls-files", "BENCH_r*.json").!!.linesIterator
       .flatMap("^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(_))
-      .map(_.group(1).toInt)
-    assert(all.nonEmpty && all.max == n,
-      s"resolved round $n but artifacts go up to ${all.max}")
+      .map(_.group(1).toInt).toSeq
+    assert(committed.nonEmpty && committed.max == n,
+      s"resolved round $n but committed artifacts go up to ${committed.max}")
+    val dirMax = new java.io.File(".").listFiles.map(_.getName)
+      .flatMap("^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    assert(n <= dirMax, s"resolved $n beyond directory max $dirMax")
   }
 
   test("re-run triggers: steady disagreement OR every steady pass far " +

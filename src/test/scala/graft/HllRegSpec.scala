@@ -27,6 +27,27 @@ class HllRegSpec extends AnyFunSuite {
         s"expected a type error naming the mismatch, got: ${e.getMessage}")
     }
 
+  /** Quantitative gate for the inventory's one contractual no-hash-
+    * oracle row (round 18, verdict item 2): `agg_approx_distinct` is
+    * Spark's HLL++ `approx_count_distinct` at its default relativeSD
+    * of 0.05, so the estimate must sit within 3 sigma = 0.15 relative
+    * error of the exact distinct count. The SAME bound is enforced
+    * differentially against DuckDB's exact count by tools/check.py's
+    * BOUNDED gate at every scaled pass (status `bounded_pass`); this
+    * test pins it at unit scale so a sketch regression fails `sbt
+    * test` without waiting for a scaled artifact. */
+  test("agg_approx_distinct sits inside HLL++'s 3-sigma bound") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val est = graft.engine.ops.Relational.queries("agg_approx_distinct")(s, sf)
+      .collect()(0).getLong(0).toDouble
+    val exact = graft.engine.Tables.lineitem(s, sf)
+      .select("l_partkey").distinct().count().toDouble
+    val rel = math.abs(est - exact) / exact
+    assert(rel <= 0.15,
+      s"approx_count_distinct rel err $rel > 0.15 (est=$est exact=$exact)")
+  }
+
   test("native HLL register extraction matches the md5/conv spelling") {
     val s = spark
     import s.implicits._
