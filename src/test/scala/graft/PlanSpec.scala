@@ -139,4 +139,48 @@ class PlanSpec extends AnyFunSuite {
     val q11 = plan(Relational15.joinTpchQ11(spark, sf))
     assert(q11.contains("partial_sum"), "q11 map-side combine present")
   }
+
+  test("golden exchange counts for the bench top-10: a plan regression " +
+    "fails here, not in next round's drift diff") {
+    // Round 18 (verdict item 6): the 10 most expensive BENCH rows get
+    // their shuffle count pinned — an accidental extra repartition /
+    // lost broadcast in ANY of them silently costs minutes at 100 TB
+    // and was previously only caught by tools/drift.py comparing round
+    // artifacts after the fact. Counts are Exchange nodes in the
+    // pre-AQE executedPlan string at sf0.001 (AQE rewrites happen at
+    // run time; the static count is deterministic per plan shape).
+    // Iterative queries (kcore, pagerank, clusters) checkpoint-cut
+    // their loops, so the count covers the FINAL plan tree — the
+    // per-round loop shuffles are pinned by their own specs. If a
+    // count changes INTENTIONALLY (a better plan), update the golden
+    // with the new number and say why in the commit.
+    val golden = Map(
+      "dedup_containment" -> (2, true),   // shingle df band + pair group; dim broadcast
+      "graph_jaccard" -> (5, true),       // df cap, anti-join of hot parts, pair agg
+      "graph_kcore" -> (2, false),        // final survivor agg (loop is behind the cut)
+      "dedup_near" -> (2, true),          // band explode + self-equi-join on band keys
+      "sim_knn_graph" -> (8, true),       // IVF assign + bucket probe + top-k windows
+      "win_range" -> (1, false),          // ONE hash partition reused by the range frame
+      "mm_decode" -> (2, false),          // repartition before per-row decode + presentation sort
+      "dedup_clusters_star" -> (1, false),// final relabel (contraction rounds behind cuts)
+      "dedup_clusters" -> (1, false),
+      "graph_pagerank" -> (7, true)       // degree/rank joins; dangling-mass 1-row broadcast
+    )
+    // data exchanges: hash/range/single-partition shuffles (broadcast
+    // exchanges asserted separately — they're the CHEAP alternative)
+    val exchangeRe = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    // collect every drifted row before failing: a plan change rarely
+    // touches one query, and the full picture is the diagnosis
+    val drifted = golden.toSeq.sortBy(_._1).flatMap {
+      case (name, (wantEx, wantBcast)) =>
+        val p = plan(SparkEntry.queries(name)(spark, sf))
+        val ex = exchangeRe.findAllIn(p).size
+        val bcast = p.contains("BroadcastExchange")
+        if (ex == wantEx && bcast == wantBcast) None
+        else Some(s"$name: (exchanges=$ex, broadcast=$bcast) != golden " +
+          s"($wantEx, $wantBcast)")
+    }
+    assert(drifted.isEmpty,
+      s"plan shapes drifted from golden:\n  ${drifted.mkString("\n  ")}")
+  }
 }
