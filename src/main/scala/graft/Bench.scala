@@ -70,10 +70,35 @@ object Bench {
     * provide (a session degraded from its first sample shifts its own
     * median and flags nothing; r16 verdict: a uniformly-degraded
     * session must be flagged in-data, not just inferable by diffing
-    * ctl_med across rounds by hand).
+    * ctl_med across rounds by hand);
+    * rev 9 = SETTLE policy for heavy rows (round 18): a row whose
+    * steady passes all take ≥ SettleSecs keeps taking passes until
+    * the last two consecutive passes agree within 20% (capped at
+    * MaxSettlePasses), and publishes min(last two) with spread =
+    * their ratio; the passes discarded by the convergence gate land
+    * in the artifact under "settled" (count per row) and a heavy row
+    * that never converges is listed under "unsettled" and falls back
+    * to the rev-5 statistic with its raw spread. Motivation: the r17
+    * 100× artifact published dedup_clusters from steady passes
+    * [4.6, 33.1, 12.4, 5.8] (spread 7.16×) — at a 64 GiB heap the
+    * first heavy steady passes measure JIT/page-cache state, and
+    * best-of-N on a wild series is a lottery, not a measurement.
+    * Rows under the threshold (every sf0.1 row: the heaviest is
+    * ~2.5 s) keep the rev-5/6/7/8 statistic EXACTLY, and a settled
+    * row's min-of-converged-tail equals the rev-5 lower-median-of-
+    * clean whenever the series was already quiet — rev 8↔9 artifacts
+    * compare directly at sf0.1.
     * Bump the rev on ANY change to what a per-query number means. */
   private val Methodology =
-    """"timing":"materialize","bench_rev":8"""
+    """"timing":"materialize","bench_rev":9"""
+
+  /** Settle-policy knobs (rev 9). SettleSecs sits 2× above the
+    * heaviest sf0.1 steady pass (~2.5 s) so per-round driver
+    * artifacts never engage it; scaled-SF heavies (≥ ~4.6 s at sf5+)
+    * always do. MaxSettlePasses counts ALL passes incl. the warm-up. */
+  private val SettleSecs = 5.0
+  private val MaxSettlePasses = 8
+  private val SettleAgree = 1.2
 
   /** Fixed work for the rev-6 control: 512M-row range → xxhash64 →
     * bit_xor, 32 even partitions. Data-independent (no I/O, no SF),
@@ -192,7 +217,22 @@ object Bench {
       shuffles: Map[String, (Long, Long)], control: Map[String, Double],
       deferred: List[String], hostDegraded: List[String],
       runsPrior: Map[String, Seq[Double]],
-      flaggedUnreran: List[String])
+      flaggedUnreran: List[String],
+      settled: Map[String, Int] = Map.empty,
+      unsettled: List[String] = Nil)
+
+  /** Rev-9 per-row settle classification, derived STRUCTURALLY from
+    * the steady series (so tools/bench_validate.py and drift.py can
+    * recompute it from `runs` without trusting a flag): a row is
+    * settled iff every steady pass is ≥ SettleSecs and its last two
+    * steady passes agree within SettleAgree. Returns the number of
+    * leading steady passes the convergence gate discarded. */
+  private[graft] def settledDiscards(steady: Seq[Double]): Option[Int] =
+    if (steady.size >= 2 && steady.min >= SettleSecs && {
+          val l2 = steady.takeRight(2)
+          l2.max / l2.min <= SettleAgree
+        }) Some(steady.size - 2)
+    else None
 
   /** Rev-7 in-run deferral gate: with ≥ 5 PRIOR control samples this
     * session, a control reading above 2× their median means the host
@@ -240,6 +280,17 @@ object Bench {
       while (extras < 2 && steady.nonEmpty && needsRerun(warm, steady.toSeq)) {
         passes += timeOnce(spark, sfDir, fn)
         extras += 1
+      }
+      // rev 9: settle loop for heavy rows — keep taking passes until
+      // the last two consecutive ones agree within SettleAgree. Runs
+      // AFTER the rev-5 extras so a light row's pass count is
+      // untouched; structural convergence (not a flag) so the
+      // assembly below and tools can re-derive it from `runs` alone.
+      def lastTwo = passes.takeRight(2).collect { case (t, false, _) => t }
+      while (steady.nonEmpty && steady.min >= SettleSecs &&
+             passes.size < MaxSettlePasses &&
+             (lastTwo.size < 2 || lastTwo.max / lastTwo.min > SettleAgree)) {
+        passes += timeOnce(spark, sfDir, fn)
       }
       // shuffle-write metrics of the last executed pass: deterministic
       // per plan+data (unlike wall time), so a round-over-round change
@@ -366,20 +417,41 @@ object Bench {
     }.toList.sorted
     val ok = all.collect {
       case (k, ps, _) if !ps.exists(_._2) =>
-        k -> lowerMedianOfClean(ps.tail.map(_._1))
+        val st = ps.tail.map(_._1)
+        k -> (settledDiscards(st) match {
+          case Some(_) => st.takeRight(2).min // rev 9: converged tail
+          case None    => lowerMedianOfClean(st)
+        })
     }.toMap
     val runs = all.map { case (k, ps, _) => k -> ps.map(_._1) }.toMap
     val spread = all.collect {
       case (k, ps, _) if !ps.exists(_._2) =>
         val st = ps.tail.map(_._1)
-        k -> st.max / st.min
+        k -> (settledDiscards(st) match {
+          case Some(_) => val l2 = st.takeRight(2); l2.max / l2.min
+          case None    => st.max / st.min
+        })
     }.toMap
+    val settled = all.collect {
+      case (k, ps, _) if !ps.exists(_._2) =>
+        settledDiscards(ps.tail.map(_._1)).map(k -> _)
+    }.flatten.toMap
+    // heavy rows that hit MaxSettlePasses without two agreeing passes:
+    // published from the rev-5 statistic with their RAW spread — the
+    // artifact must say so rather than bless a lottery number
+    val unsettled = all.collect {
+      case (k, ps, _) if !ps.exists(_._2) && {
+        val st = ps.tail.map(_._1)
+        st.nonEmpty && st.min >= SettleSecs && settledDiscards(st).isEmpty
+      } => k
+    }.toList.sorted
     val shuffles = all.collect {
       case (k, _, Some(s)) => k -> s
     }.toMap
     BenchResult(ok, failed, runs, spread, shuffles, control.toMap,
       deferredNames.toList.sorted, degradedNames.toList.sorted,
-      runsPrior.toMap, flaggedUnreran.toList.sorted)
+      runsPrior.toMap, flaggedUnreran.toList.sorted,
+      settled, unsettled)
   }
 
   /** Re-run triggers (up to 2 extra steady passes). Two anomaly
@@ -500,7 +572,9 @@ object Bench {
                    hostDegraded: List[String] = Nil,
                    runsPrior: Map[String, Seq[Double]] = Map.empty,
                    flaggedUnreran: List[String] = Nil,
-                   prevBaseline: Option[(String, Double)] = None): String = {
+                   prevBaseline: Option[(String, Double)] = None,
+                   settled: Map[String, Int] = Map.empty,
+                   unsettled: List[String] = Nil): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // comma decimals on e.g. de_DE JVMs — invalid JSON
     def fmt(v: Double) =
@@ -597,8 +671,20 @@ object Bench {
           "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
         }
         .mkString("{", ",", "}")
+    // rev-9 settle provenance: "settled" = heavy rows whose published
+    // number is min of the converged last-two passes, value = count of
+    // steady passes the convergence gate discarded; "unsettled" =
+    // heavy rows that hit the pass cap without two agreeing passes
+    // (published from the rev-5 statistic, raw spread kept)
+    val st =
+      (if (settled.isEmpty) ""
+       else ",\"settled\":" + settled.toSeq.sortBy(_._1)
+         .map { case (k, v) => "\"" + k + "\":" + v }
+         .mkString("{", ",", "}")) +
+      (if (unsettled.isEmpty) ""
+       else ",\"unsettled\":" + names(unsettled))
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$df$rp$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$df$rp$st$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -680,7 +766,8 @@ object Bench {
     controlOnce(spark); controlOnce(spark)
 
     val BenchResult(results, failed, runs, spread, shuffles, control,
-      deferred, degraded, runsPrior, flaggedUnreran) = bench(spark, sfDir)
+      deferred, degraded, runsPrior, flaggedUnreran, settled, unsettled) =
+      bench(spark, sfDir)
     // rev-8 absolute host reference — resolved BEFORE any artifact
     // write so bench_out.json can never be picked up as its own prior
     val prevBaseline = prevCtlMed()
@@ -688,7 +775,8 @@ object Bench {
     // doubles the runtime, and an external timeout mid-secondary must not
     // cost the round its primary perf artifact
     writeArtifact(json(results, failed, sfDir, "", runs, spread, shuffles,
-      control, deferred, degraded, runsPrior, flaggedUnreran, prevBaseline))
+      control, deferred, degraded, runsPrior, flaggedUnreran, prevBaseline,
+      settled, unsettled))
 
     // secondary scale factor: the largest sibling STRICTLY SMALLER than
     // the primary, so round-over-round comparisons can see scaling — and
@@ -708,13 +796,14 @@ object Bench {
         val r2 = bench(spark, dir.toString)
         "," + "\"secondary\":" + json(r2.results, r2.failed, dir.toString,
           "", r2.runs, r2.spread, r2.shuffles, r2.control, r2.deferred,
-          r2.hostDegraded, r2.runsPrior, r2.flaggedUnreran, prevBaseline)
+          r2.hostDegraded, r2.runsPrior, r2.flaggedUnreran, prevBaseline,
+          r2.settled, r2.unsettled)
       case None => ""
     }
 
     writeArtifact(json(results, failed, sfDir, extra, runs, spread, shuffles,
       control, deferred, degraded, runsPrior, flaggedUnreran,
-      prevBaseline)) // file: primary + secondary
+      prevBaseline, settled, unsettled)) // file: primary + secondary
     // stdout gets a BUDGETED line: the driver captures a bounded tail of
     // stdout, and even the primary-only line overflowed it in r03 once the
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the

@@ -99,6 +99,29 @@ class BenchStatSpec extends AnyFunSuite {
     assert(n <= dirMax, s"resolved $n beyond directory max $dirMax")
   }
 
+  test("rev-9 settle classification: heavy rows converge on the last two " +
+    "passes; light rows and never-converging series stay rev-5") {
+    // the r17 sf10 dedup_clusters shape: steady [4.62, 33.09, 12.44,
+    // 5.76] never has two consecutive agreeing passes AND its min is
+    // under the 5s threshold -> rev-5 (and thus not settle-eligible)
+    assert(Bench.settledDiscards(Seq(4.62, 33.09, 12.44, 5.76)).isEmpty)
+    // same shape lifted above the threshold, one more pass converging:
+    // last two [5.76, 5.5] agree within 1.2x -> settled, 3 discarded
+    assert(Bench.settledDiscards(Seq(11.0, 33.0, 12.4, 5.76, 5.5))
+      .contains(3))
+    // heavy and immediately quiet -> settled with 0 discards; the
+    // published min(last two) equals the rev-5 lower-median-of-clean,
+    // so rev 8<->9 artifacts compare directly on quiet series
+    assert(Bench.settledDiscards(Seq(6.0, 6.5)).contains(0))
+    assert(Bench.lowerMedianOfClean(Seq(6.0, 6.5)) == 6.0)
+    // light rows NEVER engage settle regardless of convergence
+    assert(Bench.settledDiscards(Seq(2.0, 2.1)).isEmpty)
+    // heavy but the last two disagree by >1.2x -> unsettled (rev-5)
+    assert(Bench.settledDiscards(Seq(10.0, 20.0)).isEmpty)
+    // single steady pass: no pair to converge on
+    assert(Bench.settledDiscards(Seq(9.0)).isEmpty)
+  }
+
   test("re-run triggers: steady disagreement OR every steady pass far " +
     "above the warm-up") {
     // original rev-5 trigger: intra-steady spread

@@ -1,6 +1,10 @@
 #!/usr/bin/env python3
-"""Spec-style validation of a rev-7/8 bench artifact (round-16 verdict
-item 1; round-17 rev-8 fields). Asserts the invariants the in-run
+"""Spec-style validation of a rev-7/8/9 bench artifact (round-16
+verdict item 1; round-17 rev-8 fields; round-18 rev-9 settle policy:
+heavy rows — every steady pass >= 5s — publish min of the converged
+last-two passes, with the settled/unsettled provenance recomputed
+structurally from runs and cross-checked). Asserts the invariants the
+in-run
 control gate is supposed to enforce, so a violated artifact fails
 loudly instead of being misread:
 
@@ -155,14 +159,52 @@ def validate(d, label):
     if abs(total - d.get("value", total)) > 5e-5 * max(1, len(q)) + 1e-6:
         errs.append(f"shape: value {d.get('value')} != sum(queries) "
                     f"{total:.4f}")
+    # Per-query statistic. Rev 9 adds the SETTLE policy for heavy rows
+    # (every steady pass >= SETTLE_SECS): such a row keeps taking
+    # passes until the last two agree within SETTLE_AGREE and then
+    # publishes min(last two); the classification is STRUCTURAL (fully
+    # recomputable from runs), so the artifact's settled/unsettled
+    # lists must match what the runs themselves say — a flag that
+    # disagrees with the data is a violation, not a preference.
+    settled = d.get("settled") or {}
+    unsettled = set(d.get("unsettled") or [])
+    SETTLE_SECS, SETTLE_AGREE = 5.0, 1.2
+    for name in set(settled) & unsettled:
+        errs.append(f"rev9: {name} both settled and unsettled")
     for name, t in q.items():
         rs = runs.get(name)
-        if rs and len(rs) >= 2:
-            want = lower_median_of_clean(rs[1:])
-            if abs(t - want) > 1e-6:
-                errs.append(
-                    f"statistic: {name} published {t} but "
-                    f"lower-median-of-clean(runs[1:]) = {want}")
+        if not rs or len(rs) < 2:
+            continue
+        st = rs[1:]
+        l2 = st[-2:]
+        heavy = min(st) >= SETTLE_SECS
+        converged = len(l2) == 2 and max(l2) / min(l2) <= SETTLE_AGREE + 1e-9
+        if rev >= 9 and heavy and converged:
+            if name not in settled:
+                errs.append(f"rev9: {name} runs are settled-shaped "
+                            f"(heavy, last two within {SETTLE_AGREE}x) "
+                            f"but missing from the settled map")
+            elif settled[name] != len(st) - 2:
+                errs.append(f"rev9: {name} settled discard count "
+                            f"{settled[name]} != {len(st) - 2} from runs")
+            want = min(l2)
+            if name in spread and abs(spread[name] - max(l2) / min(l2)) > 6e-3:
+                errs.append(f"rev9: {name} spread {spread[name]} != "
+                            f"converged-tail ratio {max(l2) / min(l2):.2f}")
+        elif rev >= 9 and heavy:
+            if name not in unsettled:
+                errs.append(f"rev9: {name} is heavy and never converged "
+                            f"but missing from the unsettled list")
+            want = lower_median_of_clean(st)
+        else:
+            if rev >= 9 and (name in settled or name in unsettled):
+                errs.append(f"rev9: {name} listed settled/unsettled but "
+                            f"its runs are not heavy-shaped")
+            want = lower_median_of_clean(st)
+        if abs(t - want) > 1e-6:
+            errs.append(
+                f"statistic: {name} published {t} but the rev-"
+                f"{max(rev, 5)} statistic recomputes to {want}")
 
     # 3. deferral provenance. Rev 8 splits "flagged without a late
     # re-run" out of deferred (the rev-7 overload broke drift.py's

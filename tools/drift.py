@@ -33,8 +33,15 @@ def headline(d):
     (the lower median of 2 clean passes is their min; a dirty pass
     leaves a 1-element clean set, also the min), so one statistic
     covers every rev>=3 artifact without a cross-rev seam.
+
+    Rev-9 artifacts publish SETTLED heavy rows (every steady pass
+    >= 5s, last two within 1.2x) as min(last two); mirror that here so
+    the drift table and the headline stay one statistic on rev>=9
+    artifacts too. The classification is recomputed from runs, same as
+    tools/bench_validate.py enforces.
     """
     runs = d.get("runs", {})
+    rev = d.get("bench_rev", 0)
     out = {}
     for q, t in d["queries"].items():
         rs = runs.get(q)
@@ -42,8 +49,13 @@ def headline(d):
             out[q] = t
         else:
             steady = rs[1:]
-            clean = sorted(r for r in steady if r <= min(steady) * 1.5)
-            out[q] = clean[(len(clean) - 1) // 2]
+            l2 = steady[-2:]
+            if (rev >= 9 and min(steady) >= 5.0 and len(l2) == 2
+                    and max(l2) / min(l2) <= 1.2 + 1e-9):
+                out[q] = min(l2)
+            else:
+                clean = sorted(r for r in steady if r <= min(steady) * 1.5)
+                out[q] = clean[(len(clean) - 1) // 2]
     return out
 
 
