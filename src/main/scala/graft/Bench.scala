@@ -87,16 +87,44 @@ object Bench {
     * ~2.5 s) keep the rev-5/6/7/8 statistic EXACTLY, and a settled
     * row's min-of-converged-tail equals the rev-5 lower-median-of-
     * clean whenever the series was already quiet — rev 8↔9 artifacts
-    * compare directly at sf0.1.
+    * compare directly at sf0.1;
+    * rev 10 (round 19): (a) SettleSecs drops 5.0 → 4.0 — the r17
+    * dedup_clusters series that MOTIVATED the settle policy had a
+    * 4.62 s steady pass, so the policy's own poster child was
+    * ineligible under 5.0 and silently reverted to the rev-5 lottery
+    * statistic with no settled/unsettled provenance (r18 advice); the
+    * heaviest sf0.1 steady pass is ~2.5 s, so driver artifacts still
+    * never engage it and rev 9↔10 compare directly at sf0.1 (only
+    * rows with a steady floor in [4, 5) s can classify differently);
+    * (b) per-row JVM ISOLATION (SPARK_GRAFT_BENCH_ISOLATE, see
+    * [[isolate]]): named heavy rows run in a forked fresh JVM each —
+    * the r18 100× artifact left dedup_clusters `unsettled` after 8
+    * in-sweep passes (7.7–72.3 s) while an isolated fresh JVM
+    * measures it quiet at ~4.2 s; bench-JVM neighborhood state
+    * (mm_decode's 278 s warm-up precedes it in the sweep) was the
+    * wildness, not the plan. Isolated rows carry
+    * `"isolation":{row:"jvm"}` provenance; the per-row statistic and
+    * settle policy are IDENTICAL inside the child (same runQuery
+    * path), so isolation changes measurement CONDITIONS (fresh JVM),
+    * never the statistic. The driver never sets the env, so round
+    * artifacts are unaffected;
+    * (c) a sparse SECOND control family ("control2"/"ctl2_med"): a
+    * fixed-work SHUFFLE probe (~1 s quiet) sampled at every 25th
+    * inventory slot — the r18 local sweep ran ~9% slow while the
+    * 0.13 s scan-probe control said the host was FAST; a probe that
+    * exercises the shuffle write/read path + page cache sees the
+    * state the scan probe is blind to. Provenance only (never gates).
     * Bump the rev on ANY change to what a per-query number means. */
   private val Methodology =
-    """"timing":"materialize","bench_rev":9"""
+    """"timing":"materialize","bench_rev":10"""
 
-  /** Settle-policy knobs (rev 9). SettleSecs sits 2× above the
-    * heaviest sf0.1 steady pass (~2.5 s) so per-round driver
-    * artifacts never engage it; scaled-SF heavies (≥ ~4.6 s at sf5+)
-    * always do. MaxSettlePasses counts ALL passes incl. the warm-up. */
-  private val SettleSecs = 5.0
+  /** Settle-policy knobs (rev 9; threshold rev 10). SettleSecs sits
+    * well above the heaviest sf0.1 steady pass (~2.5 s) so per-round
+    * driver artifacts never engage it, and BELOW the known heavy-row
+    * steady floor (r17 dedup_clusters 4.62 s, isolated ~4.2 s) so the
+    * scaled-SF heavies the policy exists for always do.
+    * MaxSettlePasses counts ALL passes incl. the warm-up. */
+  private val SettleSecs = 4.0
   private val MaxSettlePasses = 8
   private val SettleAgree = 1.2
 
@@ -112,6 +140,29 @@ object Bench {
     val t0 = System.nanoTime()
     spark.range(0L, ControlRows, 1L, 32)
       .selectExpr("bit_xor(xxhash64(id)) AS x")
+      .queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed work for the rev-10 SECOND control family: 16M-row range →
+    * 2¹⁸-key hash aggregate, 32 partitions — one real shuffle
+    * (map-side partials written, read back, final-aggregated), ~1 s
+    * on a quiet dev host. Data-independent like the scan probe, but
+    * it exercises the shuffle write/read path, disk buffers and page
+    * cache — the host state the in-memory scan probe proved blind to
+    * in r18 (local sweep ~9% slow, scan control said 0.94× FAST).
+    * Sampled sparsely (every [[Control2Every]]th inventory slot), so
+    * a full 248-query sweep pays ~10 s total. Pure provenance: it
+    * never gates or defers anything. */
+  private val Control2Rows = 16000000L
+  private val Control2Every = 25
+
+  private def control2Once(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, Control2Rows, 1L, 32)
+      .selectExpr("xxhash64(id) % 262144 AS k", "id AS v")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(v)").as("x"))
       .queryExecution.toRdd.count()
     (System.nanoTime() - t0) / 1e9
   }
@@ -206,6 +257,26 @@ object Bench {
   private val only: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
 
+  /** Rev-10 per-row JVM isolation (env SPARK_GRAFT_BENCH_ISOLATE,
+    * comma-separated query names): each named row is EXCLUDED from the
+    * in-process sweep and timed in a freshly forked child JVM instead
+    * (same classpath, same JVM flags, same runQuery statistic; the
+    * child writes its artifact to a temp path the parent merges). For
+    * scaled-SF heavy rows only — a 64 GiB bench JVM carries
+    * page-cache/JIT/code-cache state between heavy rows that made
+    * r18's dedup_clusters spread 9.42× in-sweep vs 4.2 s steady
+    * isolated. The driver never sets the env, so per-round sf0.1
+    * artifacts never fork. */
+  private val isolate: Set[String] =
+    sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
+      .map(_.split(',').toSet).getOrElse(Set.empty)
+
+  /** Child-mode marker (set BY the parent when forking): the value is
+    * the artifact path to write; child mode skips the secondary-SF
+    * pass, the prev-round baseline and the budgeted stdout line. */
+  private val childArtifact: Option[String] =
+    sys.env.get("SPARK_GRAFT_BENCH_ARTIFACT")
+
   /** Everything one bench sweep produces (rev 7 adds the two deferral
     * provenance lists; runsPrior keeps the ORIGINAL pass set of any
     * row the final audit wave re-ran, so triage can still see the
@@ -219,7 +290,8 @@ object Bench {
       runsPrior: Map[String, Seq[Double]],
       flaggedUnreran: List[String],
       settled: Map[String, Int] = Map.empty,
-      unsettled: List[String] = Nil)
+      unsettled: List[String] = Nil,
+      control2: Map[String, Double] = Map.empty)
 
   /** Rev-9 per-row settle classification, derived STRUCTURALLY from
     * the steady series (so tools/bench_validate.py and drift.py can
@@ -309,7 +381,16 @@ object Bench {
 
     val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val firstPass = inventory.flatMap { case (name, fn) =>
+      // rev 10: isolated rows are timed in forked child JVMs (see
+      // [[isolate]]); the in-process sweep never touches them
+      .filterNot { case (name, _) => isolate.contains(name) }
+    // rev-10 sparse second control family: one shuffle probe per
+    // Control2Every inventory slots, keyed by the slot's query name
+    // for time-window alignment (provenance only — the sample stays
+    // keyed to the slot even if that query is later deferred)
+    val control2 = scala.collection.mutable.Map.empty[String, Double]
+    val firstPass = inventory.zipWithIndex.flatMap { case ((name, fn), idx) =>
+      if (idx % Control2Every == 0) control2(name) = control2Once(spark)
       val ctl = controlOnce(spark)
       val degradedNow = shouldDefer(ctl, ctlSamples.toSeq)
       ctlSamples += ctl
@@ -451,7 +532,7 @@ object Bench {
     BenchResult(ok, failed, runs, spread, shuffles, control.toMap,
       deferredNames.toList.sorted, degradedNames.toList.sorted,
       runsPrior.toMap, flaggedUnreran.toList.sorted,
-      settled, unsettled)
+      settled, unsettled, control2.toMap)
   }
 
   /** Re-run triggers (up to 2 extra steady passes). Two anomaly
@@ -527,7 +608,11 @@ object Bench {
           .redirectErrorStream(false).start()
         val names = scala.io.Source.fromInputStream(proc.getInputStream)
           .getLines().toList
-        proc.waitFor()
+        // non-zero exit (cwd not a repo, etc.) produces EMPTY stdout
+        // without throwing — require success so that case falls to the
+        // bare-directory-scan fallback below instead of silently
+        // yielding Nil and dropping the baseline (r18 advice)
+        require(proc.waitFor() == 0, "git ls-files failed")
         names.flatMap { n =>
           re.findFirstMatchIn(n).map(m => (m.group(1).toInt, Paths.get(n)))
         }.sortBy(-_._1).map(_._2).filter(Files.isReadable(_))
@@ -574,7 +659,9 @@ object Bench {
                    flaggedUnreran: List[String] = Nil,
                    prevBaseline: Option[(String, Double)] = None,
                    settled: Map[String, Int] = Map.empty,
-                   unsettled: List[String] = Nil): String = {
+                   unsettled: List[String] = Nil,
+                   control2: Map[String, Double] = Map.empty,
+                   isolation: Map[String, String] = Map.empty): String = {
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // comma decimals on e.g. de_DE JVMs — invalid JSON
     def fmt(v: Double) =
@@ -683,8 +770,23 @@ object Bench {
          .mkString("{", ",", "}")) +
       (if (unsettled.isEmpty) ""
        else ",\"unsettled\":" + names(unsettled))
+    // rev-10 sparse shuffle-probe series + its median (see
+    // control2Once) — second-family host provenance, never a gate
+    val c2 =
+      if (control2.isEmpty) ""
+      else ",\"control2\":" + control2.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}") +
+        ",\"ctl2_med\":" + fmt(medianOf(control2.values.toSeq))
+    // rev-10 isolation provenance: rows timed in a forked fresh JVM
+    // (value = isolation kind, currently always "jvm")
+    val iso =
+      if (isolation.isEmpty) ""
+      else ",\"isolation\":" + isolation.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$df$rp$st$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$c2$iso$df$rp$st$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -696,7 +798,9 @@ object Bench {
                          deferred: List[String] = Nil,
                          hostDegraded: List[String] = Nil,
                          budget: Int = 1400,
-                         prevBaseline: Option[(String, Double)] = None): String = {
+                         prevBaseline: Option[(String, Double)] = None,
+                         control2: Map[String, Double] = Map.empty,
+                         isolation: Map[String, String] = Map.empty): String = {
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -727,7 +831,14 @@ object Bench {
     val dd =
       if (deferred.isEmpty && hostDegraded.isEmpty) ""
       else s""","n_deferred":${deferred.size},"n_host_degraded":${hostDegraded.size}"""
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$Methodology$cs$dd,"sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
+    // rev-10 summaries: second-family control median + isolated-row
+    // count (names and the full sparse series are in the artifact)
+    val c2 =
+      if (control2.isEmpty) ""
+      else s""","ctl2_med":${fmt(medianOf(control2.values.toSeq))}"""
+    val iso =
+      if (isolation.isEmpty) "" else s""","n_isolated":${isolation.size}"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$Methodology$cs$c2$iso$dd,"sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
     val tailFixed = "},\"elided\":NNN}".length
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     var used = head.length + tailFixed
@@ -744,6 +855,95 @@ object Bench {
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
+  /** Fork one isolated row into a fresh child JVM (rev 10): same java
+    * binary, same JVM flags (add-opens, heap, code cache — copied from
+    * this JVM's own input arguments), same classpath, running
+    * `graft.Bench` in child mode over exactly this row. The child's
+    * artifact (a normal 1-row rev-10 artifact) is parsed back and its
+    * row merged verbatim — the per-row statistic is computed BY the
+    * child's own runQuery path, the parent only relays it. Returns the
+    * parsed child artifact root, or None when the child exited
+    * non-zero / wrote nothing parseable (the row is then published as
+    * failed — never silently dropped). Child stdout+stderr land in
+    * target/bench_iso_<row>.log for triage. */
+  private def runIsolated(name: String, sfDir: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempFile(s"bench_iso_$name", ".json")
+    Files.createDirectories(Paths.get("target"))
+    val log = Paths.get("target", s"bench_iso_$name.log").toFile
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cmd = (javaBin :: jvmArgs) :::
+      List("-cp", sys.props("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_SF_DIR", sfDir)
+    env.put("SPARK_GRAFT_BENCH_ONLY", name)
+    env.put("SPARK_GRAFT_BENCH_ARTIFACT", tmp.toString)
+    env.remove("SPARK_GRAFT_BENCH_ISOLATE") // no recursion, ever
+    env.remove("SPARK_GRAFT_PREV_BENCH")
+    val code = pb.start().waitFor()
+    val parsed = scala.util.Try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper
+      om.readTree(Files.readAllBytes(tmp))
+    }.toOption.filter(_.has("queries"))
+    if (code != 0 || parsed.isEmpty)
+      System.err.println(s"[bench] isolated $name: child exit $code, " +
+        s"artifact ${if (parsed.isEmpty) "unparseable" else "ok"} — see $log")
+    if (code == 0) parsed else None
+  }
+
+  /** Merge one child artifact's single row into the in-process sweep's
+    * result. Every per-row field the child published rides over; a
+    * child that died or failed its row lands in `failed`. */
+  private def mergeIsolated(base: BenchResult, name: String,
+      child: Option[com.fasterxml.jackson.databind.JsonNode]): BenchResult = {
+    import scala.jdk.CollectionConverters._
+    child match {
+      case None => base.copy(failed = (name :: base.failed).sorted)
+      case Some(c) =>
+        def dbl(section: String): Option[Double] = {
+          val n = c.path(section).path(name)
+          if (n.isMissingNode || !n.isNumber) None else Some(n.asDouble)
+        }
+        def lng(section: String): Option[Long] = {
+          val n = c.path(section).path(name)
+          if (n.isMissingNode || !n.isNumber) None else Some(n.asLong)
+        }
+        val failedHere = c.path("failed").elements.asScala
+          .exists(_.asText == name)
+        if (failedHere) base.copy(failed = (name :: base.failed).sorted)
+        else {
+          val runsHere = {
+            val n = c.path("runs").path(name)
+            if (n.isArray) n.elements.asScala.map(_.asDouble).toSeq
+            else Seq.empty
+          }
+          val unsettledHere = c.path("unsettled").elements.asScala
+            .exists(_.asText == name)
+          base.copy(
+            results = base.results ++ dbl("queries").map(name -> _),
+            runs = base.runs ++
+              (if (runsHere.nonEmpty) Map(name -> runsHere) else Map.empty),
+            spread = base.spread ++ dbl("spread").map(name -> _),
+            shuffles = base.shuffles ++ (for {
+              r <- lng("shuffle_records"); b <- lng("shuffle_bytes")
+            } yield name -> (r, b)),
+            control = base.control ++ dbl("control").map(name -> _),
+            control2 = base.control2 ++ dbl("control2").map(name -> _),
+            settled = base.settled ++
+              lng("settled").map(v => name -> v.toInt),
+            unsettled =
+              if (unsettledHere) (name :: base.unsettled).sorted
+              else base.unsettled)
+        }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -765,18 +965,47 @@ object Bench {
     // every per-query run after must measure only host speed
     controlOnce(spark); controlOnce(spark)
 
+    val inProc = bench(spark, sfDir)
+    // rev 10: fork each isolated row into a fresh JVM and merge its
+    // child artifact. Parent mode only — a child never isolates (its
+    // env carries no ISOLATE), and rows are forked in sorted order,
+    // sequentially (two concurrent local[32] JVMs would contend).
+    val isoRows =
+      if (childArtifact.isDefined) Nil
+      else isolate.toList.sorted
+        .filter(SparkEntry.queries.contains)
+        .filter(n => only.forall(_.contains(n)))
+    val merged = isoRows.foldLeft(inProc) { (acc, name) =>
+      mergeIsolated(acc, name, runIsolated(name, sfDir))
+    }
+    val isolation = isoRows.map(_ -> "jvm").toMap
     val BenchResult(results, failed, runs, spread, shuffles, control,
-      deferred, degraded, runsPrior, flaggedUnreran, settled, unsettled) =
-      bench(spark, sfDir)
+      deferred, degraded, runsPrior, flaggedUnreran, settled, unsettled,
+      control2) = merged
     // rev-8 absolute host reference — resolved BEFORE any artifact
     // write so bench_out.json can never be picked up as its own prior
-    val prevBaseline = prevCtlMed()
+    // (child mode skips it: the parent publishes the baseline once)
+    val prevBaseline = if (childArtifact.isDefined) None else prevCtlMed()
     // persist the primary result IMMEDIATELY: the optional secondary pass
     // doubles the runtime, and an external timeout mid-secondary must not
     // cost the round its primary perf artifact
-    writeArtifact(json(results, failed, sfDir, "", runs, spread, shuffles,
+    val primary = json(results, failed, sfDir, "", runs, spread, shuffles,
       control, deferred, degraded, runsPrior, flaggedUnreran, prevBaseline,
-      settled, unsettled))
+      settled, unsettled, control2, isolation)
+    childArtifact match {
+      case Some(path) =>
+        // child mode: one artifact at the parent-given path, no
+        // secondary pass, no stdout line — the parent merges the row
+        Files.write(Paths.get(path),
+          (primary + "\n").getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+          org.apache.logging.log4j.Level.OFF)
+        spark.stop()
+        return
+      case None => ()
+    }
+    writeArtifact(primary)
 
     // secondary scale factor: the largest sibling STRICTLY SMALLER than
     // the primary, so round-over-round comparisons can see scaling — and
@@ -793,17 +1022,22 @@ object Bench {
       .lastOption
     val extra = secondary match {
       case Some(dir) =>
+        // the secondary sweep is in-process only: bench() filters
+        // isolated rows, so a subset artifact with ISOLATE set simply
+        // omits them at the secondary SF (isolation is a scaled-SF
+        // heavy-row tool; the driver never sets it)
         val r2 = bench(spark, dir.toString)
         "," + "\"secondary\":" + json(r2.results, r2.failed, dir.toString,
           "", r2.runs, r2.spread, r2.shuffles, r2.control, r2.deferred,
           r2.hostDegraded, r2.runsPrior, r2.flaggedUnreran, prevBaseline,
-          r2.settled, r2.unsettled)
+          r2.settled, r2.unsettled, r2.control2)
       case None => ""
     }
 
     writeArtifact(json(results, failed, sfDir, extra, runs, spread, shuffles,
       control, deferred, degraded, runsPrior, flaggedUnreran,
-      prevBaseline, settled, unsettled)) // file: primary + secondary
+      prevBaseline, settled, unsettled, control2,
+      isolation)) // file: primary + secondary
     // stdout gets a BUDGETED line: the driver captures a bounded tail of
     // stdout, and even the primary-only line overflowed it in r03 once the
     // inventory hit 111 queries (front-truncated → parsed:null). Emit the
@@ -823,7 +1057,8 @@ object Bench {
       org.apache.logging.log4j.Level.OFF)
     spark.stop()
     println(stdoutJson(results, failed, sfDir, control, deferred, degraded,
-      prevBaseline = prevBaseline))
+      prevBaseline = prevBaseline, control2 = control2,
+      isolation = isolation))
     System.out.flush()
   }
 }

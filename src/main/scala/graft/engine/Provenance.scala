@@ -14,10 +14,31 @@ package graft.engine
 object Provenance {
   private val facts =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+  private val lazyFacts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), () => Long]()
 
   def record(query: String, fact: String, value: Long): Unit =
     facts.put((query, fact), value)
 
+  /** Deferred fact: the thunk runs when a reader first asks (then the
+    * value is memoized via [[record]]). For facts whose measurement is
+    * itself a (bounded) Spark job — e.g. mm_phash_dup's hot-band count
+    * is a domain-bounded aggregate over the corpus: recording it
+    * eagerly made merely CONSTRUCTING the query run a job (round-19
+    * fix; plan-only consumers like explain() paid a corpus scan). The
+    * job now runs only for consumers that actually read the fact
+    * (specs/audits), never for plan inspection. */
+  def recordLazy(query: String, fact: String, value: () => Long): Unit = {
+    facts.remove((query, fact)) // a later build supersedes an old value
+    lazyFacts.put((query, fact), value)
+  }
+
   def get(query: String, fact: String): Option[Long] =
-    Option(facts.get((query, fact)))
+    Option(facts.get((query, fact))).orElse {
+      Option(lazyFacts.remove((query, fact))).map { thunk =>
+        val v = thunk()
+        facts.put((query, fact), v)
+        v
+      }
+    }
 }

@@ -329,37 +329,37 @@ object Multimodal {
     * frame — factored from [[mmPhashDup]] so the all-pairs
     * differential spec (PhashDupDifferentialSpec) can drive it with
     * synthetic phashes where the cap provably fires. The hot-band set
-    * materializes at build time: its group domain is ≤ 4 × 2¹⁶
-    * (band, bv) pairs — the same bound that justified broadcasting it
-    * — so the collect is domain-bounded at any corpus size, the plan
-    * joins against a LocalRelation instead of recomputing the
-    * aggregate, and the dropped-band count lands in [[Provenance]]
-    * (round-16 advice: a recall-affecting cap must surface how often
-    * it fired). Two documented consequences of the build-time
-    * materialization (round-17 note, closing the r16 ADVICE low):
-    * (a) the hot-band aggregation runs as its own job OUTSIDE the
-    * timed final plan, so mm_phash_dup's recorded shuffle_records/
-    * shuffle_bytes dropped discontinuously at the r15→r16 artifact
-    * boundary — shuffle-drift comparisons across that boundary must
-    * exempt this row (r16+ artifacts compare directly); (b) building
-    * the query without running it (plan-only inspection, explain)
-    * triggers the aggregation scan — acceptable here because every
-    * consumer in this repo (Verify, Bench, specs) materializes the
-    * query it builds, and the collect stays domain-bounded. */
+    * stays IN the plan (round-19, closing the r17/r18 residual): the
+    * anti-join's build side is the band-count aggregate itself under
+    * a broadcast hint — its group domain is ≤ 4 × 2¹⁶ (band, bv)
+    * pairs, the same bound that justified broadcasting the previous
+    * collected LocalRelation — so constructing the query runs NO job
+    * (plan-only consumers like explain() previously paid a corpus
+    * scan at build; MetricsSpec now pins job-free construction). The
+    * aggregate's input is the checkpoint-cut fingerprint frame, so
+    * evaluating it inside the plan re-scans cached checkpoint blocks,
+    * never the decode. The dropped-band count still lands in
+    * [[Provenance]] (round-16 advice: a recall-affecting cap must
+    * surface how often it fired) — recorded LAZILY, so only a reader
+    * of the fact pays the bounded aggregate job. One artifact
+    * consequence, mirroring the r15→r16 note in reverse: the hot-band
+    * aggregation is back inside the timed final plan, so
+    * mm_phash_dup's recorded shuffle_records/shuffle_bytes step up
+    * discontinuously at the r18→r19 boundary (the aggregate's partial
+    * rows count again); r19+ artifacts compare directly, and the
+    * r15→r16 exemption is obsolete. */
   private[graft] def phashDupPairs(s: SparkSession, ph: DataFrame,
       tag: String): DataFrame = {
-    import s.implicits._
     val bands = ph.select(col("media_id"), col("phash_lo"), col("phash_hi"),
       posexplode(array(
         expr("phash_lo % 65536L"), expr("(phash_lo DIV 65536L) % 65536L"),
         expr("phash_hi % 65536L"), expr("(phash_hi DIV 65536L) % 65536L")))
         .as(Seq("band", "bv")))
-    val hotRows = bands.groupBy(col("band"), col("bv")).count()
+    val hot = bands.groupBy(col("band"), col("bv")).count()
       .filter(col("count") > PhashMaxBand)
-      .select(col("band"), col("bv")).as[(Int, Long)].collect()
-    graft.engine.Provenance.record(tag, "dropped_hot_bands",
-      hotRows.length.toLong)
-    val hot = hotRows.toSeq.toDF("band", "bv")
+      .select(col("band"), col("bv"))
+    graft.engine.Provenance.recordLazy(tag, "dropped_hot_bands",
+      () => hot.count())
     val kept = bands.join(
       org.apache.spark.sql.functions.broadcast(hot),
       Seq("band", "bv"), "left_anti")

@@ -102,9 +102,22 @@ class BenchStatSpec extends AnyFunSuite {
   test("rev-9 settle classification: heavy rows converge on the last two " +
     "passes; light rows and never-converging series stay rev-5") {
     // the r17 sf10 dedup_clusters shape: steady [4.62, 33.09, 12.44,
-    // 5.76] never has two consecutive agreeing passes AND its min is
-    // under the 5s threshold -> rev-5 (and thus not settle-eligible)
+    // 5.76] never has two consecutive agreeing passes -> not settled.
+    // Under rev 10's 4.0s threshold (r18 advice) the series IS
+    // settle-ELIGIBLE (min 4.62 >= 4.0, so the sweep keeps taking
+    // passes and, failing convergence, flags it `unsettled`) — under
+    // rev 9's 5.0 it wasn't, and the policy's own motivating series
+    // silently reverted to the rev-5 lottery with no provenance
     assert(Bench.settledDiscards(Seq(4.62, 33.09, 12.44, 5.76)).isEmpty)
+    // same wild series, one converging pass appended -> settled now
+    // that its 4.62s floor clears the rev-10 threshold
+    assert(Bench.settledDiscards(Seq(4.62, 33.09, 12.44, 5.76, 5.2))
+      .contains(3))
+    // floor in [4.0, 5.0): heavy under rev 10 (was light under rev 9)
+    assert(Bench.settledDiscards(Seq(4.2, 4.3)).contains(0))
+    // floor under 4.0: still light — sf0.1 rows (heaviest ~2.5s)
+    // never engage the settle machinery, rev 9<->10 compare directly
+    assert(Bench.settledDiscards(Seq(3.9, 3.9)).isEmpty)
     // same shape lifted above the threshold, one more pass converging:
     // last two [5.76, 5.5] agree within 1.2x -> settled, 3 discarded
     assert(Bench.settledDiscards(Seq(11.0, 33.0, 12.4, 5.76, 5.5))

@@ -103,6 +103,54 @@ class CodegenParitySpec extends AnyFunSuite {
         s"execution: ${diffs.mkString(", ")}")
   }
 
+  test("graft_dot / graft_l2 ragged-input contract: fold to min length, " +
+    "identically in both execution paths") {
+    // Round-19 (verdict residual): VectorOps.dot/l2 fold ragged arrays
+    // to the SHORTER length, where the declarative twin
+    // aggregate(zip_with(...)) nulls out (zip_with pads with null).
+    // Every engine call site is fixed-dimension so the divergence is
+    // latent — this pins the documented contract so a future ragged
+    // caller hits a failing test, not a silent wrong number, and
+    // proves the two execution paths agree on it.
+    import spark.implicits._
+    def run(): (Double, Double, Boolean, Boolean) = {
+      val r = spark.sql(
+        """SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(10.0D, 20.0D)) AS d,
+          |       graft_l2(array(1.0D, 2.0D, 3.0D), array(10.0D, 20.0D)) AS l,
+          |       aggregate(zip_with(array(1.0D, 2.0D, 3.0D),
+          |                          array(10.0D, 20.0D), (x, y) -> x * y),
+          |                 0.0D, (a, b) -> a + b) AS decl_d
+          |FROM range(1)""".stripMargin).collect().head
+      (r.getDouble(0), r.getDouble(1), r.isNullAt(2),
+        // same-length sanity alongside: contract only bends on ragged
+        spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(10.0D, 20.0D))" +
+          " AS d FROM range(1)").collect().head.getDouble(0) == 50.0)
+    }
+    val (cg, interp) = SparkTest.confLock.synchronized {
+      val a = run()
+      val saved = (spark.conf.get(WholeStageKey), spark.conf.get(FactoryKey))
+      spark.conf.set(WholeStageKey, "false")
+      spark.conf.set(FactoryKey, "NO_CODEGEN")
+      val b =
+        try run()
+        finally {
+          spark.conf.set(WholeStageKey, saved._1)
+          spark.conf.set(FactoryKey, saved._2)
+        }
+      (a, b)
+    }
+    for ((tag, r) <- Seq("codegen" -> cg, "interpreted" -> interp)) {
+      assert(r._1 == 50.0, s"$tag: ragged graft_dot must fold to min " +
+        s"length (1*10 + 2*20 = 50), got ${r._1}")
+      assert(r._2 == 405.0, s"$tag: ragged graft_l2 must fold to min " +
+        s"length ((1-10)^2 + (2-20)^2 = 405), got ${r._2}")
+      assert(r._3, s"$tag: the declarative zip_with form must null out " +
+        "on ragged inputs — if this changes, the documented divergence " +
+        "in VectorOps is stale")
+      assert(r._4, s"$tag: equal-length dot sanity failed")
+    }
+  }
+
   test("canary: a deliberately divergent expression makes the two modes " +
     "disagree (the conf flip really changes the execution path)") {
     import spark.implicits._

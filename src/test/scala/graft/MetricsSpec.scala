@@ -71,6 +71,30 @@ class MetricsSpec extends AnyFunSuite {
       s"LSH ($mh) should shuffle less than the exact inverted index ($exact)")
   }
 
+  test("mm_phash_dup constructs without running a job — the hot-band " +
+    "aggregate lives in the plan, not in a build-time collect") {
+    // Round-19 (verdict item 5, closing the r17/r18 residual): the
+    // hot-band list used to materialize at query-BUILD time, so
+    // plan-only consumers (explain, plan gates) paid a corpus scan.
+    // Under noCut (checkpoint = identity, so the cut's own
+    // materialization job — the one legitimate build-time job — is
+    // out of the picture) constructing and physically planning the
+    // query must launch ZERO jobs.
+    SparkTest.confLock.synchronized {
+      spark.conf.set(graft.engine.ops.Checkpoints.NoCutKey, "true")
+      try {
+        val tracker = spark.sparkContext.statusTracker
+        val before = tracker.getJobIdsForGroup(null).length
+        val df = SparkEntry.queries("mm_phash_dup")(spark, sf)
+        df.queryExecution.executedPlan // force analysis + physical planning
+        val after = tracker.getJobIdsForGroup(null).length
+        assert(after == before,
+          s"constructing mm_phash_dup launched ${after - before} job(s) — " +
+            "the hot-band cap must be evaluated by the plan, not at build")
+      } finally spark.conf.unset(graft.engine.ops.Checkpoints.NoCutKey)
+    }
+  }
+
   test("phash near-dup shuffles fingerprints, never image bytes") {
     // the dedup pipeline's bytes-stay-put claim, measured: what moves
     // through the band join is (band, bv, id, lo, hi) rows — a few

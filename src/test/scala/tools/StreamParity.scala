@@ -17,14 +17,20 @@ import org.apache.spark.sql.SparkSession
   *
   * Every check feeds the corpus through a MemoryStream in ≥2
   * micro-batches cut through users' series (state must survive the
-  * seams) and compares against the batch operator's frame. Two checks
-  * (minhash, simhash) deterministically EXCLUDE members of over-cap
-  * band buckets first: the twins' admission caps make over-cap
-  * behavior intentionally asymmetric to batch (streaming admits the
-  * first `cap` arrivals, batch drops the whole bucket — see
-  * StreamingMinHash.MaxBand's doc), and within-batch group order is
-  * not deterministic, so the parity contract is only defined under
-  * the cap; the artifact records how many docs the exclusion dropped.
+  * seams) and compares against the batch operator's frame. The two
+  * banded-sketch checks handle the over-cap regime — where the twins'
+  * admission caps make behavior intentionally asymmetric to batch
+  * (streaming admits the first `cap` arrivals, batch drops the whole
+  * bucket — see StreamingMinHash.MaxBand's doc) and within-batch
+  * group order is not deterministic — differently by corpus shape:
+  * minhash deterministically EXCLUDES members of over-cap buckets
+  * before feeding (its sf1 buckets are fine-grained, exclusion is
+  * rare); simhash feeds the FULL corpus and restricts the COMPARISON
+  * to pairs agreeing on a non-hot band — the regime where both
+  * operators are exact — because its clone-dense sf1 corpus puts 89%
+  * of docs in one degenerate bucket, making doc-level exclusion
+  * degenerate (round 19, verdict item 4). Each artifact note records
+  * what was excluded or reported-not-compared.
   */
 object StreamParity {
   private def micros(ts: java.sql.Timestamp): Long =
@@ -432,29 +438,55 @@ object StreamParity {
       .map(r => DocFp(r.getLong(0), r.getLong(1))).sortBy(_.doc_id)
     val bucketSizes = all.flatMap(d => StreamingSimhash.bandKeys(d.simhash))
       .groupBy(identity).map { case (k, v) => k -> v.size }
+    // FULL-corpus parity via pair-level regime restriction (round 19,
+    // verdict item 4). The old check excluded every DOC touching an
+    // over-cap bucket, which on the clone-dense sf1 corpus (one band
+    // bucket holds 44,468/50k docs) left a 327-doc proof — and no cap
+    // below 44k can do better doc-wise. But the batch/stream contract
+    // is per-PAIR, not per-doc: batch drops over-cap buckets entirely,
+    // streaming admits their first `cap` arrivals (arrival-order-
+    // dependent, hence nondeterministic within a micro-batch) — so a
+    // pair's behavior is DEFINED exactly when the two docs share at
+    // least one NON-hot band. For such a pair both operators are exact
+    // (the shared bucket is under cap, every member admitted), so:
+    // feed ALL docs at the production cap, then compare the emitted
+    // pairs THAT AGREE ON A NON-HOT BAND against the batch pair set
+    // over the full corpus (the in-memory mirror of
+    // dedupSimhashDup's banding + cap + verify, pre-shortlist).
+    // Emissions outside the defined regime (hot-bucket prefix pairs —
+    // which a production sink keeps, and batch intentionally drops as
+    // boilerplate) are counted and reported, never compared.
     val hot = bucketSizes.collect {
-      case (k, n) if n >= graft.engine.ops.DedupOps.SimhashMaxBand => k }.toSet
-    val docs = all.filter(d => StreamingSimhash.bandKeys(d.simhash)
-      .forall(!hot.contains(_)))
-    val excluded = all.length - docs.length
-    val t = feed(spark, docs.toSeq, 3, "p_simhash",
+      case (k, n) if n > graft.engine.ops.DedupOps.SimhashMaxBand => k
+    }.toSet // mirrors batch: count > cap buckets are dropped there
+    val fpById = all.map(d => d.doc_id -> d.simhash).toMap
+    def definedPair(a: Long, b: Long): Boolean =
+      StreamingSimhash.bandKeys(fpById(a))
+        .zip(StreamingSimhash.bandKeys(fpById(b)))
+        .exists { case (ka, kb) => ka == kb && !hot.contains(ka) }
+    val t = feed(spark, all.toSeq, 3, "p_simhash",
       org.apache.spark.sql.streaming.OutputMode.Append())(
       ds => StreamingSimhash.duplicates(ds).toDF())
     val live = t.selectExpr("doc_a", "doc_b", "hamming").distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val expected = docs.flatMap(d =>
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val (defined, overCap) = live.partition(p => definedPair(p._1, p._2))
+    val expected = all.flatMap(d =>
         StreamingSimhash.bandKeys(d.simhash).map(_ -> d)).groupBy(_._1)
-      .values.flatMap { members =>
+      .collect { case (key, members) if !hot.contains(key) =>
         val ds = members.map(_._2).distinctBy(_.doc_id).sortBy(_.doc_id)
         for {
           i <- ds.indices; j <- (i + 1) until ds.length
           h = java.lang.Long.bitCount(ds(i).simhash ^ ds(j).simhash)
           if h <= StreamingSimhash.MaxHamming
         } yield (ds(i).doc_id, ds(j).doc_id, h)
-      }.toSet
-    require(expected.nonEmpty && live == expected,
-      s"live=${live.size} expected=${expected.size}")
-    (live.size.toLong,
-      s"banding pairs over ${docs.length} docs ($excluded over-cap excluded)")
+      }.flatten.toSet
+    val liveSet = defined.toSet
+    require(expected.nonEmpty && liveSet == expected,
+      s"live=${liveSet.size} expected=${expected.size}")
+    (liveSet.size.toLong,
+      s"full-corpus pair parity over ${all.length} docs: " +
+        s"${liveSet.size} defined-regime pairs = batch banding exactly " +
+        s"(${overCap.length} hot-bucket prefix emissions outside the " +
+        s"defined regime, reported not compared)")
   }
 }

@@ -2,7 +2,8 @@
 """Local differential check mirroring the driver's DuckDB oracle gate.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [jsonOut]
-           [--timeout=SECS] [--only=name1,name2]
+           [--timeout=SECS] [--only=name1,name2] [--staged]
+           [--threads=N] [--memlimit=GiB]
 
 Reads each <outDir>/<name> parquet (Spark output of SparkEntry.queries),
 runs the matching SQL from <outDir>/oracle_sql.json in DuckDB against the
@@ -150,16 +151,37 @@ def run_staged(cur, name, committed_sql):
               + tail)
     return cur.execute(staged).fetchdf()
 
-def main(sf_dir, out_dir, json_out=None, timeout=None, only=None,
-         staged=False):
+def connect(sf_dir, threads=None, memlimit=None):
+    """One DuckDB connection over the SF's parquet views. threads /
+    memlimit (GiB) bound a SHARDED run: large-SF passes run several
+    check.py processes side by side (oracle results are per-query
+    independent), and unbounded processes would each default to every
+    core and 80% of RAM. A temp_directory is always set so a bounded
+    process spills instead of erroring."""
     con = duckdb.connect()
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
+    if memlimit:
+        con.execute(f"SET memory_limit='{int(memlimit)}GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main(sf_dir, out_dir, json_out=None, timeout=None, only=None,
+         staged=False, threads=None, memlimit=None):
+    con = connect(sf_dir, threads, memlimit)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                     if os.path.isdir(p)])
+    if only:
+        missing = sorted(only - set(names))
+        if missing:
+            print(f"WARNING --only names with no engine output (skipped): "
+                  f"{missing}", flush=True)
     if only:
         names = [n for n in names if n in only]
     n_pass = n_fail = n_noracle = n_timeout = 0
@@ -218,6 +240,11 @@ def main(sf_dir, out_dir, json_out=None, timeout=None, only=None,
                     print(f"STALE-INTERRUPT {name}: interrupted at {el}s "
                           f"< {timeout}s budget — retrying once", flush=True)
                     continue
+                # GENUINE timeout (elapsed ~= budget): record it, never
+                # fall through to a second full-budget attempt — only
+                # stale interrupts retry (round-18 advice: the missing
+                # break burned 2x the budget per real timeout)
+                break
             except Exception as e:
                 err = e
                 break
@@ -274,11 +301,7 @@ def prove_staged(sf_dir, out_dir):
     frame equality via the same compare() the gate uses. Run this at
     sf0.01 and sf0.1 (where the committed forms are feasible) before
     trusting any --staged artifact at a larger SF."""
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = 0
     for name in sorted(STAGED):
@@ -378,7 +401,12 @@ if __name__ == "__main__":
                 if a.startswith("--timeout=")), None)
     only = next((set(a.split("=", 1)[1].split(",")) for a in sys.argv[1:]
                  if a.startswith("--only=")), None)
+    thr = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                if a.startswith("--threads=")), None)
+    mem = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                if a.startswith("--memlimit=")), None)
     if "--prove-staged" in sys.argv:
         sys.exit(prove_staged(pos[0], pos[1]))
     sys.exit(main(pos[0], pos[1], pos[2] if len(pos) > 2 else None,
-                  timeout=t_o, only=only, staged="--staged" in sys.argv))
+                  timeout=t_o, only=only, staged="--staged" in sys.argv,
+                  threads=thr, memlimit=mem))

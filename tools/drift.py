@@ -35,13 +35,15 @@ def headline(d):
     covers every rev>=3 artifact without a cross-rev seam.
 
     Rev-9 artifacts publish SETTLED heavy rows (every steady pass
-    >= 5s, last two within 1.2x) as min(last two); mirror that here so
+    >= the settle threshold — 5s at rev 9, 4s from rev 10 — last two
+    within 1.2x) as min(last two); mirror that here so
     the drift table and the headline stay one statistic on rev>=9
     artifacts too. The classification is recomputed from runs, same as
     tools/bench_validate.py enforces.
     """
     runs = d.get("runs", {})
     rev = d.get("bench_rev", 0)
+    settle_secs = 4.0 if rev >= 10 else 5.0
     out = {}
     for q, t in d["queries"].items():
         rs = runs.get(q)
@@ -50,7 +52,7 @@ def headline(d):
         else:
             steady = rs[1:]
             l2 = steady[-2:]
-            if (rev >= 9 and min(steady) >= 5.0 and len(l2) == 2
+            if (rev >= 9 and min(steady) >= settle_secs and len(l2) == 2
                     and max(l2) / min(l2) <= 1.2 + 1e-9):
                 out[q] = min(l2)
             else:
@@ -70,7 +72,11 @@ def smoothed_control(d):
     ctl = d.get("control") or {}
     if not ctl:
         return {}
-    moved = set(d.get("deferred") or []) | set(d.get("host_degraded") or [])
+    # rev-10 isolated rows ran in their own child JVMs, not adjacent
+    # to name-order neighbors — same no-smoothing treatment as
+    # deferred rows
+    moved = (set(d.get("deferred") or []) | set(d.get("host_degraded") or [])
+             | set(d.get("isolation") or {}))
     names = sorted(ctl)
     out = {}
     for i, q in enumerate(names):
@@ -197,6 +203,14 @@ def main():
     else:
         print("no shared control series (pre-rev-6 artifact?) - drift "
               "rows are raw, host vs plan not classified")
+    # rev-10 second control family: the shuffle probe sees page-cache/
+    # IO state the in-memory scan probe is blind to — print both
+    # factors side by side when available so a sweep that is "fast by
+    # scan probe, slow by shuffle probe" is visible in one line
+    c2o, c2n = old.get("ctl2_med"), new.get("ctl2_med")
+    if c2o and c2n:
+        print(f"shuffle-probe factor (control2, new/old): "
+              f"{c2n / c2o:.2f}x (medians {c2o:.3f}s -> {c2n:.3f}s)")
     # rev-8 absolute baseline: the NEW artifact self-reports its
     # session ctl_med against the prior committed round's — the
     # in-data flag for a UNIFORMLY degraded session, which the
