@@ -112,10 +112,19 @@ object Relational10 {
     * `den·n² = n²·Q − n·S²`, with S/Q the full-series sum and square
     * sum, A_k/B_k the pair-restricted sums, m_k the pair count — all
     * in DECIMAL(38,0) (HUGEINT oracle), result floored to basis
-    * points. µ-unit squares make Σ terms ~1e21·n; DECIMAL(38,0) holds
-    * to ~1e14 rows per type — beyond that the series would be
-    * windowed/downsampled first (ts_downsample), as any per-type
-    * global statistic must.
+    * points via two-stage truncating long division:
+    * `10⁴·N div D = 10⁴·t₁ + 100·t₂ + (100·r₂) div D` with
+    * `t₁ = N div D, r₁ = N % D, t₂ = (100·r₁) div D, r₂ = (100·r₁) % D`
+    * — exact for both signs because Spark decimal div/% and DuckDB
+    * HUGEINT `//`/`%` all truncate toward zero with dividend-sign
+    * remainders, and it keeps every intermediate ≤ 100·D. The naive
+    * `N·10⁴ div D` overflowed Decimal(38,0) at sf10: the dominant term
+    * is n³·x̄² (x̄ ≈ 4e8 µ-units in the synthetic values), so the
+    * per-type ceiling is n ≤ (1e38/x̄²)^⅓ ≈ 2e7 rows — the extra 10⁴
+    * lowered it to ~1e6, which the largest sf10 event_type crossed.
+    * Beyond ~2e7 rows/type the series must be windowed/downsampled
+    * first (ts_downsample), as any exact-integer per-type global
+    * statistic must.
     *
     * ONE event_type-hash exchange feeds all three lead windows and the
     * final aggregate (window and groupBy share the clustering);
@@ -143,17 +152,29 @@ object Relational10 {
           sum(col(s"y$k").cast(dec)).as(s"b$k"))
       }
     val stats = withLeads.groupBy($"event_type").agg(aggs.head, aggs.tail: _*)
+    // stage N_k/D as columns (|types| rows) so the long-division melt
+    // below reads names, not re-expanded aggregate subtrees
+    val withND = stats.select(
+      ($"event_type" +:
+        expr("""CAST(n AS DECIMAL(38,0)) * n * q2
+               | - CAST(n AS DECIMAL(38,0)) * sx * sx"""
+          .stripMargin.replaceAll("\n", " ")).as("den") +:
+        (1 to AcfMaxLag).flatMap { k => Seq(
+          col(s"m$k"),
+          expr(s"""CAST(n AS DECIMAL(38,0)) * n * xy$k
+                  | - CAST(n AS DECIMAL(38,0)) * sx * (a$k + b$k)
+                  | + CAST(m$k AS DECIMAL(38,0)) * sx * sx"""
+            .stripMargin.replaceAll("\n", " ")).as(s"num$k"))
+        }): _*)
     def acfExpr(k: Int): String =
-      s"""CAST((CAST(n AS DECIMAL(38,0)) * n * xy$k
-         |  - CAST(n AS DECIMAL(38,0)) * sx * (a$k + b$k)
-         |  + CAST(m$k AS DECIMAL(38,0)) * sx * sx) * 10000
-         | div (CAST(n AS DECIMAL(38,0)) * n * q2
-         |  - CAST(n AS DECIMAL(38,0)) * sx * sx) AS BIGINT)"""
+      s"""CAST(10000 * (num$k div den)
+         | + 100 * ((100 * (num$k % den)) div den)
+         | + (100 * ((100 * (num$k % den)) % den)) div den AS BIGINT)"""
         .stripMargin.replaceAll("\n", " ")
     // melt the per-lag columns in ONE pass over the (|types|-row)
     // aggregate — a union of per-lag selects would re-plan the whole
     // aggregate subtree per branch
-    stats.select($"event_type", explode(array((1 to AcfMaxLag).map { k =>
+    withND.select($"event_type", explode(array((1 to AcfMaxLag).map { k =>
         struct(lit(k.toLong).as("lag"), col(s"m$k").as("m"),
           expr(acfExpr(k)).as("acf_bp"))
       }: _*)).as("r"))
@@ -374,22 +395,32 @@ object Relational10 {
         |    sum(CAST(x AS HUGEINT) * y3) AS xy3,
         |    CAST(sum(CASE WHEN y3 IS NOT NULL THEN x ELSE 0 END) AS HUGEINT) AS a3,
         |    CAST(sum(y3) AS HUGEINT) AS b3
-        |  FROM led GROUP BY event_type)
-        |SELECT event_type, lag, m, acf_bp FROM (
-        |  SELECT event_type, CAST(1 AS BIGINT) AS lag, CAST(m1 AS BIGINT) AS m,
-        |    CAST((n*n*xy1 - n*sx*(a1+b1) + m1*sx*sx) * 10000
-        |      // (n*n*q2 - n*sx*sx) AS BIGINT) AS acf_bp
-        |  FROM st
-        |  UNION ALL
-        |  SELECT event_type, 2, CAST(m2 AS BIGINT),
-        |    CAST((n*n*xy2 - n*sx*(a2+b2) + m2*sx*sx) * 10000
-        |      // (n*n*q2 - n*sx*sx) AS BIGINT)
-        |  FROM st
-        |  UNION ALL
-        |  SELECT event_type, 3, CAST(m3 AS BIGINT),
-        |    CAST((n*n*xy3 - n*sx*(a3+b3) + m3*sx*sx) * 10000
-        |      // (n*n*q2 - n*sx*sx) AS BIGINT)
+        |  FROM led GROUP BY event_type),
+        | nd AS (
+        |  SELECT event_type,
+        |    (n*n*q2 - n*sx*sx) AS den,
+        |    CAST(m1 AS BIGINT) AS m1, (n*n*xy1 - n*sx*(a1+b1) + m1*sx*sx) AS num1,
+        |    CAST(m2 AS BIGINT) AS m2, (n*n*xy2 - n*sx*(a2+b2) + m2*sx*sx) AS num2,
+        |    CAST(m3 AS BIGINT) AS m3, (n*n*xy3 - n*sx*(a3+b3) + m3*sx*sx) AS num3
         |  FROM st)
+        |SELECT event_type, lag, m, acf_bp FROM (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag, m1 AS m,
+        |    CAST(10000 * (num1 // den)
+        |      + 100 * ((100 * (num1 % den)) // den)
+        |      + (100 * ((100 * (num1 % den)) % den)) // den AS BIGINT) AS acf_bp
+        |  FROM nd
+        |  UNION ALL
+        |  SELECT event_type, 2, m2,
+        |    CAST(10000 * (num2 // den)
+        |      + 100 * ((100 * (num2 % den)) // den)
+        |      + (100 * ((100 * (num2 % den)) % den)) // den AS BIGINT)
+        |  FROM nd
+        |  UNION ALL
+        |  SELECT event_type, 3, m3,
+        |    CAST(10000 * (num3 // den)
+        |      + 100 * ((100 * (num3 % den)) // den)
+        |      + (100 * ((100 * (num3 % den)) % den)) // den AS BIGINT)
+        |  FROM nd)
         |ORDER BY event_type, lag""".stripMargin,
 
     "graph_labelprop" -> {
