@@ -163,7 +163,10 @@ def connect(sf_dir, threads=None, memlimit=None):
         con.execute(f"SET threads={int(threads)}")
     if memlimit:
         con.execute(f"SET memory_limit='{int(memlimit)}GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # Per-PID spill dir: concurrent shards sharing one temp_directory
+    # race on DuckDB's fixed-name temp files (duckdb_temp_storage-0.tmp)
+    # — one process removing the file aborts the other with IOException.
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
