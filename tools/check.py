@@ -125,6 +125,23 @@ STAGED = {
                             "note": "pairs CTE materialized before the "
                                     "recursive closure (equivalent; proven "
                                     "frame-equal by --prove-staged)"},
+    # sim_knn_graph / dedup_embed — the committed monolithic WITH-chain
+    # makes DuckDB at sf10 materialize the 356M-row candidate stage WITH
+    # 64-dim vector payloads attached (>69 GB spill regardless of
+    # memory_limit; measured ENOSPC at limits 15/90/100 GB). Snapshotting
+    # the committed `n` and `cands` CTEs as temp tables first restores
+    # the sane join order (hash builds on the 200k-row `n`, candidates
+    # stream) — the identical tail then runs in ~1 min with zero spill.
+    # Pure CTE snapshotting over deterministic inputs, same argument as
+    # materialize_pairs; proven frame-equal by --prove-staged.
+    "sim_knn_graph": {"kind": "stage_vec",
+                      "note": "n + cands CTEs materialized before the "
+                              "scoring stage (equivalent; proven "
+                              "frame-equal by --prove-staged)"},
+    "dedup_embed": {"kind": "stage_vec",
+                    "note": "n + cands CTEs materialized before the "
+                            "scoring stage (equivalent; proven "
+                            "frame-equal by --prove-staged)"},
 }
 
 
@@ -137,6 +154,35 @@ def run_staged(cur, name, committed_sql):
     spec = STAGED[name]
     if spec["kind"] == "substitute":
         return cur.execute(spec["sql"]).fetchdf()
+    if spec["kind"] == "stage_vec":
+        # Committed shape: WITH n AS (<body>),\n cc AS (...), ...,
+        # cands AS (...),\n p AS (...) ... SELECT ... — cut at the two
+        # single-occurrence markers, snapshot n and cands, re-attach
+        # the committed tail verbatim.
+        m_cc, m_p = "\n cc AS (", "\n p AS ("
+        assert committed_sql.count(m_cc) == 1, \
+            f"{name}: cc marker not unique in committed SQL"
+        assert committed_sql.count(m_p) == 1, \
+            f"{name}: p marker not unique in committed SQL"
+        head_n, rest = committed_sql.split(m_cc)
+        head_n = head_n.rstrip()
+        assert head_n.startswith("WITH n AS (") and head_n.endswith("),"), \
+            f"{name}: committed n-prefix shape changed"
+        n_body = head_n[len("WITH n AS ("):-2]
+        # Performance-only pragma; every committed final SELECT carries
+        # an explicit ORDER BY, which this setting never overrides.
+        cur.execute("SET preserve_insertion_order=false")
+        cur.execute("CREATE OR REPLACE TEMP TABLE graft_n_mat AS " + n_body)
+        mid, tail = (m_cc + rest).split(m_p)
+        mid = mid.rstrip()
+        assert mid.endswith("),"), f"{name}: committed cands-chain shape changed"
+        cur.execute("CREATE OR REPLACE TEMP TABLE graft_cands_mat AS "
+                    "WITH n AS (SELECT * FROM graft_n_mat)," + mid[:-1]
+                    + " SELECT vec_a, vec_b FROM cands")
+        staged = ("WITH n AS (SELECT * FROM graft_n_mat), "
+                  "cands AS (SELECT * FROM graft_cands_mat)," + m_p[1:]
+                  + tail)
+        return cur.execute(staged).fetchdf()
     marker = "\n edges AS ("
     assert committed_sql.count(marker) == 1, \
         f"{name}: staged marker not unique in committed SQL"
