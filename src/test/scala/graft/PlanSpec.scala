@@ -156,7 +156,10 @@ class PlanSpec extends AnyFunSuite {
     // with the new number and say why in the commit.
     val golden = Map(
       "dedup_containment" -> (2, true),   // shingle df band + pair group; dim broadcast
-      "graph_jaccard" -> (5, true),       // df cap, anti-join of hot parts, pair agg
+      "graph_jaccard" -> (3, true),       // r19: kept is cut (computed once, not
+                                          // per self-join side) — the df-cap +
+                                          // anti-join shuffles sit behind the
+                                          // checkpoint; pair agg + deg joins remain
       "graph_kcore" -> (2, false),        // final survivor agg (loop is behind the cut)
       "dedup_near" -> (2, true),          // band explode + self-equi-join on band keys
       "sim_knn_graph" -> (8, true),       // IVF assign + bucket probe + top-k windows
