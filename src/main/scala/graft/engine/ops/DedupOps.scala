@@ -508,9 +508,17 @@ object DedupOps {
     // generation entirely (bounded work beats unbounded recall)
     val okCids = assigned.groupBy($"cid").count()
       .filter($"count" <= EmbedMaxBucket).select($"cid")
-    assigned
+    // r19: cut — both consumers (dedupEmbed, simKnnGraph) self-join this
+    // frame, and the STREAMED side of the cid join re-executes the whole
+    // N·C graft_ivf_encs encode (only exchange stages are AQE-reusable;
+    // a broadcast-join probe side is not behind one). Probed at sf0.1:
+    // sim_knn_graph 1.71 s → 1.48 s steady; dedup_embed unchanged
+    // (0.9 s both ways — its pair join is cheap enough that the second
+    // encode hid in the noise). Also halves the plan size: the flat
+    // centroid literal (C·64 doubles) otherwise appears once per side.
+    Checkpoints.cut(assigned
       .join(broadcast(okCids), Seq("cid"))
-      .select($"vec_id", $"v", $"nrm", $"cid")
+      .select($"vec_id", $"v", $"nrm", $"cid"))
   }
 
   val dedupEmbed: Q = (s, d) => {

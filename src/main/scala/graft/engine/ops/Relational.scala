@@ -172,14 +172,30 @@ object Relational {
     * the shuffle (map-side combine is automatic for hash aggregates). */
   val aggGroup: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    val disc = $"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))
-    li.groupBy($"l_returnflag", $"l_linestatus")
+    // r19: SplitSum discipline (see ops.SplitSum) — values convert ONCE
+    // per row to exact hundredths (the decimal(18,2) cast recovers the
+    // true 2-dp value; disc_e4 = pc·(100−dc) is the exact 4-dp product
+    // price·(1−discount)·10⁴), the sums accumulate as pure-long split
+    // sums, and the scale divides back out in exact decimal before each
+    // double conversion — the identical rational reaches the double
+    // cast, so results are bit-identical to the direct decimal sums.
+    val qc = ($"l_quantity".cast(dec) * 100).cast("long")
+    val pc = ($"l_extendedprice".cast(dec) * 100).cast("long")
+    val dc = ($"l_discount".cast(dec) * 100).cast("long")
+    li.select($"l_returnflag", $"l_linestatus", qc.as("qc"), pc.as("pc"),
+        (pc * (lit(100L) - dc)).as("disc_e4"))
+      .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum($"l_quantity".cast(dec)).cast("double").as("sum_qty"),
-        sum($"l_extendedprice".cast(dec)).cast("double").as("sum_base_price"),
-        sum(disc).cast("double").as("sum_disc_price"),
-        (sum($"l_quantity".cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+        SplitSum.splitSum($"qc").as("sqc"),
+        SplitSum.splitSum($"pc").as("spc"),
+        SplitSum.splitSum($"disc_e4").as("sdc"),
         count(lit(1)).as("count_order"))
+      .select($"l_returnflag", $"l_linestatus",
+        expr("sqc / 100").cast("double").as("sum_qty"),
+        expr("spc / 100").cast("double").as("sum_base_price"),
+        expr("sdc / 10000").cast("double").as("sum_disc_price"),
+        (expr("sqc / 100").cast("double") / $"count_order").as("avg_qty"),
+        $"count_order")
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
@@ -204,18 +220,26 @@ object Relational {
     val joined = Tables.nation(s, d)
       .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
       .join(Tables.customer(s, d), $"c_nationkey" === $"n_nationkey")
-    joined.rollup($"r_name", $"n_name")
+    // r19: SplitSum (ops.SplitSum; acctbal can be NEGATIVE — the split
+    // identity holds for all longs, SplitSumSpec pins the signed domain)
+    joined.withColumn("ac", ($"c_acctbal".cast(dec) * 100).cast("long"))
+      .rollup($"r_name", $"n_name")
       .agg(count(lit(1)).as("n_customers"),
-        sum($"c_acctbal".cast(dec)).cast("double").as("acctbal_sum"))
+        SplitSum.splitSum($"ac").as("sac"))
+      .select($"r_name", $"n_name", $"n_customers",
+        expr("sac / 100").cast("double").as("acctbal_sum"))
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
   /** CUBE over order status × priority. */
   val aggCube: Q = (s, d) =>
+    // r19: SplitSum discipline (ops.SplitSum)
     Tables.orders(s, d)
+      .withColumn("tc", ($"o_totalprice".cast(dec) * 100).cast("long"))
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"),
-        sum($"o_totalprice".cast(dec)).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), SplitSum.splitSum($"tc").as("stc"))
+      .select($"o_orderstatus", $"o_orderpriority", $"n",
+        expr("stc / 100").cast("double").as("total"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
 
   /** Explicit GROUPING SETS via SQL front-end. */
@@ -234,17 +258,27 @@ object Relational {
     * (SURVEY §7.3c), then rounded. */
   val aggStats: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    val q = $"l_quantity".cast(dec)
-    li.groupBy($"l_returnflag")
+    // r19: SplitSum discipline (ops.SplitSum) — qc = exact hundredths,
+    // qc² = exact 4-dp square ·10⁴; sums accumulate as long split sums
+    // and divide the scale back out in exact decimal, so the identical
+    // rationals reach the (unchanged) double expression tree.
+    val qc = ($"l_quantity".cast(dec) * 100).cast("long")
+    li.select($"l_returnflag", $"l_quantity", qc.as("qc"))
+      .groupBy($"l_returnflag")
       .agg(
         min($"l_quantity").as("min_qty"),
         max($"l_quantity").as("max_qty"),
-        (sum(q).cast("double") / count(lit(1))).as("avg_qty"),
+        SplitSum.splitSum($"qc").as("sqc"),
+        SplitSum.splitSum($"qc" * $"qc").as("sqqc"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag", $"min_qty", $"max_qty",
+        (expr("sqc / 100").cast("double") / $"n").as("avg_qty"),
         round(
           sqrt(
-            (sum((q * q).cast(DecimalType(38, 4))).cast("double")
-              - sum(q).cast("double") * sum(q).cast("double") / count(lit(1)))
-              / (count(lit(1)) - 1)),
+            (expr("sqqc / 10000").cast("double")
+              - expr("sqc / 100").cast("double")
+                * expr("sqc / 100").cast("double") / $"n")
+              / ($"n" - 1)),
           4).as("stddev_qty"))
       .orderBy($"l_returnflag")
   }

@@ -278,16 +278,17 @@ object Relational5 {
     * identical rational in both spellings and both engines. */
   val aggMoments: Q = (s, d) => {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val xc = ($"l_quantity".cast(dec) * 100).cast("long")
     Tables.lineitem(s, d)
       .select($"l_returnflag", xc.as("xc"))
       .withColumn("xc2", $"xc" * $"xc")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum($"xc".cast(d38)).as("s1c"), sum($"xc2".cast(d38)).as("s2c"),
-        sum(($"xc2" * $"xc").cast(d38)).as("s3c"),
-        sum(($"xc2" * $"xc2").cast(d38)).as("s4c"))
+        // r19: SplitSum (ops.SplitSum) — same DECIMAL(38,0) totals, long
+        // accumulators in codegen (see aggCorr's measurement)
+        SplitSum.splitSum($"xc").as("s1c"), SplitSum.splitSum($"xc2").as("s2c"),
+        SplitSum.splitSum($"xc2" * $"xc").as("s3c"),
+        SplitSum.splitSum($"xc2" * $"xc2").as("s4c"))
       .select($"l_returnflag", $"n",
         expr("s1c / 100").as("s1"), expr("s2c / 10000").as("s2"),
         expr("s3c / 1000000").as("s3"), expr("s4c / 100000000").as("s4"))

@@ -227,9 +227,14 @@ object Relational8 {
     * deterministic 25% order sample as graph_triangles (disclosed,
     * algorithm sample-free). */
   val graphKcore: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
+    // r19: li cut — the self-join consumes it twice and aliasing
+    // defeats exchange reuse, so the scan+filter ran once per side
+    // (probed 0.83 s → 0.73 s steady at sf0.1 for the edge build;
+    // pre-distinct was probed too and lost — the extra shuffle costs
+    // more than the duplicate rows it removes on this data)
+    val li = Checkpoints.cut(Tables.lineitem(s, d)
       .filter($"l_orderkey" % 4 === 0)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")))
     var (e, n) = Checkpoints.cutCounted(li.as("a")
       .join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .select($"a.pk".as("u"), $"b.pk".as("v")).distinct())
