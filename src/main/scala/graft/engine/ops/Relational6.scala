@@ -75,6 +75,11 @@ object Relational6 {
     val pairs = Tables.lineitem(s, d)
       .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
+    // (r19 probed an explode(array(e, flip(e))) spelling here —
+    // interleaved same-JVM medians union 1.7-2.0 s vs explode 2.9-3.0 s
+    // steady: the duplicated union branch is only the distinct's final
+    // agg above a REUSED exchange, cheaper than the Generate's per-row
+    // struct allocation. Union kept.)
     val edges = Checkpoints.cut(pairs
       .union(pairs.select($"dst".as("src"), $"src".as("dst"))))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -562,9 +567,14 @@ object Relational6 {
     * cast to DOUBLE only at the end. */
   val joinStar: Q = (s, d) => {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val rev = $"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))
+    // r19: SplitSum discipline (ops.SplitSum) — rev_e4 = pc·(100−dc) is
+    // the exact 4-dp revenue ·10⁴ (same quantization as the decimal
+    // product it replaces); long split-sum accumulators, exact decimal
+    // divide-back, identical double
+    val pc = ($"l_extendedprice".cast(dec) * 100).cast("long")
+    val dc = ($"l_discount".cast(dec) * 100).cast("long")
     Tables.lineitem(s, d)
-      .select($"l_orderkey", rev.as("rev"))
+      .select($"l_orderkey", (pc * (lit(100L) - dc)).as("rev_e4"))
       .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
@@ -575,7 +585,10 @@ object Relational6 {
       .join(broadcast(Tables.region(s, d).select($"r_regionkey", $"r_name")),
         $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(sum($"rev").cast("double").as("revenue"), count(lit(1)).as("n_rows"))
+      .agg(graft.engine.ops.SplitSum.splitSum($"rev_e4").as("sr"),
+        count(lit(1)).as("n_rows"))
+      .select($"r_name", $"n_name",
+        expr("sr / 10000").cast("double").as("revenue"), $"n_rows")
       .orderBy($"r_name", $"n_name")
   }
 
@@ -611,13 +624,19 @@ object Relational6 {
     * the whole stage at one task's throughput. */
   val aggSalted: Q = (s, d) => {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    // r19: SplitSum (ops.SplitSum) on the ROW-proportional first level;
+    // the 16·|flags|-row second level keeps the plain decimal sum (its
+    // input is partials, not rows). Identical exact totals.
     Tables.lineitem(s, d)
       .withColumn("salt",
         pmod(hash($"l_orderkey", $"l_linenumber", $"l_partkey"), lit(16)))
+      .withColumn("qc", ($"l_quantity".cast(dec) * 100).cast("long"))
       .groupBy($"l_returnflag", $"salt")
-      .agg(count(lit(1)).as("pn"), sum($"l_quantity".cast(dec)).as("pq"))
+      .agg(count(lit(1)).as("pn"),
+        graft.engine.ops.SplitSum.splitSum($"qc").as("pqc"))
       .groupBy($"l_returnflag")
-      .agg(sum($"pn").as("n_rows"), sum($"pq").cast("double").as("sum_qty"))
+      .agg(sum($"pn").as("n_rows"),
+        expr("sum(pqc) / 100").cast("double").as("sum_qty"))
       .orderBy($"l_returnflag")
   }
 

@@ -614,8 +614,14 @@ object SimOps {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         cosXY.as("cos"))
       .distinct() // a pair sharing 2 probe cids scores identically twice
-    val sym = pairs.unionByName(
-      pairs.select($"vec_b".as("vec_a"), $"vec_a".as("vec_b"), $"cos"))
+    // r19: both orientations explode from ONE pass over the distinct
+    // (the unionByName spelling re-ran the distinct's final aggregate
+    // once per branch); identical row set
+    val sym = pairs
+      .select(explode(array(
+        struct($"vec_a", $"vec_b", $"cos"),
+        struct($"vec_b".as("vec_a"), $"vec_a".as("vec_b"), $"cos"))).as("e"))
+      .select($"e.vec_a".as("vec_a"), $"e.vec_b".as("vec_b"), $"e.cos".as("cos"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"vec_a").orderBy($"cos".desc, $"vec_b")
     sym.withColumn("nn_rank", row_number().over(w))

@@ -162,10 +162,12 @@ class PlanSpec extends AnyFunSuite {
                                           // checkpoint; pair agg + deg joins remain
       "graph_kcore" -> (2, false),        // final survivor agg (loop is behind the cut)
       "dedup_near" -> (2, true),          // band explode + self-equi-join on band keys
-      "sim_knn_graph" -> (4, true),       // r19: ivfAssigned is cut (the encode ran
-                                          // once per self-join side before) — IVF
-                                          // assign shuffles sit behind the checkpoint;
-                                          // pair distinct + top-k windows remain
+      "sim_knn_graph" -> (3, true),       // r19: ivfAssigned is cut (the encode ran
+                                          // once per self-join side before) and the
+                                          // symmetrization explodes from one pass
+                                          // (the union branch re-ran the distinct's
+                                          // final agg and needed its own exchange);
+                                          // pair distinct + top-k window remain
       "win_range" -> (1, false),          // ONE hash partition reused by the range frame
       "mm_decode" -> (2, false),          // repartition before per-row decode + presentation sort
       "dedup_clusters_star" -> (1, false),// final relabel (contraction rounds behind cuts)
