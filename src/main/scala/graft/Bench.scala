@@ -118,6 +118,18 @@ object Bench {
   private val Methodology =
     """"timing":"materialize","bench_rev":10"""
 
+  /** Effective core count of the session that produced the numbers
+    * (`sc.defaultParallelism`, i.e. what `local[$SPARK_GRAFT_CPUS]`
+    * actually gave us), stamped into BOTH emitted JSON lines so a
+    * scaling run is provable from the artifact alone — r19's driver
+    * flagged `suspect_cpus_ignored` because the line carried no core
+    * count even though the env was honored. Set once in main before
+    * any emit; additions-only (the per-query statistic is untouched,
+    * so bench_rev stays). */
+  @volatile private var effectiveCpus: Int = 0
+  private def cpusField: String =
+    if (effectiveCpus > 0) s""","cpus":$effectiveCpus""" else ""
+
   /** Settle-policy knobs (rev 9; threshold rev 10). SettleSecs sits
     * well above the heaviest sf0.1 steady pass (~2.5 s) so per-round
     * driver artifacts never engage it, and BELOW the known heavy-row
@@ -786,7 +798,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
     val total = results.values.sum
-    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$c2$iso$df$rp$st$extra}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$Methodology$cpusField,"queries":$qs,"failed":$fl,"sf":"$sfDir"$rs$sp$sh$ct$c2$iso$df$rp$st$extra}"""
   }
 
   /** Stdout variant of [[json]] under a hard character budget. Queries are
@@ -838,7 +850,7 @@ object Bench {
       else s""","ctl2_med":${fmt(medianOf(control2.values.toSeq))}"""
     val iso =
       if (isolation.isEmpty) "" else s""","n_isolated":${isolation.size}"""
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$Methodology$cs$c2$iso$dd,"sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$Methodology$cpusField$cs$c2$iso$dd,"sf":"$sfDir","n":${results.size},"failed":$fl,"artifact":"bench_out.json","queries":{"""
     val tailFixed = "},\"elided\":NNN}".length
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     var used = head.length + tailFixed
@@ -948,6 +960,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.get()
+    // what local[$SPARK_GRAFT_CPUS] actually resolved to — stamped in
+    // both JSON lines (see cpusField) so scaling runs are self-proving
+    effectiveCpus = spark.sparkContext.defaultParallelism
     // Silence the per-RDD unpersist WARN storm ("RDD n was locally
     // checkpointed, its lineage has been truncated…"): the inter-query
     // cleanup below unpersists every localCheckpoint block by DESIGN
