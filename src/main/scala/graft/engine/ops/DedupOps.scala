@@ -1,6 +1,7 @@
 package graft.engine.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -91,50 +92,63 @@ object DedupOps {
     * results are unchanged. */
   val NearMaxShingleDf = 1000
 
+  /** The df-windowed posting list feeding [[dedupNearCapped]] and
+    * [[dedupContainment]]'s self-equi-joins: one (doc_id, n, shingle)
+    * row per posting whose shingle has 2 ≤ df ≤ maxDf, checkpointed
+    * (the self-join consumes it twice and aliasing defeats exchange
+    * reuse under AQE).
+    *
+    * The document frequency comes from `count(*) OVER (PARTITION BY
+    * g)` — exactly the per-shingle group count — instead of the r19
+    * groupBy(g)+join-back spelling: ONE pass over the postings (one
+    * explode, one exchange by g, window count, filter) where the
+    * aggregate+join-back planned the explode subtree twice and paid a
+    * second (partial-agg-compressed but near-full: shingles rarely
+    * repeat within a map partition) posting shuffle for the df table
+    * before broadcasting it back over the postings. Identical kept
+    * multiset by construction; measured r20 isolated A/B −43%/−45% on
+    * dedup_near/dedup_containment at sf0.1 (2.08→1.20 s, 2.15→1.17 s
+    * steady), rows byte-identical.
+    *
+    * Prefilter semantics (unchanged from r19): a shingle in exactly
+    * ONE document can never produce a pair — the self-equi-join needs
+    * both sides to share g and doc_a < doc_b — so the lower bound is
+    * a no-op on results; the upper cap is the hot-shingle pruner that
+    * keeps Σ C(df,2) from blowing up on boilerplate at 100 TB (a
+    * dropped shingle only lowers the computed |A∩B|; the oracle
+    * applies the identical cap).
+    * (Negative probes, do not redo: an inverted-index formulation —
+    * collect_list posting per shingle, lambda-explode the pairs — was
+    * measured 25% SLOWER despite one fewer exchange (higher-order
+    * functions run interpreted, the self-equi-join stays inside
+    * whole-stage codegen); a full AllPairs/PPJoin prefix filter was
+    * built and measured in round 9: byte-identical results but 2×
+    * SLOWER at sf0.1 — prefix filtering pays only when hot shingles
+    * explode Σ C(df,2), which the df cap already prevents.) */
+  private def keptPostings(s: SparkSession, d: String, maxDf: Long): DataFrame = {
+    val base = shingled(s, d)
+    // n rides along for the length prune at enumeration and the final
+    // Jaccard/containment scores (8 bytes per posting row in the
+    // checkpoint; carrying it as a group key downstream is what lets
+    // both consumers skip their former per-side size joins)
+    val ex = base.select($"doc_id", $"n", explode($"sh").as("g"))
+    Checkpoints.cut(
+      ex.withColumn("df",
+          count(lit(1)).over(Window.partitionBy($"g")))
+        .filter($"df" >= 2 && $"df" <= maxDf)
+        .select($"doc_id", $"n", $"g"))
+  }
+
   /** Exact 3-gram (shingle) Jaccard near-dup pairs at τ = 0.5 over
     * the full corpus, via the scalable exact similarity join: explode
     * shingles → self-equi-join on the shingle string → per-pair match
-    * count (|A∩B|) by hash aggregate → size join + Jaccard filter. No
-    * nested-loop pairing, no wide arrays through the shuffle — every
-    * row that moves is (doc_id, shingle) or (doc_a, doc_b, inter).
+    * count (|A∩B|) by hash aggregate → Jaccard filter. No nested-loop
+    * pairing, no wide arrays through the shuffle — every row that
+    * moves is (doc_id, n, shingle) or (doc_a, doc_b, na, nb, inter).
     * Pairs sharing zero shingles can't reach τ > 0, so the equi-join
-    * loses nothing. Shingles hotter than `maxDf` are excluded via a
-    * LEFT ANTI join against the (tiny, broadcast) hot-shingle list —
-    * the frequency cap that keeps the join from blowing up on
-    * boilerplate at 100 TB. */
+    * loses nothing; df-capped postings come from [[keptPostings]]. */
   def dedupNearCapped(maxDf: Long): Q = (s, d) => {
-    val base = shingled(s, d)
-    // n rides along so the length filter can prune INSIDE the self-join
-    // (8 bytes per posting row in the checkpoint — see below)
-    val ex = base.select($"doc_id", $"n", explode($"sh").as("g"))
-    // posting-list prefilter: a shingle in exactly ONE document (the
-    // vast majority of any corpus) can never produce a pair — the
-    // self-equi-join needs both sides to share g and doc_a < doc_b —
-    // so only shingles with 2 <= df <= maxDf enter the join. This cuts
-    // the join input ~20× while provably not changing its output (the
-    // upper cap is the hot-shingle pruner; the lower bound is a no-op
-    // on results). The shared-shingle vocabulary is proportional to the
-    // near-dup mass, not corpus size — no broadcast hint on purpose:
-    // AQE broadcasts it when small and keeps a shuffle join at
-    // adversarial scale.
-    // (An inverted-index formulation — collect_list posting per shingle,
-    // lambda-explode the pairs — was measured 25% SLOWER despite one
-    // fewer exchange: higher-order functions run interpreted, while the
-    // self-equi-join stays inside whole-stage codegen. A full
-    // AllPairs/PPJoin prefix filter — global rarest-first shingle
-    // order, per-doc prefix floor(n/2)+1, array_intersect verification
-    // of surviving candidates — was built and measured in round 9:
-    // byte-identical results but 2× SLOWER at sf0.1 (window rank +
-    // candidate distinct + two array joins cost more than the 1.27M
-    // tiny pair rows they avoid). Prefix filtering pays off only when
-    // Σ C(df,2) explodes on hot shingles — which the df cap below
-    // already prevents at any scale.)
-    val shared = ex.groupBy($"g").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2 && $"df" <= maxDf).select($"g")
-    // materialize the filtered posting list once: the self-join otherwise
-    // duplicates the whole explode→df-aggregate→join subtree per side
-    // (self-join aliasing defeats exchange reuse under AQE)
-    val kept = ex.join(shared, Seq("g")).transform(Checkpoints.cut)
+    val kept = keptPostings(s, d, maxDf)
     // Length filter AT ENUMERATION (the similarity-join literature's
     // length prune): Jaccard >= 0.5 forces |n_a - n_b| <= min(na, nb),
     // i.e. 2·least >= greatest — the exact integer spelling of the
@@ -147,15 +161,20 @@ object DedupOps {
     // corpus that is ~24% of pair rows; on a real mixed-length corpus
     // the prune is the difference between Σ C(df,2) and a fraction of
     // it, at the cost of one BIGINT per posting row in the checkpoint.
-    val inter = kept.as("x").join(kept.as("y"),
+    // na/nb ride the aggregate as GROUP KEYS (functionally dependent
+    // on doc_a/doc_b — same group cardinality, +16 bytes per pair row
+    // through the exchange) instead of the r19 per-side size joins
+    // back against `base`: two fewer joins, and at corpus scale the
+    // pair table never re-shuffles against a corpus-sized size table.
+    // (The r19 post-aggregate length filter is gone with them — the
+    // enumeration predicate above already enforced exactly it, so it
+    // passed every surviving group by construction.)
+    kept.as("x").join(kept.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")) * 2 >= greatest(col("x.n"), col("y.n")))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(base.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(base.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .filter(least($"na", $"nb").cast("double") >= lit(0.5) * greatest($"na", $"nb"))
       .withColumn("jaccard", round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"jaccard")
@@ -173,17 +192,16 @@ object DedupOps {
     * the score is pure BIGINT (`inter·10⁴ DIV min`), so the gate
     * carries no float at all. */
   val dedupContainment: Q = (s, d) => {
-    val base = shingled(s, d)
-    val ex = base.select($"doc_id", explode($"sh").as("g"))
-    val shared = ex.groupBy($"g").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2 && $"df" <= NearMaxShingleDf).select($"g")
-    val kept = ex.join(shared, Seq("g")).transform(Checkpoints.cut)
+    val kept = keptPostings(s, d, NearMaxShingleDf)
+    // no length prune here — containment's `min(na,nb)` denominator
+    // admits any size ratio (a tiny doc quoted inside a huge one is
+    // the signal), so every shared-shingle pair is a candidate.
+    // na/nb as group keys, same as dedupNearCapped.
     kept.as("x").join(kept.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .join(base.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(base.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .withColumn("cont_e4", expr("(inter * 10000) DIV least(na, nb)"))
       .filter($"cont_e4" >= 8000)
       .select($"doc_a", $"doc_b", $"cont_e4")
@@ -767,9 +785,13 @@ object DedupOps {
       // oracle mirrors (PropertySpec parity test), without the
       // per-window joined-string allocation + interpreted lambda
       .select($"doc_id", explode(expr(s"graft_winhash(toks, $SubstrK)")).as("g"))
-      .transform(Checkpoints.cut) // two consumers: occurrence counts + per-doc tally
-    val occ = grams.groupBy($"g").agg(count(lit(1)).as("occ"))
-    grams.join(occ, Seq("g"))
+      // r20: occurrence counts via count-over-window on g — ONE pass
+      // (one exchange by g) where the r19 occ-aggregate + join-back
+      // planned the gram build twice and re-shuffled it (the same
+      // rewrite that took dedup_near/containment −43% this round; the
+      // cut is gone with the second consumer). ProbeD: 0.98 → 0.62 s
+      // isolated at sf0.1 (−36%), rows identical, oracle hash-exact.
+    grams.withColumn("occ", count(lit(1)).over(Window.partitionBy($"g")))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when($"occ" >= 2, 1L).otherwise(0L)).as("dup"))
