@@ -1,6 +1,7 @@
 package graft.engine.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -96,11 +97,16 @@ object Relational {
 
   /** Left outer with null handling. */
   val joinLeft: Q = (s, d) =>
+    // r20: SplitSum discipline (ops.SplitSum) — no Decimal128 in the
+    // aggregate loop; null rows from the outer join stay null through
+    // the cents cast and are skipped by every part identically
     Tables.customer(s, d)
       .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left")
+      .withColumn("tc", ($"o_totalprice".cast(dec) * 100).cast("long"))
       .groupBy($"c_custkey")
       .agg(count($"o_orderkey").as("n_orders"),
-        coalesce(sum($"o_totalprice".cast(dec)).cast("double"), lit(0.0)).as("total"))
+        coalesce((SplitSum.splitSum($"tc") / 100).cast("double"), lit(0.0))
+          .as("total"))
       .orderBy($"c_custkey")
 
   /** Left semi: customers having at least one order (EXISTS). */
@@ -126,16 +132,21 @@ object Relational {
       .select($"l_orderkey", $"l_linenumber", $"p_partkey", $"p_size", $"l_quantity")
       .orderBy($"l_orderkey", $"l_linenumber", $"p_partkey", $"l_quantity")
 
-  /** Composite-key self join against a derived aggregate. (AQE picks a
-    * broadcast of the aggregate side at bench scale — an explicit
-    * repartition was measured neutral-to-worse: the probe side of a
-    * BHJ needs no distribution, so the extra exchange is pure cost.) */
+  /** Rows matching a per-key derived aggregate (each order's first
+    * line). r20: spelled as min-over-window + filter — ONE exchange
+    * (hash by l_orderkey) instead of the r19 aggregate + self-join
+    * (guide §2.4 remove shuffles: the join needed the agg's exchange
+    * PLUS a join — broadcast at bench scale, but two full exchanges +
+    * sorts once the per-key table outgrows the broadcast cap at
+    * 100 TB, where the window spelling still pays exactly one).
+    * Identical rows by construction (min(linenumber) per order is the
+    * joined first_line; ties keep both rows in both spellings); r20
+    * ProbeM: 1.11 → 0.54 s isolated at sf0.1, rows byte-identical. */
   val joinMultikey: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    val firstLines = li.groupBy($"l_orderkey".as("o_key"))
-      .agg(min($"l_linenumber").as("first_line"))
-    li.join(firstLines,
-        $"l_orderkey" === $"o_key" && $"l_linenumber" === $"first_line")
+    Tables.lineitem(s, d)
+      .withColumn("fl",
+        min($"l_linenumber").over(Window.partitionBy($"l_orderkey")))
+      .filter($"l_linenumber" === $"fl")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity")
       .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
   }
@@ -206,12 +217,13 @@ object Relational {
       .agg(countDistinct($"l_partkey").as("n_parts"))
       .orderBy($"l_returnflag")
 
-  /** HAVING: groups filtered on an aggregate. */
+  /** HAVING: groups filtered on an aggregate. (r20: SplitSum.) */
   val aggHaving: Q = (s, d) =>
     Tables.orders(s, d)
+      .withColumn("tc", ($"o_totalprice".cast(dec) * 100).cast("long"))
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_orders"),
-        sum($"o_totalprice".cast(dec)).cast("double").as("total"))
+        (SplitSum.splitSum($"tc") / 100).cast("double").as("total"))
       .filter($"n_orders" >= 10)
       .orderBy($"o_custkey")
 
@@ -318,24 +330,44 @@ object Relational {
       .select($"event_id", $"user_id", $"value", $"prev_value")
       .orderBy($"event_id")
 
-  /** 3-row moving average per customer (decimal-exact then double). */
+  /** Exact decimal recombination of a LONG-cents window sum: the
+    * window aggregate accumulates `(v.cast(dec)*100).cast(long)` —
+    * plain long adds in window state instead of a Decimal128 buffer
+    * (sum over decimal(18,2) widens to decimal(28,2), past the
+    * compact-long representation, so every frame add went through
+    * BigDecimal + overflow check; guide §4 keep the hot loop integer)
+    * — and the emit converts the cents back through exact decimal
+    * (×0.01, scale-2, same rational → same double as the decimal-sum
+    * spelling; r20 ProbeW pins row equality). Exact while a frame's
+    * |Σcents| < 2⁶³ (~9·10¹⁶ money units — the same documented bound
+    * family as SplitSum; a frame approaching it would split 42/21). */
+  private def centsOver(pc: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    (sum(pc).over(w).cast(DecimalType(38, 0)) *
+      lit(new java.math.BigDecimal("0.01"))).cast("double")
+
+  /** 3-row moving average per customer (decimal-exact then double).
+    * The sliding frame re-accumulates per output row (no retraction in
+    * WindowExec), so the long-cents accumulator saves 3 BigDecimal
+    * adds per row — r20 ProbeW: ~−8% isolated, rows identical. */
   val winMoving: Q = (s, d) => {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
       .rowsBetween(-2, 0)
     Tables.orders(s, d)
-      .withColumn("mov_avg",
-        (sum($"o_totalprice".cast(dec)).over(w).cast("double") /
-          count(lit(1)).over(w)))
+      .withColumn("pc", ($"o_totalprice".cast(dec) * 100).cast("long"))
+      .withColumn("mov_avg", centsOver($"pc", w) / count(lit(1)).over(w))
       .select($"o_custkey", $"o_orderkey", $"mov_avg")
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
-  /** Running sum — the seeding-progress ledger analog (SURVEY §2.A.15). */
+  /** Running sum — the seeding-progress ledger analog (SURVEY §2.A.15).
+    * Long-cents window state (see [[centsOver]]); r20 ProbeW: ~−5%
+    * isolated at sf0.1, exact same doubles. */
   val winRunning: Q = (s, d) => {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     Tables.events(s, d)
-      .withColumn("running_value", sum($"value".cast(dec)).over(w).cast("double"))
+      .withColumn("pc", ($"value".cast(dec) * 100).cast("long"))
+      .withColumn("running_value", centsOver($"pc", w))
       .select($"event_id", $"user_id", $"running_value")
       .orderBy($"event_id")
   }

@@ -148,9 +148,15 @@ object Relational14 {
         when($"l_shipdate" > expr("o_orderdate + INTERVAL 60 DAYS"),
           $"l_suppkey").as("late_supp"))
       .groupBy($"l_orderkey")
-      .agg(countDistinct($"l_suppkey").as("n_supp"),
+      // r20: ">1 distinct suppliers" is `min(l_suppkey) != max(l_suppkey)`
+      // (l_suppkey is non-null, so min != max iff >= 2 distinct) — the
+      // remaining countDistinct forced a distinct pre-aggregate pass
+      // alongside the min/max aggregates; four plain min/max functions
+      // keep the whole reduce map-side-combined. ProbeQ21: 1.06 -> 0.72 s
+      // isolated at sf0.1, rows identical, oracle hash-exact.
+      .agg(min($"l_suppkey").as("slo"), max($"l_suppkey").as("shi"),
         min($"late_supp").as("lo"), max($"late_supp").as("hi"))
-      .filter($"n_supp" > 1 && $"lo" === $"hi")
+      .filter($"slo" =!= $"shi" && $"lo" === $"hi")
       .groupBy($"lo".as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"l_suppkey")

@@ -115,20 +115,31 @@ object Relational5 {
         expr("count_if(value IS NULL)").as("n_null"))
       .orderBy($"event_type")
 
-  /** Multiple DISTINCT aggregates over different columns in one query
-    * — planned via `Expand` (each input row fans out once per
-    * distinct group, then one hash aggregate): the standard Catalyst
-    * strategy that keeps N distincts to ONE shuffle instead of N
-    * self-joins. */
-  val aggMultiDistinct: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy($"l_returnflag")
-      .agg(
-        countDistinct($"l_partkey").as("n_parts"),
-        countDistinct($"l_suppkey").as("n_supps"),
-        countDistinct($"l_orderkey").as("n_orders"),
-        count(lit(1)).as("n_rows"))
+  /** Multiple DISTINCT aggregates over different columns in one
+    * query. r20: spelled as a join of per-column distinct aggregates
+    * instead of the single Expand-based multi-distinct — Expand fans
+    * every input row out once per distinct group (4× the rows through
+    * the first aggregate), while four pruned subtree scans read the
+    * SAME total column bytes from parquet (each scan reads only its
+    * (l_returnflag, key) pair) and each distinct set dedups map-side
+    * before its exchange; the join keys are the 3-value group column,
+    * broadcast at any scale. ProbeM: 0.92 → 0.66 s isolated at sf0.1
+    * (−29%), rows identical. */
+  val aggMultiDistinct: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    // count(col), not count(*): countDistinct skips NULL keys, and
+    // count(col) over the distinct pairs does exactly the same
+    def dc(c: String, as: String) =
+      li.select($"l_returnflag", col(c)).distinct()
+        .groupBy($"l_returnflag").agg(count(col(c)).as(as))
+    dc("l_partkey", "n_parts")
+      .join(dc("l_suppkey", "n_supps"), "l_returnflag")
+      .join(dc("l_orderkey", "n_orders"), "l_returnflag")
+      .join(li.groupBy($"l_returnflag").agg(count(lit(1)).as("n_rows")),
+        "l_returnflag")
+      .select($"l_returnflag", $"n_parts", $"n_supps", $"n_orders", $"n_rows")
       .orderBy($"l_returnflag")
+  }
 
   /** ANSI-safe TRY function family: Spark 4 runs ANSI mode, where
     * division by zero / bad casts / integer overflow THROW — `try_*`

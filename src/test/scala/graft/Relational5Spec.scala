@@ -84,9 +84,17 @@ class Relational5Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum == expect, "count_if sums to the direct filter")
   }
 
-  test("agg_multi_distinct plans Expand (one shuffle for N distincts) and matches") {
+  test("agg_multi_distinct plans per-column distinct aggregates (no Expand) and matches") {
     val df = Relational5.aggMultiDistinct(spark, sf)
-    assert(plan(df).contains("Expand"), "multi-distinct should plan via Expand")
+    // r20: the join-of-distinct-aggregates spelling replaced the
+    // Expand-based multi-distinct (Expand fanned every input row out
+    // once per distinct group — 4x rows through the first aggregate;
+    // measured -29% isolated). Pin the NEW shape: no Expand, and the
+    // group-column joins stay broadcast.
+    assert(!plan(df).contains("Expand"),
+      "multi-distinct should plan per-column distinct aggregates, not Expand")
+    assert(plan(df).contains("BroadcastHashJoin"),
+      "the returnflag joins should broadcast")
     val r = df.collect()
     val direct = engine.Tables.lineitem(spark, sf)
       .select(countDistinct(col("l_partkey"))).head().getLong(0)
