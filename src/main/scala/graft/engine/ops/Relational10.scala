@@ -130,7 +130,6 @@ object Relational10 {
     * final aggregate (window and groupBy share the clustering);
     * (ts_us, event_id) is the §7.3 unique sort key. */
   val tsAcf: Q = (s, d) => {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.partitionBy($"event_type").orderBy($"ts_us", $"event_id")
     val ev = Tables.events(s, d)
       .select($"event_id", $"event_type",
@@ -139,19 +138,38 @@ object Relational10 {
     val withLeads = (1 to AcfMaxLag).foldLeft(ev) { (df, k) =>
       df.withColumn(s"y$k", lead($"x", k).over(w))
     }
+    // r20: SplitSum discipline (ops.SplitSum) on all 14 wide sums —
+    // the decimal(38,0) accumulators put a BigDecimal add + overflow
+    // check per (row × sum) in the aggregate loop. The quadratic
+    // products multiply as LONGS per row (x·y ≤ (5.6e8)² ≈ 3.2e17 on
+    // this data; safe while |x| ≤ 3e9 µ-units, i.e. values ≤ ~3000 —
+    // loud under ANSI past that, at which point the series must be
+    // downsampled first, same per-type ceiling family as the n³·x̄²
+    // bound above), and only the SUMS carry the wide-integer split.
+    // splitSum returns the identical DECIMAL(38,0) value, so the
+    // withND expression tree below is untouched. Null flow identical:
+    // y_k-null rows null the product and are skipped by every part.
     val aggs =
       Seq(count(lit(1)).as("n"),
-        sum($"x".cast(dec)).as("sx"),
-        sum(($"x".cast(dec)) * $"x").as("q2")) ++
+        SplitSum.splitSum($"x").as("sx"),
+        SplitSum.splitSum($"x" * $"x").as("q2")) ++
       (1 to AcfMaxLag).flatMap { k =>
         Seq(
           count(col(s"y$k")).as(s"m$k"),
-          sum(($"x".cast(dec)) * col(s"y$k")).as(s"xy$k"),
-          sum(when(col(s"y$k").isNotNull, $"x").otherwise(lit(0L)).cast(dec))
-            .as(s"a$k"),
-          sum(col(s"y$k").cast(dec)).as(s"b$k"))
+          SplitSum.splitSum($"x" * col(s"y$k")).as(s"xy$k"),
+          SplitSum.splitSum(
+            when(col(s"y$k").isNotNull, $"x").otherwise(lit(0L))).as(s"a$k"),
+          SplitSum.splitSum(col(s"y$k")).as(s"b$k"))
       }
     val stats = withLeads.groupBy($"event_type").agg(aggs.head, aggs.tail: _*)
+    acfTail(stats)
+  }
+
+  /** The post-aggregate tail of [[tsAcf]] over a named stats frame
+    * (event_type, n, sx, q2, m_k, xy_k, a_k, b_k) — factored so the
+    * r20 SplitSum probe can run the r19 decimal aggregate through the
+    * byte-identical downstream expression tree. */
+  private[graft] def acfTail(stats: DataFrame): DataFrame = {
     // stage N_k/D as columns (|types| rows) so the long-division melt
     // below reads names, not re-expanded aggregate subtrees
     val withND = stats.select(

@@ -87,10 +87,12 @@ object Relational2 {
   /** Pivot order totals: status columns × priority rows (fixed value
     * list — at scale an unpinned pivot needs a distinct-values pass). */
   val aggPivot: Q = (s, d) =>
+    // r20: SplitSum discipline (ops.SplitSum)
     Tables.orders(s, d)
+      .withColumn("tc", ($"o_totalprice".cast(dec) * 100).cast("long"))
       .groupBy($"o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(sum($"o_totalprice".cast(dec)).cast("double"))
+      .agg((SplitSum.splitSum($"tc") / 100).cast("double"))
       .orderBy($"o_orderpriority")
 
   /** Scalar subquery: orders above the global average price. */

@@ -353,18 +353,20 @@ object Relational3 {
     * Decimal partials: exact associative merge, no float fold hazard. */
   val aggIncremental: Q = (s, d) => {
     val cut = lit("1998-01-01").cast("timestamp")
+    // r20: SplitSum discipline (ops.SplitSum) in the hot partial pass;
+    // the partials are exact DECIMAL(38,0) cents — still associative,
+    // still wide enough for any group total — and the 2-row-per-group
+    // merge divides the scale back out once
     def partial(f: DataFrame): DataFrame = f
+      .withColumn("tc", ($"o_totalprice".cast(dec) * 100).cast("long"))
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("pn"), sum($"o_totalprice".cast(dec)).as("ps"))
+      .agg(count(lit(1)).as("pn"), SplitSum.splitSum($"tc").as("ps"))
     val o = Tables.orders(s, d)
     partial(o.filter($"o_orderdate" < cut))
       .unionByName(partial(o.filter($"o_orderdate" >= cut)))
       .groupBy($"o_orderpriority")
-      // no narrowing re-cast on the merged sum: sum(DECIMAL(18,2))
-      // widens to (28,2) and must stay wide — at scale a group's total
-      // can exceed DECIMAL(18,2)
       .agg(sum($"pn").as("n_orders"),
-        sum($"ps").cast("double").as("sum_price"))
+        (sum($"ps") / 100).cast("double").as("sum_price"))
       .orderBy($"o_orderpriority")
   }
 

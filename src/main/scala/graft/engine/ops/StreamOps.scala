@@ -30,10 +30,12 @@ object StreamOps {
 
   /** Events per 1-hour tumbling window per type. */
   val streamTumbling: Q = (s, d) =>
+    // r20: SplitSum discipline (ops.SplitSum)
     Tables.events(s, d)
+      .withColumn("vc", ($"value".cast(dec) * 100).cast("long"))
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"value".cast(dec)).cast("double").as("sum_value"))
+        (SplitSum.splitSum($"vc") / 100).cast("double").as("sum_value"))
       .select($"w.start".cast("timestamp").cast("long").as("w_start"),
         $"event_type", $"n", $"sum_value")
       .orderBy($"w_start", $"event_type")
