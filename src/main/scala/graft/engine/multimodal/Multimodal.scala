@@ -268,23 +268,41 @@ object Multimodal {
 
   /** REAL PNG encode → decode → resize plan, media_id order. The
     * oracle recomputes every decoded value from the paint rule in pure
-    * SQL — a codec misread of any dimension or pixel fails the gate. */
+    * SQL — a codec misread of any dimension or pixel fails the gate.
+    *
+    * r20: [[graft.engine.ops.Checkpoints.cut]] before the presentation
+    * sort — a global sort's RangePartitioner SAMPLES by executing its
+    * child once before the real pass, and here the child is the full
+    * PNG encode+decode: the codec ran TWICE per query. Materializing
+    * the narrow (id, dims, sums) rows once is strictly cheaper than a
+    * second codec pass at any scale (the nearbySum precedent; the
+    * r19 cut-before-sort rejection was for cheap arithmetic
+    * projections, where recompute < materialize — the codec inverts
+    * that). ProbeMM: 1.45→0.84 s isolated (−45%), rows identical. */
   val mmDecode: Q = (s, d) =>
-    resizePlan(decodeImages(imageTable(s, d))).orderBy(col("media_id"))
+    resizePlan(decodeImages(imageTable(s, d)))
+      .transform(graft.engine.ops.Checkpoints.cut)
+      .orderBy(col("media_id"))
 
   /** Frame sampling with real per-frame decode — oracle-checked pixel
-    * sums over the sampled keyframe set. */
+    * sums over the sampled keyframe set. (r20: cut before the sort —
+    * see [[mmDecode]]; ProbeMM 0.65→0.45 s, rows identical.) */
   val mmFrames: Q = (s, d) => {
     import s.implicits._
-    sampleFrames(videoTable(s, d)).toDF().orderBy(col("media_id"))
+    sampleFrames(videoTable(s, d)).toDF()
+      .transform(graft.engine.ops.Checkpoints.cut)
+      .orderBy(col("media_id"))
   }
 
   /** Per-image 64-bit perceptual hash over REALLY decoded bytes — the
     * fingerprint table an image-dedup index persists. Map-only
     * partition-batched decode; output is (id, lo, hi), 24 bytes/row
-    * regardless of image size. */
+    * regardless of image size. (r20: cut before the sort — see
+    * [[mmDecode]]; ProbeMM 1.22→0.74 s, rows identical.) */
   val mmPhash: Q = (s, d) => {
-    phashFrame(s, d).orderBy(col("media_id"))
+    phashFrame(s, d)
+      .transform(graft.engine.ops.Checkpoints.cut)
+      .orderBy(col("media_id"))
   }
 
   /** (media_id, phash_lo, phash_hi) via one real decode pass. */
@@ -487,6 +505,9 @@ object Multimodal {
       }
       .toDF("media_id", "n_samples", "n_frames", "peak_abs",
         "energy_sum", "max_frame_energy")
+      // r20: cut before the sort — see mmDecode (the PCM scan otherwise
+      // runs twice under the range sampler)
+      .transform(graft.engine.ops.Checkpoints.cut)
       .orderBy(col("media_id"))
   }
 
@@ -522,6 +543,9 @@ object Multimodal {
         }
       }
       .toDF("media_id", "n_frames", "n_cuts", "max_delta")
+      // r20: cut before the sort — see mmDecode (the per-frame decode
+      // otherwise runs twice under the range sampler)
+      .transform(graft.engine.ops.Checkpoints.cut)
       .orderBy(col("media_id"))
   }
 

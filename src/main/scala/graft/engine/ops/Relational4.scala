@@ -26,9 +26,11 @@ object Relational4 {
     * projection, no shuffle. */
   val aggUnpivot: Q = (s, d) => {
     val wide = Tables.orders(s, d)
+      // r20: SplitSum discipline (ops.SplitSum)
+      .withColumn("tc", ($"o_totalprice".cast(dec) * 100).cast("long"))
       .groupBy($"o_orderpriority")
       .agg(
-        sum($"o_totalprice".cast(dec)).cast("double").as("sum_price"),
+        (SplitSum.splitSum($"tc") / 100).cast("double").as("sum_price"),
         count(lit(1)).cast("double").as("n_orders"),
         max($"o_totalprice").as("max_price"))
     wide.unpivot(
@@ -126,7 +128,13 @@ object Relational4 {
   val textPii: Q = (s, d) => {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val numRe = "[0-9]{4,}"
+    // r20: sort the RAW rows first, redact above the sort (the fn_try
+    // discipline): the sort key is the raw doc_id, so the projection
+    // is row-order-preserving — below the sort, the range sampler
+    // executed the whole 3-regex redaction chain a second time.
     Tables.documents(s, d)
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id")
       .withColumn("raw",
         concat($"text", lit(" contact user"), $"doc_id",
           lit("@example.com tel 555"),
@@ -142,7 +150,6 @@ object Relational4 {
         md5(regexp_replace(
           regexp_replace($"raw", emailRe, "<EMAIL>"), numRe, "<NUM>"))
           .as("digest"))
-      .orderBy($"doc_id")
   }
 
   /** Distributed triangle counting over the part co-occurrence graph

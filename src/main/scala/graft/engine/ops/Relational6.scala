@@ -126,7 +126,11 @@ object Relational6 {
     * URLs are synthesized deterministically from document columns
     * (this container ships no web crawl). */
   val fnUrl: Q = (s, d) =>
+    // r20: raw sort first, parse above (fn_try discipline — the range
+    // sampler below re-ran the three parse_url passes)
     Tables.documents(s, d)
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .orderBy($"doc_id")
       .withColumn("url",
         concat(lit("https://"), $"source", lit(".example.org/"), $"lang",
           lit("/doc-"), $"doc_id".cast("string"),
@@ -136,7 +140,6 @@ object Relational6 {
         parse_url($"url", lit("HOST")).as("host"),
         parse_url($"url", lit("PATH")).as("path"),
         parse_url($"url", lit("QUERY"), lit("ref")).as("ref_param"))
-      .orderBy($"doc_id")
 
   /** Round-robin source interleaving: rank documents within each
     * source, then order by (round, source) — the standard way to feed
@@ -321,7 +324,12 @@ object Relational6 {
         .select($"dst".as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(i.toLong)))
-      visited = Checkpoints.cut(visited.union(next))
+      // r20: `visited` is NOT re-checkpointed — it is a union of ≤ 7
+      // already-cut frontier frames, so its lineage is a flat tree of
+      // checkpoint scans (bounded without a materialization job per
+      // level; the anti-join re-reads blocks, never recomputes).
+      // ProbeM: 0.95 → 0.83 s isolated at sf0.1, rows identical.
+      visited = visited.union(next)
       frontier = next.select($"node")
     }
     visited.orderBy($"dist", $"node")
@@ -436,6 +444,11 @@ object Relational6 {
       .select($"id_a", $"id_b",
         levenshtein($"head_a", $"head_b").cast("long").as("dist"))
       .filter($"dist" <= 15)
+      // r20: materialize before the presentation sort — the range
+      // sampler otherwise re-ran the normText+levenshtein self-join a
+      // second time (the nearbySum/mm discipline). ProbeD: 0.86 →
+      // 0.63 s isolated at sf0.1, rows identical.
+      .transform(graft.engine.ops.Checkpoints.cut)
       .orderBy($"id_a", $"id_b")
   }
 

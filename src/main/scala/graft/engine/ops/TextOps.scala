@@ -110,14 +110,20 @@ object TextOps {
     * spellings, and TokensSpec fuzzes the equivalence. */
   val textTokenCount: Q = (s, d) => {
     ensureRegistered(s)
+    // r20: raw sort first, project above (fn_try discipline) — the
+    // range sampler below re-ran the whole projection; sorting the
+    // (doc_id, text) rows first is row-order-preserving and the scan
+    // is all the sampler re-reads. Applied to every map-only text_*
+    // query sorted by the raw doc_id.
     Tables.documents(s, d)
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id")
       .withColumn("tc", call_function("graft_token_counts", $"text"))
       .withColumn("n_ws", $"tc.n_ws")
       .withColumn("n_bpe", $"tc.n_bpe")
       .withColumn("avg_token_len",
         round(length($"text").cast("double") / nullif($"n_ws", lit(0)), 4))
       .select($"doc_id", $"n_ws", $"n_bpe", $"avg_token_len")
-      .orderBy($"doc_id")
   }
 
   /** Quality scoring: alphabetic ratio, punctuation ratio, stopword
@@ -131,7 +137,10 @@ object TextOps {
   val textQuality: Q = (s, d) => {
     ensureRegistered(s)
     val letters = (('a' to 'z') ++ ('A' to 'Z')).mkString
+    // r20: raw sort first (see textTokenCount)
     Tables.documents(s, d)
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id")
       .withColumn("toks", tokens($"text"))
       // raw (unrounded) ratios feed the blended score: rounding first
       // would create exact half-way cases at the final 4-dp round,
@@ -156,7 +165,6 @@ object TextOps {
           + lit(0.2) * least(lit(1.0), size($"toks").cast("double") / lit(100.0)))
           * lit(10000.0)).cast("long"))
       .select($"doc_id", $"alpha_ratio", $"punct_ratio", $"stop_ratio", $"quality")
-      .orderBy($"doc_id")
   }
 
   /** Language ID by stopword-marker voting (n-gram-free heuristic:
@@ -164,7 +172,10 @@ object TextOps {
     * en>de>fr>es tie order). `lang` is carried through as the label
     * column for downstream precision queries. */
   val textLangid: Q = (s, d) =>
+    // r20: raw sort first (see textTokenCount)
     Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"text")
+      .orderBy($"doc_id")
       .withColumn("toks", tokens($"text"))
       .withColumn("hits_en", expr("size(filter(toks, t -> t IN ('the','and','is','of','to')))"))
       .withColumn("hits_de", expr("size(filter(toks, t -> t IN ('der','die','das','und','ist')))"))
@@ -176,7 +187,6 @@ object TextOps {
           .when($"hits_fr" >= $"hits_es", lit("fr"))
           .otherwise(lit("es")))
       .select($"doc_id", $"lang", $"pred_lang", $"hits_en")
-      .orderBy($"doc_id")
 
   /** Character-n-gram language ID: count occurrences of each
     * language's profile trigrams in the lower-cased text (the native
@@ -197,8 +207,12 @@ object TextOps {
     def hits(grams: Seq[String]): Column =
       grams.map(g => call_function("graft_count_sub", $"lt", lit(g)))
         .reduce(_ + _)
+    // r20: raw sort first (see textTokenCount)
     val withHits = profiles.foldLeft(
-      Tables.documents(s, d).withColumn("lt", lower($"text"))) {
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"text")
+        .orderBy($"doc_id")
+        .withColumn("lt", lower($"text"))) {
       case (df, (lang, grams)) => df.withColumn(s"ng_$lang", hits(grams))
     }
     withHits
@@ -208,7 +222,6 @@ object TextOps {
           .when($"ng_fr" >= $"ng_es", lit("fr"))
           .otherwise(lit("es")))
       .select($"doc_id", $"lang", $"pred_lang", $"ng_en", $"ng_de")
-      .orderBy($"doc_id")
   }
 
   /** Document fingerprint: rolling polynomial hash of the first 256
@@ -216,11 +229,13 @@ object TextOps {
     * fingerprint (cross-engine-stable alternative to xxhash64). */
   val textFingerprint: Q = (s, d) => {
     ensureRegistered(s)
+    // r20: raw sort first (see textTokenCount)
     Tables.documents(s, d)
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id")
       .withColumn("head", substring(normText($"text"), 1, 256))
       .withColumn("fp", expr(TextFeatures.charHashSql("head")))
       .select($"doc_id", $"fp")
-      .orderBy($"doc_id")
   }
 
   /** Top-3 keywords per document by an INTEGER-EXACT tf-idf ranking:
@@ -525,7 +540,10 @@ object TextOps {
     * projection over the scan, no shuffle but the presentation sort. */
   val textGopherRules: Q = (s, d) => {
     ensureRegistered(s)
+    // r20: raw sort first (see textTokenCount)
     Tables.documents(s, d)
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id")
       .withColumn("toks", tokens($"text"))
       .withColumn("n_words", size($"toks").cast("long"))
       // one native pass per doc (graft_gopher_counts) replaces three
@@ -547,7 +565,6 @@ object TextOps {
         $"ok_nwords" && $"ok_wordlen" && $"ok_alpha" && $"ok_stop")
       .select($"doc_id", $"n_words", $"ok_nwords", $"ok_wordlen",
         $"ok_alpha", $"ok_stop", $"pass")
-      .orderBy($"doc_id")
   }
 
   /** Chunk window (tokens) and stride for [[tokChunkOverlap]]; stride

@@ -169,7 +169,10 @@ class PlanSpec extends AnyFunSuite {
                                           // final agg and needed its own exchange);
                                           // pair distinct + top-k window remain
       "win_range" -> (1, false),          // ONE hash partition reused by the range frame
-      "mm_decode" -> (2, false),          // repartition before per-row decode + presentation sort
+      "mm_decode" -> (1, false),          // r20: decode cut before the presentation
+                                          // sort (the range sampler re-ran the codec);
+                                          // the repartition sits behind the checkpoint,
+                                          // only the sort exchange remains in the tree
       "dedup_clusters_star" -> (1, false),// final relabel (contraction rounds behind cuts)
       "dedup_clusters" -> (1, false),
       "graph_pagerank" -> (7, true)       // degree/rank joins; dangling-mass 1-row broadcast
