@@ -185,7 +185,8 @@ object Relational3 {
         // r19: SplitSum — value-identical DECIMAL(38,0) totals, but the
         // per-row accumulate is three long adds in codegen instead of a
         // Decimal128 add + overflow check (measured 1.0–1.2 s → see
-        // SplitSum doc; the cents domain is non-negative by construction)
+        // SplitSum doc; the identity is exact for ALL signed longs —
+        // SplitSumSpec pins the full domain including both extremes)
         SplitSum.splitSum($"xc").as("sxc"), SplitSum.splitSum($"yc").as("syc"),
         SplitSum.splitSum($"xc" * $"xc").as("sxxc"),
         SplitSum.splitSum($"yc" * $"yc").as("syyc"),

@@ -6,9 +6,11 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.ops.SplitSum
 
-/** SplitSum.splitSum must equal sum(v.cast(decimal(38,0))) exactly on
-  * its declared domain (non-negative BIGINT): the optimization swaps
-  * the accumulator representation, never the value. */
+/** SplitSum.splitSum must equal sum(v.cast(decimal(38,0))) exactly for
+  * ALL BIGINT values — the two's-complement identity holds across the
+  * full signed domain (the tests below pin both extremes, and
+  * aggRollup feeds signed c_acctbal through it): the optimization
+  * swaps the accumulator representation, never the value. */
 class SplitSumSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.session
   private val d38 = DecimalType(38, 0)

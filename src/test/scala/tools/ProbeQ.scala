@@ -1,6 +1,8 @@
 // Dev probe (r19 optimization round): which Catalyst phase costs the
 // ~0.2s/query planning floor. Test tree only.
-package graft.engine.ops
+// (r20, per r19 ADVICE: moved out of the engine-ops package namespace —
+// probes in this directory live in the plain `graft` package.)
+package graft
 
 object ProbeQ {
   def main(args: Array[String]): Unit = {
